@@ -1,0 +1,144 @@
+"""Transformer building blocks for the CLIP towers.
+
+Pure-functional: every layer is ``f(params, x) -> x`` over plain pytrees.
+Per-tower blocks are *stacked* along a leading layer axis and executed
+with ``lax.scan`` — one compiled block body regardless of depth, which
+keeps XLA compile times flat and gives every layer identical sharding
+(a single pjit rule covers all of them).
+
+Numerical policy: parameters live in float32; matmuls run in the caller's
+``dtype`` (bfloat16 on TPU) with float32 accumulation
+(``preferred_element_type``); LayerNorm statistics and softmax are always
+float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from clipx.ops.attention import xla_attention
+
+Params = Dict[str, Any]
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float) -> jax.Array:
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    # OpenAI CLIP's activation: x * sigmoid(1.702 x)
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
+              attn_impl: str = "xla") -> jax.Array:
+    """Self-attention. x: (B, S, W)."""
+    b, s, w = x.shape
+    d = w // heads
+
+    def split(t):
+        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    q = split(dense(x, p["wq"], p["bq"]))
+    k = split(dense(x, p["wk"], p["bk"]))
+    v = split(dense(x, p["wv"], p["bv"]))
+    if attn_impl == "pallas":
+        from clipx.ops.flash_attention import flash_attention
+        o = flash_attention(q, k, v, causal=causal)
+    else:
+        o = xla_attention(q, k, v, causal=causal)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+    return dense(o, p["wo"], p["bo"])
+
+
+def mlp_block(x: jax.Array, p: Params, use_quick_gelu: bool) -> jax.Array:
+    h = dense(x, p["w1"], p["b1"])
+    h = quick_gelu(h) if use_quick_gelu else jax.nn.gelu(h, approximate=False)
+    return dense(h, p["w2"], p["b2"])
+
+
+def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
+                   eps: float, use_quick_gelu: bool,
+                   attn_impl: str = "xla") -> jax.Array:
+    """Pre-LN transformer block (the CLIP/GPT-2 layout)."""
+    x = x + mha_block(layer_norm(x, p["ln_1"], eps), p["attn"], heads,
+                      causal=causal, attn_impl=attn_impl)
+    x = x + mlp_block(layer_norm(x, p["ln_2"], eps), p["mlp"], use_quick_gelu)
+    return x
+
+
+def transformer(x: jax.Array, stacked: Params, heads: int, *, causal: bool,
+                eps: float, use_quick_gelu: bool,
+                attn_impl: str = "xla",
+                remat: bool = False) -> jax.Array:
+    """Run the stacked blocks with lax.scan over the layer axis."""
+
+    def body(carry, layer_params):
+        y = residual_block(carry, layer_params, heads, causal=causal,
+                           eps=eps, use_quick_gelu=use_quick_gelu,
+                           attn_impl=attn_impl)
+        return y, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    out, _ = jax.lax.scan(body, x, stacked)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# initializers (used for training-from-scratch and tests; converted
+# checkpoints overwrite these values)
+# ---------------------------------------------------------------------------
+
+def _ln_init(width: int) -> Params:
+    return {"scale": jnp.ones((width,), jnp.float32),
+            "bias": jnp.zeros((width,), jnp.float32)}
+
+
+def init_block_stack(rng: jax.Array, layers: int, width: int) -> Params:
+    """OpenAI-CLIP-style initialization for a stack of residual blocks."""
+    k = jax.random.split(rng, 6)
+    attn_std = width ** -0.5
+    proj_std = (width ** -0.5) * ((2 * layers) ** -0.5)
+    fc_std = (2 * width) ** -0.5
+    hidden = width * 4
+
+    def nrm(key, shape, std):
+        return (jax.random.normal(key, shape, jnp.float32) * std)
+
+    return {
+        "ln_1": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "attn": {
+            "wq": nrm(k[0], (layers, width, width), attn_std),
+            "wk": nrm(k[1], (layers, width, width), attn_std),
+            "wv": nrm(k[2], (layers, width, width), attn_std),
+            "wo": nrm(k[3], (layers, width, width), proj_std),
+            "bq": jnp.zeros((layers, width)),
+            "bk": jnp.zeros((layers, width)),
+            "bv": jnp.zeros((layers, width)),
+            "bo": jnp.zeros((layers, width)),
+        },
+        "ln_2": {"scale": jnp.ones((layers, width)), "bias": jnp.zeros((layers, width))},
+        "mlp": {
+            "w1": nrm(k[4], (layers, width, hidden), fc_std),
+            "b1": jnp.zeros((layers, hidden)),
+            "w2": nrm(k[5], (layers, hidden, width), proj_std),
+            "b2": jnp.zeros((layers, width)),
+        },
+    }

@@ -1,0 +1,72 @@
+"""Multi-head attention for the CLIP towers.
+
+Two implementations behind one interface:
+
+- ``xla``    — einsum attention; XLA already fuses the elementwise chain
+               into the matmuls, and for CLIP's short sequences (50 image /
+               77 text tokens) this is at the HBM/MXU roofline.
+- ``pallas`` — flash-style fused kernel (``clipx.ops.flash_attention``)
+               that never materializes the (S, S) score matrix in HBM.
+               Worth it for the ViT-L/14@336 stress config (577 tokens)
+               and anything longer.
+
+``impl="auto"`` picks pallas on TPU for long sequences, xla otherwise.
+
+The reference delegates attention to torch's ``nn.MultiheadAttention``
+inside OpenAI CLIP (loaded at reference:build-index.py:18); this module is
+the TPU-native replacement.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# Sequence length at which the fused pallas kernel starts to win over the
+# plain einsum path on TPU (score matrix stops fitting comfortably and the
+# extra HBM round-trips begin to matter).
+_PALLAS_MIN_SEQ = 256
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at trace time
+        return False
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                  *, causal: bool = False) -> jax.Array:
+    """Reference attention. q, k, v: (B, H, S, D). Returns (B, H, S, D).
+
+    Scores are accumulated and softmaxed in float32 regardless of the
+    input dtype (bf16 matmuls feed an f32 softmax), then the output
+    matmul returns to the input dtype.
+    """
+    dtype = q.dtype
+    d = q.shape[-1]
+    scale = jnp.asarray(1.0 / (d ** 0.5), jnp.float32)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        s = scores.shape[-1]
+        mask = jnp.tril(jnp.ones((s, s), dtype=bool))
+        scores = jnp.where(mask, scores, jnp.asarray(-jnp.inf, scores.dtype))
+    probs = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "impl"))
+def multihead_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                        *, causal: bool = False,
+                        impl: str = "auto") -> jax.Array:
+    """Batched MHA on (B, H, S, D) tensors."""
+    if impl == "auto":
+        use_pallas = _on_tpu() and q.shape[-2] >= _PALLAS_MIN_SEQ
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from clipx.ops.flash_attention import flash_attention
+        return flash_attention(q, k, v, causal=causal)
+    return xla_attention(q, k, v, causal=causal)

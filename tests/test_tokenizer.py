@@ -1,0 +1,92 @@
+"""Tokenizer unit tests.
+
+The OpenAI merge table is not available offline, so these tests check the
+invariant parts of the contract (shape, specials, padding, byte fallback,
+round-trip) and exercise the BPE merge machinery with a small synthetic
+merge table.
+"""
+
+import numpy as np
+
+from clipx.text.tokenizer import (CONTEXT_LENGTH, VOCAB_SIZE, ClipTokenizer,
+                                  bytes_to_unicode, tokenize)
+
+
+def test_output_shape_and_specials():
+    tok = ClipTokenizer()
+    out = tok(["a photo of a cat", "dog"])
+    assert out.shape == (2, CONTEXT_LENGTH)
+    assert out.dtype == np.int32
+    assert out[0, 0] == tok.sot_token == VOCAB_SIZE - 2
+    row = out[0]
+    eot_pos = int(np.argmax(row))
+    assert row[eot_pos] == tok.eot_token == VOCAB_SIZE - 1
+    # zero padding after eot
+    assert (row[eot_pos + 1:] == 0).all()
+
+
+def test_eot_is_argmax():
+    # encode_text reads features at argmax(ids); eot must be the max id
+    tok = ClipTokenizer()
+    out = tok("some query text")[0]
+    assert out.max() == tok.eot_token
+
+
+def test_lowercase_and_whitespace():
+    tok = ClipTokenizer()
+    a = tok("A   Photo\tOf  a CAT")
+    b = tok("a photo of a cat")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_bytes_to_unicode_reversible():
+    m = bytes_to_unicode()
+    assert len(m) == 256
+    assert len(set(m.values())) == 256
+
+
+def test_roundtrip_ascii():
+    tok = ClipTokenizer()
+    ids = tok.encode("hello world again")
+    assert tok.decode(ids) == "hello world again"
+
+
+def test_digits_split_per_character():
+    # the CLIP word pattern treats each digit as its own word
+    tok = ClipTokenizer()
+    assert tok.decode(tok.encode("route 66")) == "route 6 6"
+
+
+def test_roundtrip_unicode():
+    tok = ClipTokenizer()
+    ids = tok.encode("naïve café ☕")
+    assert tok.decode(ids) == "naïve café ☕"
+
+
+def test_truncation_keeps_eot():
+    tok = ClipTokenizer()
+    out = tok("word " * 200)[0]
+    assert out[-1] == tok.eot_token
+    assert out[0] == tok.sot_token
+
+
+def test_merges_apply_in_rank_order():
+    # 'h'+'e' -> 'he', then 'he'+'llo</w>' would need 'llo</w>' which we
+    # don't create; instead verify a 2-step chain: l+l -> ll, ll+o</w> -> llo</w>
+    merges = [("l", "l"), ("ll", "o</w>"), ("h", "e")]
+    tok = ClipTokenizer(merges=merges)
+    parts = tok.bpe("hello").split(" ")
+    assert parts == ["he", "llo</w>"]
+    ids = tok.encode("hello")
+    assert len(ids) == 2
+
+
+def test_empty_string():
+    tok = ClipTokenizer()
+    out = tok("")[0]
+    assert out[0] == tok.sot_token and out[1] == tok.eot_token
+
+
+def test_module_level_tokenize():
+    out = tokenize("cat")
+    assert out.shape == (1, CONTEXT_LENGTH)
