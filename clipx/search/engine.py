@@ -1,0 +1,165 @@
+"""Exact maximum-inner-product search on device — the faiss replacement.
+
+The reference builds a faiss ``IndexIVFFlat`` (approximate: k-means cells,
+``nprobe`` probed lists — reference:build-index.py:80-81) and serializes
+it to ``images.index`` (reference:build-index.py:109). On TPU the corpus
+lives in HBM as one device array and search is a single fused
+matmul + top_k: *exact* inner-product search, which strictly dominates
+the reference's IVF approximation in recall, at microsecond-scale cost
+for CLIP-sized corpora (1M x 512 f32 = 2 GB, one pass at HBM bandwidth).
+
+XLA static-shape discipline (SURVEY.md section 7 "hard parts"):
+- corpus rows are padded to geometric buckets so a growing index doesn't
+  recompile per size; padded rows are masked to -inf before top_k;
+- k is rounded up to the next power of two and the result sliced, so
+  REPL pagination (k + offset + 1, reference:query-index.py:111) reuses
+  the compiled kernel.
+
+``nprobe`` exists as a no-op compatibility knob: the ``p`` REPL command
+(reference:query-index.py:48-54) tunes approximation that no longer
+exists.
+
+Multi-chip: see clipx.parallel.mips for the corpus-sharded variant.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import struct
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MAGIC = b"CLIPXIDX1\n"
+_MIN_BUCKET = 4096
+
+
+def _bucket_rows(n: int) -> int:
+    """Next geometric (power-of-two) bucket >= n, floored at _MIN_BUCKET."""
+    b = _MIN_BUCKET
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket_k(k: int) -> int:
+    b = 16
+    while b < k:
+        b *= 2
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("k",), donate_argnums=())
+def _search_kernel(corpus: jax.Array, valid: jax.Array, queries: jax.Array,
+                   k: int) -> Tuple[jax.Array, jax.Array]:
+    """corpus: (N_pad, D); queries: (Q, D); returns top-k (scores, ids)."""
+    scores = jnp.dot(queries, corpus.T, preferred_element_type=jnp.float32)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(row_ids < valid, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+class VectorIndex:
+    """Flat inner-product index over device-resident vectors.
+
+    Row i corresponds to external id i — the sorted-path rank assigned by
+    the index builder (reference:build-index.py:87-88).
+    """
+
+    def __init__(self, dim: int, dtype=jnp.float32):
+        self.dim = dim
+        self.dtype = dtype
+        self.ntotal = 0
+        self.nprobe = 32  # compatibility no-op (reference:query-index.py:30)
+        self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_vectors(cls, vectors: np.ndarray, dtype=jnp.float32) -> "VectorIndex":
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        idx = cls(dim=vectors.shape[1], dtype=dtype)
+        idx.add(vectors)
+        return idx
+
+    def add(self, vectors: np.ndarray) -> None:
+        """Append rows. Ids continue from the current ntotal."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors, "
+                             f"got {vectors.shape}")
+        new_total = self.ntotal + vectors.shape[0]
+        bucket = _bucket_rows(new_total)
+        if self._corpus is None or bucket > self._corpus.shape[0]:
+            grown = np.zeros((bucket, self.dim), dtype=np.float32)
+            if self._corpus is not None:
+                grown[: self.ntotal] = np.asarray(
+                    self._corpus[: self.ntotal], dtype=np.float32)
+            grown[self.ntotal: new_total] = vectors
+            self._corpus = jax.device_put(grown.astype(self.dtype))
+        else:
+            self._corpus = jax.lax.dynamic_update_slice(
+                self._corpus,
+                jnp.asarray(vectors, dtype=self.dtype),
+                (self.ntotal, 0))
+        self.ntotal = new_total
+
+    # -- search ---------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """faiss-shaped search: returns (D, I) with D (Q, k) float32 scores
+        descending and I (Q, k) int64 row ids; slots past ntotal get id -1
+        (matching faiss's behavior for k > ntotal)."""
+        if self.ntotal == 0:
+            q = np.atleast_2d(np.asarray(queries))
+            return (np.full((q.shape[0], k), -np.inf, np.float32),
+                    np.full((q.shape[0], k), -1, np.int64))
+        queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        kk = min(_bucket_k(k), self._corpus.shape[0])
+        scores, ids = _search_kernel(
+            self._corpus, jnp.int32(self.ntotal),
+            jnp.asarray(queries, dtype=self.dtype), kk)
+        scores = np.asarray(scores[:, :k], dtype=np.float32)
+        ids = np.asarray(ids[:, :k], dtype=np.int64)
+        invalid = ~np.isfinite(scores)
+        ids[invalid] = -1
+        return scores, ids
+
+    # -- reconstruction ---------------------------------------------------------
+    def reconstruct(self, row: int) -> np.ndarray:
+        if not (0 <= row < self.ntotal):
+            raise IndexError(row)
+        return np.asarray(self._corpus[row], dtype=np.float32)
+
+    def vectors(self) -> np.ndarray:
+        return np.asarray(self._corpus[: self.ntotal], dtype=np.float32)
+
+
+# ---------------------------------------------------------------------------
+# persistence — replaces faiss.write_index/read_index on 'images.index'
+# (reference:build-index.py:109, reference:query-index.py:29)
+# ---------------------------------------------------------------------------
+
+def write_index(index: VectorIndex, path: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC)
+        f.write(struct.pack("<qq", index.ntotal, index.dim))
+        f.write(index.vectors().tobytes())
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC))
+        if magic != _MAGIC:
+            raise ValueError(f"{path!r} is not a clipx index file")
+        ntotal, dim = struct.unpack("<qq", f.read(16))
+        data = np.frombuffer(f.read(ntotal * dim * 4), dtype=np.float32)
+    index = VectorIndex(dim=dim, dtype=dtype)
+    if ntotal:
+        index.add(data.reshape(ntotal, dim))
+    return index

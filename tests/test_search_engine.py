@@ -1,0 +1,123 @@
+"""Flat MIPS engine vs numpy oracle (SURVEY.md section 4 item 2)."""
+
+import numpy as np
+import pytest
+
+from clipx.search import VectorIndex, read_index, write_index
+
+
+def _normed(rng, n, d=64):
+    v = rng.randn(n, d).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+def test_topk_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    corpus = _normed(rng, 500)
+    queries = _normed(rng, 3)
+    idx = VectorIndex.from_vectors(corpus)
+    D, I = idx.search(queries, k=10)
+    assert D.shape == (3, 10) and I.shape == (3, 10)
+    ref_scores = queries @ corpus.T
+    for q in range(3):
+        ref_order = np.argsort(-ref_scores[q])[:10]
+        np.testing.assert_array_equal(I[q], ref_order)
+        np.testing.assert_allclose(D[q], ref_scores[q][ref_order], rtol=1e-5)
+
+
+def test_scores_descending():
+    rng = np.random.RandomState(1)
+    idx = VectorIndex.from_vectors(_normed(rng, 200))
+    D, _ = idx.search(_normed(rng, 1), k=50)
+    assert (np.diff(D[0]) <= 1e-7).all()
+
+
+def test_k_exceeding_corpus_pads_with_minus_one():
+    rng = np.random.RandomState(2)
+    idx = VectorIndex.from_vectors(_normed(rng, 5))
+    D, I = idx.search(_normed(rng, 1), k=8)
+    assert (I[0, :5] >= 0).all()
+    assert (I[0, 5:] == -1).all()
+    assert not np.isfinite(D[0, 5:]).any()
+
+
+def test_incremental_add_ids_continue():
+    rng = np.random.RandomState(3)
+    a, b = _normed(rng, 10), _normed(rng, 10)
+    idx = VectorIndex(dim=64)
+    idx.add(a)
+    idx.add(b)
+    assert idx.ntotal == 20
+    # query exactly equal to b[4] must hit id 14 first
+    D, I = idx.search(b[4:5], k=1)
+    assert I[0, 0] == 14
+    np.testing.assert_allclose(D[0, 0], 1.0, rtol=1e-5)
+
+
+def test_growth_across_bucket_boundary():
+    rng = np.random.RandomState(4)
+    idx = VectorIndex(dim=64)
+    first = _normed(rng, 4000)
+    second = _normed(rng, 3000)  # crosses the 4096 bucket
+    idx.add(first)
+    idx.add(second)
+    assert idx.ntotal == 7000
+    q = second[-1:]
+    D, I = idx.search(q, k=1)
+    assert I[0, 0] == 6999
+
+
+def test_single_query_1d_shape_accepted():
+    rng = np.random.RandomState(5)
+    idx = VectorIndex.from_vectors(_normed(rng, 50))
+    D, I = idx.search(_normed(rng, 1)[0], k=5)
+    assert D.shape == (1, 5)
+
+
+def test_empty_index():
+    idx = VectorIndex(dim=64)
+    D, I = idx.search(np.zeros((1, 64), np.float32), k=5)
+    assert (I == -1).all()
+
+
+def test_reconstruct():
+    rng = np.random.RandomState(6)
+    corpus = _normed(rng, 20)
+    idx = VectorIndex.from_vectors(corpus)
+    np.testing.assert_allclose(idx.reconstruct(7), corpus[7], rtol=1e-6)
+    with pytest.raises(IndexError):
+        idx.reconstruct(20)
+
+
+def test_write_read_roundtrip(tmp_path):
+    rng = np.random.RandomState(7)
+    corpus = _normed(rng, 123)
+    idx = VectorIndex.from_vectors(corpus)
+    path = str(tmp_path / "images.index")
+    write_index(idx, path)
+    loaded = read_index(path)
+    assert loaded.ntotal == 123 and loaded.dim == 64
+    q = _normed(rng, 2)
+    D1, I1 = idx.search(q, k=7)
+    D2, I2 = loaded.search(q, k=7)
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, rtol=1e-6)
+
+
+def test_read_index_rejects_garbage(tmp_path):
+    path = tmp_path / "bogus.index"
+    path.write_bytes(b"not an index file at all")
+    with pytest.raises(ValueError):
+        read_index(str(path))
+
+
+def test_nprobe_is_accepted_noop():
+    """The REPL 'p N' command keeps working (reference:query-index.py:48-54)
+    even though exact search has nothing to probe."""
+    rng = np.random.RandomState(8)
+    idx = VectorIndex.from_vectors(_normed(rng, 100))
+    q = _normed(rng, 1)
+    D1, I1 = idx.search(q, k=5)
+    idx.nprobe = 1
+    D2, I2 = idx.search(q, k=5)
+    np.testing.assert_array_equal(I1, I2)
