@@ -1,0 +1,169 @@
+"""``build-index.py`` — the indexer CLI, contract-compatible rebuild.
+
+Reference behavior preserved (reference:build-index.py):
+- argv is a list of folders, scanned non-recursively with paths formed by
+  string concatenation (pass dirs with a trailing slash) and a
+  case-insensitive .jpg/.jpeg/.png filter (:28-34)
+- files recorded in skip_db are permanently skipped; files already in
+  fn_db are skipped (resume-for-free semantics, :36-44)
+- a decode/encode failure prints ``#`` and records the path in skip_db
+  (:55-61); success prints ``.`` per image (:52)
+- Ctrl-C during encoding still falls through to the index-build phase so
+  partial progress is usable (:53-54, :63-64)
+- phase 2 assigns faiss-style integer ids by iterating fn_db in sorted
+  key order, writing id->path into idx_db (:75-88) — ids are the rank of
+  the path in byte-sorted order and are NOT stable across rebuilds (a
+  documented reference quirk we keep)
+- the vector index is saved to ``images.index`` (:109)
+
+TPU-native differences (SURVEY.md section 7): images stream through a
+host decode pool into batched device encodes instead of one forward per
+image, embeddings are committed per *batch* instead of per file (resume
+granularity shrinks from 1 image to at most one batch), and the saved
+index is clipx's exact-MIPS format instead of a trained faiss IVF.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+import numpy as np
+
+from clipx.cli import common
+from clipx.data.pipeline import batched, iter_decoded, scan_folder
+from clipx.search.engine import VectorIndex, write_index
+from clipx.store.kv import open_env
+
+EMBED_DTYPE = "float32"  # fn_db value format: raw f32[embed_dim] bytes
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="build-index.py")
+    common.add_model_flags(p)
+    p.add_argument("--batch-size", type=int,
+                   default=int(os.environ.get("CLIPX_BATCH_SIZE", "128")))
+    p.add_argument("--decode-workers", type=int,
+                   default=int(os.environ.get("CLIPX_DECODE_WORKERS", "4")))
+    p.add_argument("--decode-backend", choices=("cv2", "pil"), default="cv2")
+    p.add_argument("dirs", nargs="*")
+    return p
+
+
+def main(argv: List[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    args = build_parser().parse_args(argv)
+
+    encoder = common.make_encoder(args)
+    env = open_env(args.db, map_size=common.DEFAULT_MAP_SIZE, max_dbs=4)
+    fn_db = env.open_db(common.FN_DB)
+    skip_db = env.open_db(common.SKIP_DB)
+
+    try:
+        _encode_phase(args, encoder, env, fn_db, skip_db)
+    except KeyboardInterrupt:
+        print("Interrupted!")
+
+    _index_phase(args, env)
+    print("Done!")
+    env.close()
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# phase 1: streaming encode (hot loop #1 of SURVEY.md section 3.1)
+# ---------------------------------------------------------------------------
+
+def _pending_paths(env, fn_db, skip_db, base_path: str) -> List[str]:
+    paths = scan_folder(base_path)
+    todo = []
+    with env.begin(db=skip_db) as skip_txn, env.begin(db=fn_db) as txn:
+        for tfn in paths:
+            key = tfn.encode()
+            if skip_txn.get(key) is not None:  # permanent skip (:36-41)
+                continue
+            if txn.get(key) is not None:       # already indexed (:42-44)
+                continue
+            todo.append(tfn)
+    return todo
+
+
+def _encode_phase(args, encoder, env, fn_db, skip_db) -> None:
+    size = encoder.image_size
+    for base_path in args.dirs:
+        print(f"CLIPing {base_path}...")
+        todo = _pending_paths(env, fn_db, skip_db, base_path)
+        stream = iter_decoded(todo, size, backend=args.decode_backend,
+                              workers=args.decode_workers,
+                              prefetch=max(args.batch_size * 2, 64))
+        for batch in batched(stream, args.batch_size):
+            failed = [it for it in batch if it.array is None]
+            good = [it for it in batch if it.array is not None]
+            if failed:
+                with env.begin(db=skip_db, write=True) as skip_txn:
+                    for it in failed:
+                        skip_txn.put(it.path.encode(), b"1")
+                        print("#", end="", flush=True)
+            if good:
+                arrays = np.stack([it.array for it in good])
+                embs = encoder.encode_images(arrays)
+                with env.begin(db=fn_db, write=True) as txn:
+                    for it, emb in zip(good, embs):
+                        txn.put(it.path.encode(),
+                                emb.astype(np.float32).tobytes())
+                print("." * len(good), end="", flush=True)
+        print(flush=True)
+
+
+# ---------------------------------------------------------------------------
+# phase 2: id assignment + index build (hot loop #2, :66-109)
+# ---------------------------------------------------------------------------
+
+def _index_phase(args, env) -> None:
+    fn_db = env.open_db(common.FN_DB)
+    idx_db = env.open_db(common.IDX_DB)
+    with env.begin(db=fn_db) as txn:
+        n = txn.stat()["entries"]
+        if n == 0:
+            return
+        print(f"Preparing index for {n} entries...")
+        vectors = None
+        i = 0
+        pending = []
+        # Sorted-cursor iteration makes id i == rank of path in byte
+        # order, matching the reference's id assignment (:75-88). Unlike
+        # the reference's write-txn-per-row (:87-88) the id map is
+        # committed in chunks — idx_db is rebuilt from scratch every run
+        # either way, so only the fsync count changes.
+        for tfn, raw in txn.cursor():
+            v = np.frombuffer(raw, dtype=np.float32)
+            if vectors is None:
+                vectors = np.zeros((n, v.shape[0]), dtype=np.float32)
+                print(f"Generating {vectors.shape} matrix...")
+            vectors[i, :] = v
+            pending.append((f"{i}".encode(), tfn))
+            i += 1
+            if len(pending) >= 10000:
+                _flush_ids(env, idx_db, pending)
+        _flush_ids(env, idx_db, pending)
+        if vectors is None:
+            return
+        print("Adding to index...")
+        index = VectorIndex.from_vectors(vectors[:i])
+        print("Saving index...")
+        write_index(index, args.index)
+
+
+def _flush_ids(env, idx_db, pending) -> None:
+    if not pending:
+        return
+    with env.begin(db=idx_db, write=True) as idx_txn:
+        for key, tfn in pending:
+            idx_txn.put(key, tfn, dupdata=False, overwrite=True)
+    pending.clear()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

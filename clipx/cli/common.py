@@ -1,0 +1,69 @@
+"""Shared CLI plumbing: flags, env names, encoder bootstrap.
+
+The reference has no flag system — just edit-the-source constants and
+bare argv (SURVEY.md section 5, config). We preserve the bare contract
+(``build-index.py DIR/ ...`` and ``query-index.py`` with no args) and add
+optional ``--flags`` plus environment variables that never collide with
+it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List, Optional, Tuple
+
+# Same on-disk names as the reference (reference:build-index.py:22,109)
+DEFAULT_DB_PATH = "vectors.lmdb"
+DEFAULT_INDEX_PATH = "images.index"
+# LMDB map_size in the reference (reference:build-index.py:12); accepted
+# and ignored by our store, kept as the documented default.
+DEFAULT_MAP_SIZE = 1024 * 1024 * 1024 * 20
+
+FN_DB = b"fn_db"
+SKIP_DB = b"skip_db"
+IDX_DB = b"idx_db"
+
+
+def add_model_flags(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--model",
+                        default=os.environ.get("CLIPX_MODEL", "ViT-B/32"),
+                        help="model preset (ViT-B/32, ViT-B/16, "
+                             "ViT-L/14@336px, tiny-test)")
+    parser.add_argument("--checkpoint",
+                        default=os.environ.get("CLIPX_CHECKPOINT"),
+                        help="converted .npz params or torch .pt state "
+                             "dict; random init when omitted")
+    parser.add_argument("--db", default=os.environ.get("CLIPX_DB",
+                                                       DEFAULT_DB_PATH))
+    parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
+                                                          DEFAULT_INDEX_PATH))
+
+
+def make_encoder(args):
+    from clipx.runtime.encoder import Encoder
+
+    enc = Encoder.create(args.model, checkpoint=args.checkpoint)
+    if args.checkpoint is None and args.model != "tiny-test":
+        print("(no checkpoint given — using randomly initialized weights; "
+              "pass --checkpoint or set $CLIPX_CHECKPOINT for real "
+              "embeddings)")
+    return enc
+
+
+def split_dirs(argv: List[str]) -> Tuple[List[str], List[str]]:
+    """Separate positional dirs from --flags so the bare reference
+    invocation keeps working."""
+    flags, dirs = [], []
+    it = iter(argv)
+    for a in it:
+        if a.startswith("--"):
+            flags.append(a)
+            if "=" not in a:
+                try:
+                    flags.append(next(it))
+                except StopIteration:
+                    pass
+        else:
+            dirs.append(a)
+    return flags, dirs

@@ -1,0 +1,103 @@
+"""Streaming host-side decode pipeline feeding the device encoder.
+
+Replaces the reference's per-image synchronous ``Image.open`` ->
+``transform`` -> forward loop (reference:build-index.py:45-51, hot loop #1
+in SURVEY.md section 3.1) with a bounded-prefetch thread pool: JPEG/PNG
+decode and resize run in cv2/PIL C code (GIL released) while the TPU
+encodes the previous batch.
+
+Per-file failure attribution is preserved: a decode error yields a
+``DecodeItem`` with ``error`` set, which the indexer records in skip_db
+exactly like the reference's ``#`` path (reference:build-index.py:55-61).
+Decoding on the host *before* batching is what makes batched encode
+compatible with per-file skip semantics (SURVEY.md section 5, failure
+detection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from clipx.ops.preprocess import cv2_resize_crop, pil_resize_crop
+
+IMAGE_EXTENSIONS = (".jpg", ".jpeg", ".png")
+
+
+@dataclasses.dataclass
+class DecodeItem:
+    path: str
+    array: Optional[np.ndarray]  # (size, size, 3) uint8, or None on error
+    error: Optional[str] = None
+
+
+def scan_folder(base_path: str) -> List[str]:
+    """The reference's folder scan (reference:build-index.py:30-34):
+    non-recursive listdir, paths formed by *string concatenation* (no
+    os.path.join — callers must pass dirs with a trailing slash, a
+    documented quirk), case-insensitive .jpg/.jpeg/.png filter."""
+    out = []
+    for fn in os.listdir(base_path):
+        tfn = base_path + fn
+        ext = os.path.splitext(fn)
+        if len(ext) < 2 or ext[1].lower() not in IMAGE_EXTENSIONS:
+            continue
+        out.append(tfn)
+    return out
+
+
+def _decode_one(path: str, size: int, backend: str) -> DecodeItem:
+    try:
+        if backend == "cv2":
+            import cv2
+
+            data = np.fromfile(path, dtype=np.uint8)
+            img = cv2.imdecode(data, cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("cv2 could not decode")
+            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            return DecodeItem(path, cv2_resize_crop(rgb, size))
+        else:
+            from PIL import Image
+
+            with Image.open(path) as img:
+                return DecodeItem(path, pil_resize_crop(img, size))
+    except Exception as exc:  # noqa: BLE001 — per-file tolerance by design
+        return DecodeItem(path, None, error=f"{type(exc).__name__}: {exc}")
+
+
+def iter_decoded(paths: Iterable[str], size: int = 224, *,
+                 backend: str = "cv2", workers: int = 4,
+                 prefetch: int = 64) -> Iterator[DecodeItem]:
+    """Decode ``paths`` concurrently, yielding results in input order with
+    at most ``prefetch`` decodes in flight."""
+    paths = iter(paths)
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        window = []
+        for path in paths:
+            window.append(pool.submit(_decode_one, path, size, backend))
+            if len(window) >= prefetch:
+                yield window.pop(0).result()
+        for fut in window:
+            yield fut.result()
+
+
+def batched(items: Iterable[DecodeItem], batch_size: int
+            ) -> Iterator[List[DecodeItem]]:
+    """Group decoded items into encode batches; failed decodes pass
+    through as singleton metadata (they never enter a batch)."""
+    batch: List[DecodeItem] = []
+    for item in items:
+        if item.array is None:
+            yield [item]
+            continue
+        batch.append(item)
+        if len(batch) >= batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch

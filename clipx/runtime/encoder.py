@@ -1,0 +1,167 @@
+"""The encoder service: jit-compiled, batch-bucketed CLIP inference.
+
+Replaces the reference's model bootstrap + per-image forward
+(``clip.load`` at reference:build-index.py:18 / reference:query-index.py:21,
+``model.encode_image`` at reference:build-index.py:49, ``model.encode_text``
+at reference:query-index.py:108). Differences by design:
+
+- **batched**: the reference runs batch size 1 per image; here images are
+  encoded in MXU-sized batches (the single biggest throughput lever —
+  SURVEY.md section 3.1 "dominant inefficiency").
+- **static shapes**: batches are padded up to a small set of bucket sizes
+  so XLA compiles once per bucket instead of once per batch size.
+- **bf16 on TPU**: matmuls in bfloat16 with f32 accumulation; embeddings
+  come back f32 and are L2-normalized exactly like
+  reference:build-index.py:50 / reference:query-index.py:13-17.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipx import config as config_lib
+from clipx.config import CLIPConfig
+from clipx.models import clip as model_lib
+from clipx.models import convert
+from clipx.ops.preprocess import normalize_batch
+from clipx.text.tokenizer import ClipTokenizer
+
+_DEFAULT_BUCKETS = (1, 8, 32, 128, 256)
+
+
+def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+def default_compute_dtype():
+    try:
+        return jnp.bfloat16 if jax.devices()[0].platform == "tpu" else jnp.float32
+    except Exception:  # pragma: no cover
+        return jnp.float32
+
+
+class Encoder:
+    """Holds (config, params) and compiled encode functions."""
+
+    def __init__(self, cfg: CLIPConfig, params, *,
+                 compute_dtype=None, attn_impl: str = "xla",
+                 batch_buckets: Sequence[int] = _DEFAULT_BUCKETS,
+                 tokenizer: Optional[ClipTokenizer] = None):
+        self.cfg = cfg
+        self.params = params
+        self.dtype = compute_dtype or default_compute_dtype()
+        self.attn_impl = attn_impl
+        self.buckets = tuple(sorted(batch_buckets))
+        self.tokenizer = tokenizer or ClipTokenizer()
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _encode_images(params, batch_uint8):
+            pixels = normalize_batch(batch_uint8, dtype=self.dtype)
+            return model_lib.encode_image(params, cfg, pixels,
+                                          normalize=True, dtype=self.dtype,
+                                          attn_impl=attn_impl)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _encode_pixels(params, pixels):
+            return model_lib.encode_image(params, cfg,
+                                          pixels.astype(self.dtype),
+                                          normalize=True, dtype=self.dtype,
+                                          attn_impl=attn_impl)
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _encode_text(params, token_ids):
+            return model_lib.encode_text(params, cfg, token_ids,
+                                         normalize=True, dtype=self.dtype,
+                                         attn_impl=attn_impl)
+
+        self._encode_images = _encode_images
+        self._encode_pixels = _encode_pixels
+        self._encode_text = _encode_text
+
+    # -- construction ---------------------------------------------------------
+    @classmethod
+    def create(cls, model: str = "ViT-B/32",
+               checkpoint: Optional[str] = None,
+               seed: int = 0, **kw) -> "Encoder":
+        """Build from a preset name and an optional converted checkpoint
+        (.npz from clipx.models.convert.save_params, or a torch .pt
+        state dict converted on the fly)."""
+        cfg = config_lib.get_config(model)
+        if checkpoint is None:
+            params = model_lib.init_params(cfg, jax.random.PRNGKey(seed))
+        elif checkpoint.endswith(".npz"):
+            params = convert.load_params(checkpoint)
+        else:
+            params = _load_torch_checkpoint(checkpoint, cfg)
+        return cls(cfg, params, **kw)
+
+    # -- API ------------------------------------------------------------------
+    @property
+    def image_size(self) -> int:
+        return self.cfg.vision.image_size
+
+    @property
+    def embed_dim(self) -> int:
+        return self.cfg.embed_dim
+
+    def encode_images(self, batch_uint8: np.ndarray) -> np.ndarray:
+        """(B, S, S, 3) uint8 -> (B, embed_dim) float32, L2-normalized.
+
+        Pads to the nearest batch bucket; oversized batches are chunked.
+        """
+        batch_uint8 = np.ascontiguousarray(batch_uint8, dtype=np.uint8)
+        n = batch_uint8.shape[0]
+        cap = self.buckets[-1]
+        if n > cap:
+            return np.concatenate([
+                self.encode_images(batch_uint8[i: i + cap])
+                for i in range(0, n, cap)], axis=0)
+        bucket = _pick_bucket(n, self.buckets)
+        if bucket != n:
+            pad = np.zeros((bucket - n,) + batch_uint8.shape[1:], np.uint8)
+            batch_uint8 = np.concatenate([batch_uint8, pad], axis=0)
+        out = self._encode_images(self.params, batch_uint8)
+        return np.asarray(out[:n], dtype=np.float32)
+
+    def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:
+        """Pre-normalized float pixels (parity path / tests)."""
+        pixels = np.atleast_3d(np.asarray(pixels, dtype=np.float32))
+        if pixels.ndim == 3:
+            pixels = pixels[None]
+        return np.asarray(self._encode_pixels(self.params, pixels),
+                          dtype=np.float32)
+
+    def encode_texts(self, texts) -> np.ndarray:
+        """str or list[str] -> (N, embed_dim) float32, L2-normalized
+        (the reference's text path, reference:query-index.py:107-108)."""
+        if isinstance(texts, str):
+            texts = [texts]
+        ids = self.tokenizer(texts,
+                             context_length=self.cfg.text.context_length)
+        return np.asarray(self._encode_text(self.params, ids),
+                          dtype=np.float32)
+
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
+        """Pre-compile the hot shapes so the first real batch isn't slow."""
+        s = self.image_size
+        for b in (buckets or self.buckets):
+            self.encode_images(np.zeros((b, s, s, 3), np.uint8))
+        self.encode_texts(["warmup"])
+
+
+def _load_torch_checkpoint(path: str, cfg: CLIPConfig):
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    sd = {k: v for k, v in obj.items()}
+    return convert.from_state_dict(sd, cfg)
