@@ -1,0 +1,137 @@
+#!/usr/bin/env python3
+"""clipx benchmark — the BASELINE.md north-star metrics on real hardware.
+
+Measures, on whatever chip JAX gives us:
+
+1. **ViT-B/32 image-encode throughput** (images/sec/chip) — the indexing
+   hot path (reference hot loop #1, SURVEY.md section 3.1): uint8 batch ->
+   fused on-device normalize -> batched bf16 encode -> normalized f32
+   embeddings. Steady-state over several batches, compile excluded.
+2. **Query p50 latency over 1M vectors** — the search hot path
+   (reference:query-index.py:110-113 prints this as 'Search time'):
+   fused matmul + top_k over a 1M x 512 corpus, k=50, single query.
+
+Prints ONE JSON line. ``vs_baseline`` is measured throughput divided by
+the 5,000 images/sec/chip BASELINE.json north-star target (the reference
+publishes no numbers of its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int) -> float:
+    """Per-op device time via two pipelined runs of different lengths.
+
+    On this host the TPU sits behind a network tunnel with ~50 ms RTT and
+    an async ``block_until_ready``; a per-call synchronous loop measures
+    the tunnel, not the chip. Instead: enqueue N executions back-to-back
+    (FIFO per device), force one real sync by materializing the last
+    result, and take the slope between N=n_lo and N=n_hi — constant RTT
+    and dispatch overheads cancel.
+    """
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = dispatch_one()
+        materialize(out)
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = run(n_lo), run(n_hi)
+    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+
+
+def bench_encode(batch_size: int, iters: int, model: str) -> dict:
+    import jax
+
+    from clipx.runtime.encoder import Encoder
+
+    enc = Encoder.create(model, batch_buckets=(batch_size,))
+    size = enc.image_size
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 256, (batch_size, size, size, 3), dtype=np.uint8)
+
+    log(f"compiling {model} encode at batch {batch_size} "
+        f"on {jax.devices()[0]} ...")
+    t0 = time.perf_counter()
+    dev_batch = jax.device_put(batch)
+    np.asarray(enc._encode_images(enc.params, dev_batch))
+    log(f"  compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    per_batch = _slope_time(
+        lambda: enc._encode_images(enc.params, dev_batch),
+        np.asarray, max(iters // 4, 2), iters)
+    ips = batch_size / per_batch
+    log(f"  encode: {per_batch * 1e3:.2f} ms/batch -> {ips:,.0f} img/s/chip")
+    return {"images_per_sec": ips, "ms_per_batch": per_batch * 1e3}
+
+
+def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from clipx.search.engine import VectorIndex, _search_kernel, _bucket_k
+
+    rng = np.random.RandomState(1)
+    log(f"building {n_vectors:,} x {dim} corpus on device ...")
+    corpus = rng.randn(n_vectors, dim).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = VectorIndex.from_vectors(corpus)
+    q = jax.device_put(jnp.asarray(corpus[:1]))
+    valid = jnp.int32(idx.ntotal)
+    kk = _bucket_k(k)
+
+    np.asarray(_search_kernel(idx._corpus, valid, q, kk)[0])  # compile
+    per_query = _slope_time(
+        lambda: _search_kernel(idx._corpus, valid, q, kk)[0],
+        np.asarray, max(trials // 8, 2), trials)
+    p50 = per_query * 1e3
+    log(f"  search over {n_vectors:,}: {p50:.3f} ms/query (device)")
+    return {"p50_ms": p50}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="ViT-B/32")
+    ap.add_argument("--batch-size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--corpus", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=512)
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--skip-search", action="store_true")
+    args = ap.parse_args()
+
+    enc = bench_encode(args.batch_size, args.iters, args.model)
+    search = ({} if args.skip_search
+              else bench_search(args.corpus, args.dim, 50, args.trials))
+
+    value = round(enc["images_per_sec"], 1)
+    result = {
+        "metric": "images/sec/chip (ViT-B/32 indexing encode)",
+        "value": value,
+        "unit": "images/sec/chip",
+        # reference publishes no numbers (BASELINE.md); baseline is the
+        # 5k img/s/chip north-star target
+        "vs_baseline": round(value / 5000.0, 3),
+        "ms_per_batch": round(enc["ms_per_batch"], 2),
+        "query_p50_ms_1M": (None if not search
+                            else round(search["p50_ms"], 3)),
+        "batch_size": args.batch_size,
+    }
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,113 @@
+"""Corpus-sharded distributed MIPS over the ICI mesh.
+
+The scaling axis of this workload is corpus size (SURVEY.md section 2c):
+the embedding matrix is row-sharded across chips, each shard computes a
+local matmul + top_k, and the (score, global-id) candidates are
+all-gathered and merged — the classic distributed exact-search pattern
+(BASELINE.json config 5: 1M+ vectors on a v4-8, <10 ms p50).
+
+Global id = shard_index * rows_per_shard + local_row, with rows padded
+per shard; padded rows are masked to -inf so they can never win. Ids
+remain the byte-sorted path ranks of idx_db (reference:build-index.py:87-88)
+because shards are carved from the sorted corpus in row order.
+
+Collectives: one ``all_gather`` of (Q, k) scores + ids per shard — a few
+KB over ICI — then a replicated merge top_k. Implemented with
+``jax.shard_map`` so the communication pattern is explicit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from clipx.search.engine import _bucket_k
+
+AXIS = "shard"
+
+
+def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
+                       valid_total: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    """Runs per shard inside shard_map. corpus_local: (rows, D)."""
+    rows = corpus_local.shape[0]
+    my = jax.lax.axis_index(AXIS)
+    base = my * rows
+    scores = jnp.dot(queries, corpus_local.T,
+                     preferred_element_type=jnp.float32)
+    gids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+    scores = jnp.where(gids < valid_total, scores, -jnp.inf)
+    d, li = jax.lax.top_k(scores, k)                    # (Q, k) local
+    gi = jnp.take_along_axis(gids, li, axis=1)
+    # gather candidates from every shard: (Q, n_shards * k)
+    all_d = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+    all_g = jax.lax.all_gather(gi, AXIS, axis=1, tiled=True)
+    dd, sel = jax.lax.top_k(all_d, k)
+    return dd, jnp.take_along_axis(all_g, sel, axis=1)
+
+
+class ShardedVectorIndex:
+    """Flat exact MIPS with the corpus row-sharded over a 1D mesh axis."""
+
+    def __init__(self, vectors: np.ndarray, mesh: Optional[Mesh] = None,
+                 dtype=jnp.float32):
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (AXIS,))
+        if AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a {AXIS!r} axis")
+        self.mesh = mesh
+        self.dtype = dtype
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        self.ntotal, self.dim = vectors.shape
+        n_shards = mesh.shape[AXIS]
+        # pad so every shard holds the same row count (static shapes)
+        rows = -(-max(self.ntotal, 1) // n_shards)
+        rows = max(128, -(-rows // 128) * 128)  # lane-aligned shards
+        padded = np.zeros((rows * n_shards, self.dim), np.float32)
+        padded[: self.ntotal] = vectors
+        spec = P(AXIS, None)
+        self._corpus = jax.device_put(
+            padded.astype(dtype), NamedSharding(mesh, spec))
+        self._search_fns = {}
+
+    def _compiled(self, k: int):
+        if k not in self._search_fns:
+            fn = functools.partial(_local_topk_kernel, k=k)
+            # outputs are replicated by construction (every shard computes
+            # the same merge after the all_gather); the static vma checker
+            # can't see that through axis_index, hence check_vma=False
+            smapped = jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(P(AXIS, None), P(None, None), P()),
+                out_specs=(P(None, None), P(None, None)),
+                check_vma=False)
+            self._search_fns[k] = jax.jit(smapped)
+        return self._search_fns[k]
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """faiss-shaped (D, I): (Q, k) scores desc + int64 global ids,
+        -1 beyond ntotal — identical contract to the single-device
+        VectorIndex so the CLI can swap either in."""
+        queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if self.ntotal == 0:
+            return (np.full((queries.shape[0], k), -np.inf, np.float32),
+                    np.full((queries.shape[0], k), -1, np.int64))
+        rows_per_shard = self._corpus.shape[0] // self.mesh.shape[AXIS]
+        kk = min(_bucket_k(k), rows_per_shard)
+        d, i = self._compiled(kk)(
+            self._corpus,
+            jnp.asarray(queries, self.dtype),
+            jnp.int32(self.ntotal))
+        d = np.asarray(d[:, :k], np.float32)
+        i = np.asarray(i[:, :k], np.int64)
+        i[~np.isfinite(d)] = -1
+        # pad out if k exceeded the per-shard cap
+        if d.shape[1] < k:
+            pad = k - d.shape[1]
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=-np.inf)
+            i = np.pad(i, ((0, 0), (0, pad)), constant_values=-1)
+        return d, i

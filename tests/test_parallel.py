@@ -1,0 +1,165 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: sharded MIPS
+equivalence, TP-sharded encode parity, and the dp x tp train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipx import train as train_lib
+from clipx.config import tiny_test
+from clipx.models import clip as model_lib
+from clipx.parallel import mesh as mesh_lib
+from clipx.parallel.mips import ShardedVectorIndex
+from clipx.search.engine import VectorIndex
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _normed(rng, n, d=64):
+    v = rng.randn(n, d).astype(np.float32)
+    return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# sharded MIPS
+# ---------------------------------------------------------------------------
+
+def test_sharded_search_matches_single_device():
+    rng = np.random.RandomState(0)
+    corpus = _normed(rng, 1000)
+    queries = _normed(rng, 4)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    sharded = ShardedVectorIndex(corpus, mesh)
+    single = VectorIndex.from_vectors(corpus)
+    Ds, Is = sharded.search(queries, k=20)
+    D1, I1 = single.search(queries, k=20)
+    np.testing.assert_array_equal(Is, I1)
+    np.testing.assert_allclose(Ds, D1, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_search_odd_sizes_and_padding():
+    rng = np.random.RandomState(1)
+    corpus = _normed(rng, 777)  # not divisible by 8
+    queries = _normed(rng, 1)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    sharded = ShardedVectorIndex(corpus, mesh)
+    single = VectorIndex.from_vectors(corpus)
+    Ds, Is = sharded.search(queries, k=10)
+    D1, I1 = single.search(queries, k=10)
+    np.testing.assert_array_equal(Is, I1)
+    assert (Is < 777).all()
+
+
+def test_sharded_search_k_exceeds_total():
+    rng = np.random.RandomState(2)
+    corpus = _normed(rng, 5)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    sharded = ShardedVectorIndex(corpus, mesh)
+    D, I = sharded.search(_normed(rng, 1), k=9)
+    assert (I[0, :5] >= 0).all()
+    assert (I[0, 5:] == -1).all()
+
+
+def test_sharded_search_empty():
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    idx = ShardedVectorIndex(np.zeros((0, 16), np.float32), mesh)
+    D, I = idx.search(np.zeros((1, 16), np.float32), k=3)
+    assert (I == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# TP-sharded encode parity
+# ---------------------------------------------------------------------------
+
+def test_tp_sharded_encode_matches_replicated():
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    pixels = rng.randn(4, 32, 32, 3).astype(np.float32)
+
+    ref = np.asarray(model_lib.encode_image(params, cfg, pixels))
+
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    sharded_params = mesh_lib.shard_params(params, mesh)
+    fn = jax.jit(lambda p, x: model_lib.encode_image(p, cfg, x))
+    out = np.asarray(fn(sharded_params,
+                        jax.device_put(pixels,
+                                       mesh_lib.batch_sharding(mesh))))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# training step
+# ---------------------------------------------------------------------------
+
+def _tiny_batch(rng, b, cfg):
+    pixels = rng.randn(b, cfg.vision.image_size, cfg.vision.image_size,
+                       3).astype(np.float32)
+    ids = np.zeros((b, cfg.text.context_length), np.int32)
+    eot = cfg.text.vocab_size - 1
+    for i in range(b):
+        ids[i, 0] = eot - 1
+        ids[i, 1] = rng.randint(1, 1000)
+        ids[i, 2] = eot
+    return pixels, ids
+
+
+def test_single_device_train_step_reduces_loss():
+    cfg = tiny_test()
+    tx = train_lib.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                  total_steps=50)
+    state, tx = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), tx)
+    step = jax.jit(train_lib.make_train_step(cfg, tx))
+    rng = np.random.RandomState(0)
+    pixels, ids = _tiny_batch(rng, 8, cfg)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, pixels, ids)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_sharded_train_step_runs_and_matches_shape():
+    cfg = tiny_test()
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    tx = train_lib.make_optimizer(learning_rate=1e-3, warmup_steps=1,
+                                  total_steps=50)
+    state, tx = train_lib.create_train_state(cfg, jax.random.PRNGKey(0), tx)
+    jitted, shard_state, batch_sh = train_lib.make_sharded_train_step(
+        cfg, tx, mesh)
+    state = shard_state(state)
+    rng = np.random.RandomState(1)
+    pixels, ids = _tiny_batch(rng, 8, cfg)
+    pixels = jax.device_put(pixels, batch_sh)
+    ids = jax.device_put(ids, batch_sh)
+    state, metrics = jitted(state, pixels, ids)
+    assert np.isfinite(float(metrics["loss"]))
+    state, metrics2 = jitted(state, pixels, ids)
+    assert float(metrics2["loss"]) < float(metrics["loss"]) + 1.0
+    assert int(state.step) == 2
+
+
+def test_sharded_vs_single_loss_parity():
+    """Same batch, same params: dp x tp loss must match single-device."""
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    pixels, ids = _tiny_batch(rng, 8, cfg)
+    loss_ref, _ = train_lib.contrastive_loss(params, cfg, pixels, ids)
+
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    p_sh = mesh_lib.shard_params(params, mesh)
+    fn = jax.jit(lambda p, x, t: train_lib.contrastive_loss(p, cfg, x, t)[0])
+    loss_sh = fn(p_sh,
+                 jax.device_put(pixels, mesh_lib.batch_sharding(mesh)),
+                 jax.device_put(ids, mesh_lib.batch_sharding(mesh)))
+    np.testing.assert_allclose(float(loss_sh), float(loss_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_make_mesh_validates_sizes():
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh({"dp": 3, "tp": 5})
