@@ -52,12 +52,20 @@ class Encoder:
     """Holds (config, params) and compiled encode functions."""
 
     def __init__(self, cfg: CLIPConfig, params, *,
-                 compute_dtype=None, attn_impl: str = "xla",
+                 compute_dtype=None, attn_impl: str = "auto",
                  batch_buckets: Sequence[int] = _DEFAULT_BUCKETS,
                  tokenizer: Optional[ClipTokenizer] = None):
         self.cfg = cfg
         self.params = params
         self.dtype = compute_dtype or default_compute_dtype()
+        if attn_impl == "auto":
+            # Measured on v5e (bench notes in SURVEY-adjacent commit): the
+            # pallas kernel beats a *standalone* XLA attention ~9x at the
+            # ViT-L/14@336 shape, but inside the fully-jitted tower XLA's
+            # own fusion wins (0.88x for pallas at batch 32, mostly the
+            # D=64->128 lane padding doubling kernel FLOPs). Until the
+            # packed-head kernel lands, auto resolves to XLA everywhere.
+            attn_impl = "xla"
         self.attn_impl = attn_impl
         self.buckets = tuple(sorted(batch_buckets))
         self.tokenizer = tokenizer or ClipTokenizer()
@@ -78,9 +86,11 @@ class Encoder:
 
         @functools.partial(jax.jit, static_argnames=())
         def _encode_text(params, token_ids):
+            # text tower is 77 tokens — always below the pallas win
+            # threshold, XLA path unconditionally
             return model_lib.encode_text(params, cfg, token_ids,
                                          normalize=True, dtype=self.dtype,
-                                         attn_impl=attn_impl)
+                                         attn_impl="xla")
 
         self._encode_images = _encode_images
         self._encode_pixels = _encode_pixels

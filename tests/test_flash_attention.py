@@ -1,0 +1,75 @@
+"""Pallas fused attention vs the XLA reference implementation.
+
+Runs in interpreter mode on CPU (the same kernel code compiles on TPU;
+bench.py exercises the compiled path)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clipx.ops.attention import xla_attention
+from clipx.ops.flash_attention import flash_attention
+
+
+def _qkv(rng, b, h, s, d):
+    def one():
+        return rng.randn(b, h, s, d).astype(np.float32) * 0.5
+    return one(), one(), one()
+
+
+@pytest.mark.parametrize("s", [50, 77, 128, 130])
+def test_matches_xla_noncausal(s):
+    rng = np.random.RandomState(0)
+    q, k, v = _qkv(rng, 2, 2, s, 64)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s", [77, 130])
+def test_matches_xla_causal(s):
+    rng = np.random.RandomState(1)
+    q, k, v = _qkv(rng, 1, 2, s, 32)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), causal=True))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), causal=True,
+                                     interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_padding_independence():
+    """Padded tail positions must not influence valid outputs: compare a
+    length-100 input against the same data embedded in a length-100 slice
+    of a larger problem."""
+    rng = np.random.RandomState(2)
+    q, k, v = _qkv(rng, 1, 1, 100, 64)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), interpret=True))
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_vit_l_shape():
+    """ViT-L/14@336 shape: 577 tokens, head dim 64."""
+    rng = np.random.RandomState(3)
+    q, k, v = _qkv(rng, 1, 4, 577, 64)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_bf16_inputs():
+    rng = np.random.RandomState(4)
+    q, k, v = _qkv(rng, 1, 2, 64, 64)
+    qb, kb, vb = (jnp.asarray(x, jnp.bfloat16) for x in (q, k, v))
+    ref = np.asarray(xla_attention(qb, kb, vb), dtype=np.float32)
+    out = np.asarray(flash_attention(qb, kb, vb, interpret=True),
+                     dtype=np.float32)
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
