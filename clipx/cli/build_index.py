@@ -36,6 +36,8 @@ from clipx.cli import common
 from clipx.data.pipeline import batched, iter_decoded, scan_folder
 from clipx.search.engine import VectorIndex, write_index
 from clipx.store.kv import open_env
+from clipx.utils.locking import LockHeldError, SingleWriterLock
+from clipx.utils.profiling import StageTimers, device_trace
 
 EMBED_DTYPE = "float32"  # fn_db value format: raw f32[embed_dim] bytes
 
@@ -48,6 +50,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int,
                    default=int(os.environ.get("CLIPX_DECODE_WORKERS", "4")))
     p.add_argument("--decode-backend", choices=("cv2", "pil"), default="cv2")
+    p.add_argument("--trace-dir", default=None,
+                   help="write a jax.profiler trace of the encode phase")
     p.add_argument("dirs", nargs="*")
     return p
 
@@ -56,19 +60,31 @@ def main(argv: List[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     args = build_parser().parse_args(argv)
 
+    try:
+        lock = SingleWriterLock(args.db)
+        lock.acquire()
+    except LockHeldError as exc:
+        print(f"error: {exc}")
+        return 1
+
+    timers = StageTimers()
     encoder = common.make_encoder(args)
     env = open_env(args.db, map_size=common.DEFAULT_MAP_SIZE, max_dbs=4)
     fn_db = env.open_db(common.FN_DB)
     skip_db = env.open_db(common.SKIP_DB)
 
     try:
-        _encode_phase(args, encoder, env, fn_db, skip_db)
+        with device_trace(args.trace_dir):
+            _encode_phase(args, encoder, env, fn_db, skip_db, timers)
     except KeyboardInterrupt:
         print("Interrupted!")
 
-    _index_phase(args, env)
+    with timers.stage("index_build"):
+        _index_phase(args, env)
     print("Done!")
+    timers.emit()  # throughput counters on stderr; stdout stays contract
     env.close()
+    lock.release()
     return 0
 
 
@@ -90,11 +106,13 @@ def _pending_paths(env, fn_db, skip_db, base_path: str) -> List[str]:
     return todo
 
 
-def _encode_phase(args, encoder, env, fn_db, skip_db) -> None:
+def _encode_phase(args, encoder, env, fn_db, skip_db,
+                  timers: StageTimers) -> None:
     size = encoder.image_size
     for base_path in args.dirs:
         print(f"CLIPing {base_path}...")
-        todo = _pending_paths(env, fn_db, skip_db, base_path)
+        with timers.stage("scan"):
+            todo = _pending_paths(env, fn_db, skip_db, base_path)
         stream = iter_decoded(todo, size, backend=args.decode_backend,
                               workers=args.decode_workers,
                               prefetch=max(args.batch_size * 2, 64))
@@ -107,12 +125,14 @@ def _encode_phase(args, encoder, env, fn_db, skip_db) -> None:
                         skip_txn.put(it.path.encode(), b"1")
                         print("#", end="", flush=True)
             if good:
-                arrays = np.stack([it.array for it in good])
-                embs = encoder.encode_images(arrays)
-                with env.begin(db=fn_db, write=True) as txn:
-                    for it, emb in zip(good, embs):
-                        txn.put(it.path.encode(),
-                                emb.astype(np.float32).tobytes())
+                with timers.stage("encode", items=len(good)):
+                    arrays = np.stack([it.array for it in good])
+                    embs = encoder.encode_images(arrays)
+                with timers.stage("writeback"):
+                    with env.begin(db=fn_db, write=True) as txn:
+                        for it, emb in zip(good, embs):
+                            txn.put(it.path.encode(),
+                                    emb.astype(np.float32).tobytes())
                 print("." * len(good), end="", flush=True)
         print(flush=True)
 

@@ -90,6 +90,26 @@ def make_train_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
     return step
 
 
+def save_train_state(path: str, state: TrainState) -> None:
+    """Durable training checkpoint via orbax (the framework-side
+    complement to the indexer's fn_db-is-the-checkpoint model,
+    SURVEY.md section 5)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), state, force=True)
+
+
+def restore_train_state(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(path, template)
+    return TrainState(*restored)
+
+
 def make_sharded_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
                             dp: str = "dp", tp: Optional[str] = "tp",
                             dtype=jnp.float32, remat: bool = False):

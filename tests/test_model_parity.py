@@ -13,6 +13,7 @@ real ViT-B/32 checkpoint when one is supplied.
 """
 
 import numpy as np
+import os
 import pytest
 
 import jax
@@ -187,3 +188,26 @@ def test_save_load_params_roundtrip(tiny_pair, tmp_path):
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_convert_checkpoint_tool_openai_roundtrip(tiny_pair, tmp_path):
+    """tools/convert_checkpoint.py end-to-end on a synthetic OpenAI-format
+    torch file: infer config, convert, and produce identical embeddings."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import convert_checkpoint
+
+    _, params, cfg = tiny_pair
+    sd = {k: torch.tensor(v) for k, v in _to_openai_state_dict(params, cfg).items()}
+    pt_path = str(tmp_path / "tiny.pt")
+    torch.save(sd, pt_path)
+    out_path = str(tmp_path / "tiny.npz")
+    rc = convert_checkpoint.main([pt_path, "--out", out_path])
+    assert rc == 0
+
+    loaded = convert.load_params(out_path)
+    pixels = np.random.RandomState(9).randn(1, 32, 32, 3).astype(np.float32)
+    a = np.asarray(clipx_clip.encode_image(params, cfg, pixels))
+    b = np.asarray(clipx_clip.encode_image(loaded, cfg, pixels))
+    np.testing.assert_array_equal(a, b)

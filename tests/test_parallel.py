@@ -163,3 +163,22 @@ def test_sharded_vs_single_loss_parity():
 def test_make_mesh_validates_sizes():
     with pytest.raises(ValueError):
         mesh_lib.make_mesh({"dp": 3, "tp": 5})
+
+
+def test_train_state_checkpoint_roundtrip(tmp_path):
+    import jax
+
+    cfg = tiny_test()
+    tx = train_lib.make_optimizer(warmup_steps=1, total_steps=10)
+    state, tx = train_lib.create_train_state(cfg, jax.random.PRNGKey(7), tx)
+    path = str(tmp_path / "ckpt")
+    train_lib.save_train_state(path, state)
+    template = jax.tree_util.tree_map(np.zeros_like,
+                                      jax.device_get(state))
+    template = train_lib.TrainState(*template)
+    restored = train_lib.restore_train_state(path, template)
+    a = jax.tree_util.tree_leaves(jax.device_get(state))
+    b = jax.tree_util.tree_leaves(jax.device_get(restored))
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -1,0 +1,71 @@
+"""Stage timers and the single-writer indexer lock."""
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+from clipx.utils.locking import LockHeldError, SingleWriterLock
+from clipx.utils.profiling import StageTimers
+
+
+def test_stage_timers_accumulate():
+    t = StageTimers()
+    with t.stage("a", items=10):
+        time.sleep(0.01)
+    with t.stage("a", items=5):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.seconds("a") >= 0.01
+    assert t.items("a") == 15
+    s = t.summary()
+    assert "a:" in s and "n=15" in s and "b:" in s and "/s)" in s
+
+
+def test_lock_excludes_second_writer_same_process(tmp_path):
+    d = str(tmp_path / "env")
+    lock = SingleWriterLock(d)
+    lock.acquire()
+    try:
+        # flock is per-fd, so a second lock object conflicts even in
+        # the same process
+        with pytest.raises(LockHeldError):
+            SingleWriterLock(d).acquire()
+    finally:
+        lock.release()
+    # after release it is acquirable again
+    with SingleWriterLock(d):
+        pass
+
+
+def test_lock_excludes_other_process(tmp_path):
+    d = str(tmp_path / "env")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+            f"from clipx.utils.locking import SingleWriterLock, LockHeldError\n"
+            f"try:\n"
+            f"    SingleWriterLock({d!r}).acquire()\n"
+            f"    print('ACQUIRED')\n"
+            f"except LockHeldError:\n"
+            f"    print('HELD')\n")
+    with SingleWriterLock(d):
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True)
+        assert out.stdout.strip() == "HELD"
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True)
+    assert out.stdout.strip() == "ACQUIRED"
+
+
+def test_build_cli_refuses_second_indexer(tmp_path, monkeypatch, capsys):
+    """The CLI-level guard: a held lock aborts with a clear error."""
+    from clipx.cli import build_index as bi
+
+    monkeypatch.chdir(tmp_path)
+    with SingleWriterLock("vectors.lmdb"):
+        rc = bi.main(["--model", "tiny-test"])
+    assert rc == 1
+    assert "another indexer" in capsys.readouterr().out
