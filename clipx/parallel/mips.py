@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clipx.search.engine import _bucket_k
+from clipx.search.engine import _bucket_k, _exact_topk
 
 AXIS = "shard"
 
@@ -41,7 +41,7 @@ def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
                      preferred_element_type=jnp.float32)
     gids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
     scores = jnp.where(gids < valid_total, scores, -jnp.inf)
-    d, li = jax.lax.top_k(scores, k)                    # (Q, k) local
+    d, li = _exact_topk(scores, k)                      # (Q, k) local
     gi = jnp.take_along_axis(gids, li, axis=1)
     # gather candidates from every shard: (Q, n_shards * k)
     all_d = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
