@@ -141,6 +141,14 @@ def _encode_phase(args, encoder, env, fn_db, skip_db,
 # phase 2: id assignment + index build (hot loop #2, :66-109)
 # ---------------------------------------------------------------------------
 
+# Host-RAM bound for matrix assembly: vectors stream into the device
+# index in chunks of this many rows (the reference's `split_table`
+# constant bounded the same memory at 20k rows, reference:build-index.py:14-15
+# — but by training IVF on only the first chunk it degraded recall;
+# chunked *exact* add has no quality cost).
+ASSEMBLY_CHUNK = 65536
+
+
 def _index_phase(args, env) -> None:
     fn_db = env.open_db(common.FN_DB)
     idx_db = env.open_db(common.IDX_DB)
@@ -149,7 +157,8 @@ def _index_phase(args, env) -> None:
         if n == 0:
             return
         print(f"Preparing index for {n} entries...")
-        vectors = None
+        index = None
+        chunk = []
         i = 0
         pending = []
         # Sorted-cursor iteration makes id i == rank of path in byte
@@ -159,19 +168,23 @@ def _index_phase(args, env) -> None:
         # either way, so only the fsync count changes.
         for tfn, raw in txn.cursor():
             v = np.frombuffer(raw, dtype=np.float32)
-            if vectors is None:
-                vectors = np.zeros((n, v.shape[0]), dtype=np.float32)
-                print(f"Generating {vectors.shape} matrix...")
-            vectors[i, :] = v
+            if index is None:
+                print(f"Generating ({n}, {v.shape[0]}) matrix...")
+                index = VectorIndex(dim=v.shape[0])
+            chunk.append(v)
             pending.append((f"{i}".encode(), tfn))
             i += 1
             if len(pending) >= 10000:
                 _flush_ids(env, idx_db, pending)
+            if len(chunk) >= ASSEMBLY_CHUNK:
+                index.add(np.stack(chunk))
+                chunk = []
         _flush_ids(env, idx_db, pending)
-        if vectors is None:
+        if index is None:
             return
         print("Adding to index...")
-        index = VectorIndex.from_vectors(vectors[:i])
+        if chunk:
+            index.add(np.stack(chunk))
         print("Saving index...")
         write_index(index, args.index)
 

@@ -62,7 +62,28 @@ HELP_TEXT = (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query-index.py")
     common.add_model_flags(p)
+    p.add_argument("--sharded", choices=("auto", "on", "off"),
+                   default=os.environ.get("CLIPX_SHARDED", "auto"),
+                   help="row-shard the corpus over all devices "
+                        "(auto: only when >1 device is visible)")
     return p
+
+
+def _load_index(args):
+    """Single-device index, or the corpus-sharded variant across every
+    visible chip (BASELINE.json config 5)."""
+    index = read_index(args.index)
+    mode = getattr(args, "sharded", "off")
+    import jax
+
+    if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
+        from clipx.parallel.mips import ShardedVectorIndex
+
+        if index.ntotal > 0:
+            sharded = ShardedVectorIndex(index.vectors())
+            sharded.nprobe = 32
+            return sharded
+    return index
 
 
 class QueryREPL:
@@ -78,7 +99,7 @@ class QueryREPL:
                             max_dbs=4)
         self.idx_db = self.env.open_db(common.IDX_DB)
         self.fn_db = self.env.open_db(common.FN_DB)
-        self.index = read_index(args.index)
+        self.index = _load_index(args)
         self.index.nprobe = 32  # reference:query-index.py:30
 
         self.k = 50              # reference:query-index.py:35

@@ -236,3 +236,27 @@ def test_keyboard_interrupt_still_builds_index(photo_dir, workdir,
     out = capsys.readouterr().out
     assert "Interrupted!" in out
     assert "Done!" in out
+
+
+def test_repl_sharded_search_matches_single(photo_dir, workdir, capsys,
+                                            monkeypatch):
+    """--sharded on (8 virtual CPU devices) must print the same result
+    rows as the single-device engine."""
+    import jax
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    _build(photo_dir)
+    capsys.readouterr()
+
+    monkeypatch.setenv("CLIPX_NO_VIEWER", "1")
+
+    def run(extra):
+        args = qi.build_parser().parse_args(MODEL_FLAGS + extra)
+        qi.QueryREPL(args, input_fn=ScriptedInput(["a cat", "q"])).run()
+        out = capsys.readouterr().out
+        return [l for l in out.splitlines() if len(l.split()) == 3
+                and "." in l.split()[0] and l.split()[1].isdigit()]
+
+    rows_single = run(["--sharded", "off"])
+    rows_sharded = run(["--sharded", "on"])
+    assert rows_single and rows_single == rows_sharded

@@ -1,0 +1,88 @@
+"""Train CLI end-to-end on synthetic caption pairs (tiny model, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clipx.cli import train as train_cli
+
+
+@pytest.fixture()
+def pair_dir(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    rng = np.random.RandomState(0)
+    captions = ["a red square", "a green field", "blue sky", "noise",
+                "a sunset", "the ocean", "a forest", "city lights"]
+    for i, cap in enumerate(captions):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(d / f"img{i}.jpg")
+        (d / f"img{i}.txt").write_text(cap)
+    # an image without caption -> skipped
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                    ).save(d / "orphan.jpg")
+    return str(d)
+
+
+def test_find_pairs(pair_dir, capsys):
+    pairs = train_cli.find_pairs(pair_dir)
+    assert len(pairs) == 8
+    assert "1 images without captions skipped" in capsys.readouterr().out
+
+
+def test_train_runs_and_checkpoints(pair_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpts")
+    rc = train_cli.main([pair_dir, "--model", "tiny-test", "--steps", "4",
+                         "--batch-size", "4", "--log-every", "2",
+                         "--checkpoint-dir", ckpt,
+                         "--checkpoint-every", "2", "--lr", "1e-3",
+                         "--warmup-steps", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "step 4/4" in out and "loss" in out
+    assert os.path.exists(os.path.join(ckpt, "latest"))
+    assert os.path.exists(os.path.join(ckpt, "params.npz"))
+
+    # the trained params must load back into an Encoder
+    from clipx.runtime.encoder import Encoder
+
+    enc = Encoder.create("tiny-test",
+                         checkpoint=os.path.join(ckpt, "params.npz"))
+    emb = enc.encode_texts(["a red square"])
+    assert emb.shape == (1, 32) and np.isfinite(emb).all()
+
+
+def test_train_resume(pair_dir, tmp_path, capsys):
+    ckpt = str(tmp_path / "ckpts")
+    base = [pair_dir, "--model", "tiny-test", "--batch-size", "4",
+            "--checkpoint-dir", ckpt, "--checkpoint-every", "2",
+            "--log-every", "2", "--lr", "1e-3", "--warmup-steps", "1"]
+    assert train_cli.main(base + ["--steps", "2"]) == 0
+    capsys.readouterr()
+    assert train_cli.main(base + ["--steps", "4", "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 2" in out
+    assert "step 4/4" in out
+
+
+def test_train_empty_dir(tmp_path, capsys):
+    d = tmp_path / "empty"
+    d.mkdir()
+    assert train_cli.main([str(d), "--model", "tiny-test"]) == 1
+    assert "no (image, caption) pairs" in capsys.readouterr().out
+
+
+def test_train_dp_tp_mesh(pair_dir, capsys):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rc = train_cli.main([pair_dir, "--model", "tiny-test", "--steps", "2",
+                         "--batch-size", "8", "--dp", "4", "--tp", "2",
+                         "--log-every", "1", "--lr", "1e-3",
+                         "--warmup-steps", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mesh: dp=4 tp=2" in out
+    assert "step 2/2" in out
