@@ -101,12 +101,30 @@ class QueryREPL:
         self.fn_db = self.env.open_db(common.FN_DB)
         self.index = _load_index(args)
         self.index.nprobe = 32  # reference:query-index.py:30
+        self._warmup_async()
 
         self.k = 50              # reference:query-index.py:35
         self.offset = 0
         self.last_j = 0
         self.features: Optional[np.ndarray] = None
         self.texts = None        # set only by text queries (:104-108)
+
+    def _warmup_async(self) -> None:
+        """Compile the search kernel off the critical path so the first
+        'Search time:' measures search, not XLA compilation. (The
+        encoder stays lazy — 'i ID' queries never need it.)"""
+        if self.index.ntotal == 0 or os.environ.get("CLIPX_NO_WARMUP"):
+            return
+        import threading
+
+        def work():
+            try:
+                dummy = np.zeros((1, self.index.dim), np.float32)
+                self.index.search(dummy, self.k + 1)
+            except Exception:
+                pass
+
+        threading.Thread(target=work, daemon=True).start()
 
     # -- encoder bootstrap is deferred: 'i ID' queries never need it ------
     def _get_encoder(self):

@@ -33,6 +33,29 @@ from clipx.text.tokenizer import ClipTokenizer
 
 _DEFAULT_BUCKETS = (1, 8, 32, 128, 256)
 
+_cache_enabled = False
+
+
+def enable_persistent_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a local directory so
+    CLI processes don't re-pay the (remote) compile on every start —
+    measured minutes per cold ViT-B/32 compile on this host."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+
+    cache_dir = os.environ.get(
+        "CLIPX_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "clipx", "xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 
 def _pick_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
@@ -55,6 +78,7 @@ class Encoder:
                  compute_dtype=None, attn_impl: str = "auto",
                  batch_buckets: Sequence[int] = _DEFAULT_BUCKETS,
                  tokenizer: Optional[ClipTokenizer] = None):
+        enable_persistent_compile_cache()
         self.cfg = cfg
         self.params = params
         self.dtype = compute_dtype or default_compute_dtype()
