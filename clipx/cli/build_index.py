@@ -106,6 +106,12 @@ def _pending_paths(env, fn_db, skip_db, base_path: str) -> List[str]:
     return todo
 
 
+# encode batches kept in flight: the TPU computes batch N while the host
+# transfers N+1 and decodes N+2 (double-buffered H2D, SURVEY.md section 7
+# step 4)
+PIPELINE_DEPTH = 2
+
+
 def _encode_phase(args, encoder, env, fn_db, skip_db,
                   timers: StageTimers) -> None:
     size = encoder.image_size
@@ -116,6 +122,19 @@ def _encode_phase(args, encoder, env, fn_db, skip_db,
         stream = iter_decoded(todo, size, backend=args.decode_backend,
                               workers=args.decode_workers,
                               prefetch=max(args.batch_size * 2, 64))
+        in_flight = []  # (good_items, async_handle)
+
+        def drain_one():
+            good, handle = in_flight.pop(0)
+            with timers.stage("encode_wait", items=len(good)):
+                embs = encoder.finalize(handle)
+            with timers.stage("writeback"):
+                with env.begin(db=fn_db, write=True) as txn:
+                    for it, emb in zip(good, embs):
+                        txn.put(it.path.encode(),
+                                emb.astype(np.float32).tobytes())
+            print("." * len(good), end="", flush=True)
+
         for batch in batched(stream, args.batch_size):
             failed = [it for it in batch if it.array is None]
             good = [it for it in batch if it.array is not None]
@@ -125,15 +144,14 @@ def _encode_phase(args, encoder, env, fn_db, skip_db,
                         skip_txn.put(it.path.encode(), b"1")
                         print("#", end="", flush=True)
             if good:
-                with timers.stage("encode", items=len(good)):
+                with timers.stage("encode_dispatch", items=len(good)):
                     arrays = np.stack([it.array for it in good])
-                    embs = encoder.encode_images(arrays)
-                with timers.stage("writeback"):
-                    with env.begin(db=fn_db, write=True) as txn:
-                        for it, emb in zip(good, embs):
-                            txn.put(it.path.encode(),
-                                    emb.astype(np.float32).tobytes())
-                print("." * len(good), end="", flush=True)
+                    in_flight.append(
+                        (good, encoder.encode_images_async(arrays)))
+                if len(in_flight) > PIPELINE_DEPTH:
+                    drain_one()
+        while in_flight:
+            drain_one()
         print(flush=True)
 
 

@@ -158,11 +158,30 @@ class Encoder:
             return np.concatenate([
                 self.encode_images(batch_uint8[i: i + cap])
                 for i in range(0, n, cap)], axis=0)
+        return self.finalize(self.encode_images_async(batch_uint8))
+
+    def encode_images_async(self, batch_uint8: np.ndarray):
+        """Enqueue one batch without waiting: H2D + encode are dispatched
+        and a lazy handle is returned. Holding 2+ handles in flight
+        overlaps transfer and compute with host-side decode/writeback —
+        the streaming indexer's pipelining (SURVEY.md section 7 step 4).
+        Finalize with :meth:`finalize`."""
+        batch_uint8 = np.ascontiguousarray(batch_uint8, dtype=np.uint8)
+        n = batch_uint8.shape[0]
+        if n > self.buckets[-1]:
+            raise ValueError(f"async batch exceeds bucket cap "
+                             f"{self.buckets[-1]}")
         bucket = _pick_bucket(n, self.buckets)
         if bucket != n:
             pad = np.zeros((bucket - n,) + batch_uint8.shape[1:], np.uint8)
             batch_uint8 = np.concatenate([batch_uint8, pad], axis=0)
-        out = self._encode_images(self.params, batch_uint8)
+        out = self._encode_images(self.params, jax.device_put(batch_uint8))
+        return (out, n)
+
+    @staticmethod
+    def finalize(handle) -> np.ndarray:
+        """Wait for an encode_images_async handle and return host f32."""
+        out, n = handle
         return np.asarray(out[:n], dtype=np.float32)
 
     def encode_pixels(self, pixels: np.ndarray) -> np.ndarray:

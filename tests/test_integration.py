@@ -85,12 +85,13 @@ def test_resume_after_partial_build(big_folder, tmp_path, monkeypatch,
         def __init__(self, enc):
             self._enc = enc
             self.image_size = enc.image_size
+            self.finalize = enc.finalize
 
-        def encode_images(self, arrays):
+        def encode_images_async(self, arrays):
             calls["n"] += 1
             if calls["n"] > 3:
                 raise KeyboardInterrupt
-            return self._enc.encode_images(arrays)
+            return self._enc.encode_images_async(arrays)
 
     monkeypatch.setattr(
         Encoder, "create",
