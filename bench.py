@@ -81,20 +81,26 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from clipx.search.engine import VectorIndex, _search_kernel, _bucket_k
+    from clipx.search.engine import _search_kernel, _bucket_k, _bucket_rows
 
-    rng = np.random.RandomState(1)
     log(f"building {n_vectors:,} x {dim} corpus on device ...")
-    corpus = rng.randn(n_vectors, dim).astype(np.float32)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-    idx = VectorIndex.from_vectors(corpus)
-    q = jax.device_put(jnp.asarray(corpus[:1]))
-    valid = jnp.int32(idx.ntotal)
+    n_pad = _bucket_rows(n_vectors)
+
+    # generate + normalize directly on device — a 2 GB host->device copy
+    # rides a slow tunnel on this dev host and isn't what we're measuring
+    @jax.jit
+    def make_corpus(key):
+        c = jax.random.normal(key, (n_pad, dim), jnp.float32)
+        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+    corpus = make_corpus(jax.random.PRNGKey(1))
+    q = corpus[:1]
+    valid = jnp.int32(n_vectors)
     kk = _bucket_k(k)
 
-    np.asarray(_search_kernel(idx._corpus, valid, q, kk)[0])  # compile
+    np.asarray(_search_kernel(corpus, valid, q, kk)[0])  # compile
     per_query = _slope_time(
-        lambda: _search_kernel(idx._corpus, valid, q, kk)[0],
+        lambda: _search_kernel(corpus, valid, q, kk)[0],
         np.asarray, max(trials // 8, 2), trials)
     p50 = per_query * 1e3
     log(f"  search over {n_vectors:,}: {p50:.3f} ms/query (device)")

@@ -16,6 +16,24 @@ import os
 from typing import Optional, Tuple
 
 
+def fit_resolution(w: int, h: int, max_res: Tuple[int, int]):
+    """The reference's scale-to-fit arithmetic, reference:query-index.py:126-139
+    — sequential width-then-height clamping with float accumulation and
+    the final ``int(x + 0.5)`` rounding. Returns (new_w, new_h, resized)."""
+    need_resize = False
+    if w > max_res[0]:
+        factor = float(max_res[0]) / float(w)
+        w = max_res[0]
+        h *= factor
+        need_resize = True
+    if h > max_res[1]:
+        factor = float(max_res[1]) / float(h)
+        h = max_res[1]
+        w *= factor
+        need_resize = True
+    return int(w + 0.5), int(h + 0.5), need_resize
+
+
 class ImageViewer:
     """show(path) -> False to keep going, True when the user quit the
     result list (the reference's ``do_break``)."""
@@ -44,20 +62,9 @@ class ImageViewer:
             return False
         h, w, _ = image.shape
         if self.max_res is not None:
-            # reference:query-index.py:126-139 — scale to fit, Lanczos4
-            need_resize = False
-            if w > self.max_res[0]:
-                factor = float(self.max_res[0]) / float(w)
-                w = self.max_res[0]
-                h *= factor
-                need_resize = True
-            if h > self.max_res[1]:
-                factor = float(self.max_res[1]) / float(h)
-                h = self.max_res[1]
-                w *= factor
-                need_resize = True
+            new_w, new_h, need_resize = fit_resolution(w, h, self.max_res)
             if need_resize:
-                image = cv2.resize(image, (int(w + 0.5), int(h + 0.5)),
+                image = cv2.resize(image, (new_w, new_h),
                                    interpolation=cv2.INTER_LANCZOS4)
         cv2.imshow("Image", image)
         if self.align_window:

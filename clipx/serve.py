@@ -1,0 +1,207 @@
+"""HTTP serving layer: the query engine as a JSON API.
+
+The reference is REPL-only; production deployments need a long-lived
+process that owns the device-resident index and model and answers
+queries over HTTP. Stdlib-only (http.server with a thread pool), because
+the work happens on the TPU and the host side is just (de)serialization.
+
+Endpoints (all JSON):
+
+    GET  /healthz                          -> {"status": "ok", ...}
+    GET  /search?q=TEXT&k=K[&offset=N]     -> ranked text-query results
+    GET  /similar?id=ID&k=K[&offset=N]     -> image-similarity by stored id
+    POST /encode_text   {"texts": [...]}   -> embeddings
+    POST /search_vector {"vector": [...], "k": K}
+
+Results mirror the REPL's rows: score, id, path — but rank 0 is NOT
+skipped here (the REPL's rank-0 skip is a display quirk preserved in the
+CLI, reference:query-index.py:114-116; an API returns the true ranking
+and lets clients decide).
+
+    python -m clipx.serve --port 8765 --model ViT-B/32 \
+        --checkpoint vit_b32.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from clipx.cli import common
+from clipx.search.engine import read_index
+from clipx.store.kv import open_env
+
+
+class SearchService:
+    """Owns env + index + (lazy) encoder; thread-safe search calls."""
+
+    def __init__(self, args):
+        self.args = args
+        self.env = open_env(args.db, map_size=common.DEFAULT_MAP_SIZE,
+                            max_dbs=4)
+        self.idx_db = self.env.open_db(common.IDX_DB)
+        self.fn_db = self.env.open_db(common.FN_DB)
+        self.index = read_index(args.index)
+        self._encoder = None
+        self._lock = threading.Lock()
+
+    # encoder is built on first text query (similar queries never need it)
+    def encoder(self):
+        with self._lock:
+            if self._encoder is None:
+                self._encoder = common.make_encoder(self.args)
+            return self._encoder
+
+    def lookup_path(self, i: int) -> Optional[str]:
+        with self.env.begin(db=self.idx_db) as txn:
+            raw = txn.get(f"{i}".encode())
+        return raw.decode() if raw is not None else None
+
+    def stored_vector(self, image_id: int) -> Optional[np.ndarray]:
+        path = self.lookup_path(image_id)
+        if path is None:
+            return None
+        with self.env.begin(db=self.fn_db) as txn:
+            raw = txn.get(path.encode())
+        if raw is None:
+            return None
+        return np.frombuffer(raw, dtype=np.float32).reshape(1, -1)
+
+    def search(self, features: np.ndarray, k: int, offset: int = 0):
+        t0 = time.perf_counter()
+        D, I = self.index.search(features, k + offset)
+        dt = time.perf_counter() - t0
+        results = []
+        for j in range(offset, min(k + offset, I.shape[1])):
+            i = int(I[0][j])
+            if i < 0:
+                break
+            results.append({"rank": j, "score": float(D[0][j]), "id": i,
+                            "path": self.lookup_path(i)})
+        return {"results": results, "search_time_s": round(dt, 6)}
+
+
+class Handler(BaseHTTPRequestHandler):
+    service: SearchService = None  # injected by serve()
+
+    # -- plumbing -----------------------------------------------------------
+    def log_message(self, fmt, *fmt_args):  # quiet by default
+        if os.environ.get("CLIPX_SERVE_VERBOSE"):
+            super().log_message(fmt, *fmt_args)
+
+    def _json(self, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _bad(self, msg: str, code: int = 400) -> None:
+        self._json(code, {"error": msg})
+
+    # -- GET ----------------------------------------------------------------
+    def do_GET(self):
+        url = urlparse(self.path)
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            if url.path == "/healthz":
+                self._json(200, {"status": "ok",
+                                 "ntotal": self.service.index.ntotal,
+                                 "dim": self.service.index.dim})
+            elif url.path == "/search":
+                text = q.get("q", "")
+                if not text:
+                    return self._bad("missing q parameter")
+                k = int(q.get("k", "50"))
+                offset = int(q.get("offset", "0"))
+                if k < 1 or k > 1000 or offset < 0:
+                    return self._bad("k must be 1..1000, offset >= 0")
+                feats = self.service.encoder().encode_texts([text])
+                self._json(200, self.service.search(feats, k, offset))
+            elif url.path == "/similar":
+                image_id = int(q.get("id", "-1"))
+                vec = self.service.stored_vector(image_id)
+                if vec is None:
+                    return self._bad(f"id {image_id} not found", 404)
+                k = int(q.get("k", "50"))
+                offset = int(q.get("offset", "0"))
+                self._json(200, self.service.search(vec, k, offset))
+            else:
+                self._bad("unknown endpoint", 404)
+        except ValueError as exc:
+            self._bad(f"bad parameter: {exc}")
+        except Exception as exc:  # noqa: BLE001 — serve errors as JSON
+            self._bad(f"{type(exc).__name__}: {exc}", 500)
+
+    # -- POST ---------------------------------------------------------------
+    def do_POST(self):
+        url = urlparse(self.path)
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            if url.path == "/encode_text":
+                texts = payload.get("texts")
+                if not isinstance(texts, list) or not texts:
+                    return self._bad("texts must be a non-empty list")
+                emb = self.service.encoder().encode_texts(
+                    [str(t) for t in texts])
+                self._json(200, {"embeddings": emb.tolist()})
+            elif url.path == "/search_vector":
+                vec = payload.get("vector")
+                k = int(payload.get("k", 50))
+                arr = np.asarray(vec, dtype=np.float32).reshape(1, -1)
+                if arr.shape[1] != self.service.index.dim:
+                    return self._bad(
+                        f"vector must have dim {self.service.index.dim}")
+                self._json(200, self.service.search(arr, k))
+            else:
+                self._bad("unknown endpoint", 404)
+        except (json.JSONDecodeError, TypeError, ValueError) as exc:
+            self._bad(f"bad request: {exc}")
+        except Exception as exc:  # noqa: BLE001
+            self._bad(f"{type(exc).__name__}: {exc}", 500)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="clipx-serve")
+    common.add_model_flags(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+    return p
+
+
+def make_server(args) -> ThreadingHTTPServer:
+    service = SearchService(args)
+    handler = type("BoundHandler", (Handler,), {"service": service})
+    return ThreadingHTTPServer((args.host, args.port), handler)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv if argv is not None
+                                     else sys.argv[1:])
+    if not os.path.exists(args.index):
+        print(f"No index found at {args.index!r} — run build-index.py "
+              "first.")
+        return 1
+    server = make_server(args)
+    print(f"clipx-serve on http://{args.host}:{server.server_address[1]} "
+          f"({server.RequestHandlerClass.service.index.ntotal} vectors)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        print("bye")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

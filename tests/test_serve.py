@@ -1,0 +1,146 @@
+"""HTTP serving layer tests: real server on a loopback port, driven
+with http.client over a tiny built index."""
+
+import json
+import os
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from clipx import serve
+from clipx.cli import build_index as bi
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    photos = tmp_path_factory.mktemp("photos")
+    rng = np.random.RandomState(0)
+    for name in ["a.jpg", "b.jpg", "c.png", "d.jpeg"]:
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(photos / name)
+    work = tmp_path_factory.mktemp("work")
+    cwd = os.getcwd()
+    os.chdir(work)
+    try:
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        args = serve.build_parser().parse_args(
+            ["--model", "tiny-test", "--port", "0"])
+        server = serve.make_server(args)
+        port = server.server_address[1]
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        yield port
+        server.shutdown()
+    finally:
+        os.chdir(cwd)
+
+
+def _get(port, path):
+    conn = HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def _post(port, path, payload):
+    conn = HTTPConnection("127.0.0.1", port, timeout=60)
+    body = json.dumps(payload)
+    conn.request("POST", path, body=body,
+                 headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read())
+
+
+def test_healthz(served):
+    status, data = _get(served, "/healthz")
+    assert status == 200
+    assert data["status"] == "ok" and data["ntotal"] == 4
+    assert data["dim"] == 32
+
+
+def test_text_search(served):
+    status, data = _get(served, "/search?q=a+red+photo&k=3")
+    assert status == 200
+    results = data["results"]
+    assert len(results) == 3
+    assert data["search_time_s"] > 0
+    # true ranking: rank 0 present (no REPL display skip in the API)
+    assert results[0]["rank"] == 0
+    scores = [r["score"] for r in results]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["path"].endswith((".jpg", ".jpeg", ".png")) for r in results)
+
+
+def test_similar(served):
+    status, data = _get(served, "/similar?id=1&k=4")
+    assert status == 200
+    # self-match at rank 0 with score ~1
+    assert data["results"][0]["id"] == 1
+    assert abs(data["results"][0]["score"] - 1.0) < 1e-3
+
+
+def test_similar_not_found(served):
+    status, data = _get(served, "/similar?id=99")
+    assert status == 404
+    assert "not found" in data["error"]
+
+
+def test_search_missing_query(served):
+    status, data = _get(served, "/search")
+    assert status == 400
+
+
+def test_search_bad_k(served):
+    status, _ = _get(served, "/search?q=x&k=0")
+    assert status == 400
+    status, _ = _get(served, "/search?q=x&k=junk")
+    assert status == 400
+
+
+def test_unknown_endpoint(served):
+    status, _ = _get(served, "/nope")
+    assert status == 404
+
+
+def test_encode_text(served):
+    status, data = _post(served, "/encode_text", {"texts": ["hello", "cat"]})
+    assert status == 200
+    emb = np.asarray(data["embeddings"], dtype=np.float32)
+    assert emb.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-4)
+
+
+def test_search_vector_roundtrip(served):
+    _, enc = _post(served, "/encode_text", {"texts": ["a photo"]})
+    status, direct = _post(served, "/search_vector",
+                           {"vector": enc["embeddings"][0], "k": 2})
+    assert status == 200
+    _, via_text = _get(served, "/search?q=a+photo&k=2")
+    assert [r["id"] for r in direct["results"]] == \
+        [r["id"] for r in via_text["results"]]
+
+
+def test_search_vector_wrong_dim(served):
+    status, data = _post(served, "/search_vector", {"vector": [1.0, 2.0]})
+    assert status == 400
+    assert "dim" in data["error"]
+
+
+def test_malformed_json(served):
+    conn = HTTPConnection("127.0.0.1", served, timeout=60)
+    conn.request("POST", "/encode_text", body="{not json",
+                 headers={"Content-Length": "9"})
+    resp = conn.getresponse()
+    assert resp.status == 400
+
+
+def test_pagination_offset(served):
+    _, page1 = _get(served, "/search?q=photo&k=2")
+    _, page2 = _get(served, "/search?q=photo&k=2&offset=2")
+    ids1 = [r["id"] for r in page1["results"]]
+    ids2 = [r["id"] for r in page2["results"]]
+    assert not set(ids1) & set(ids2)
+    assert page2["results"][0]["rank"] == 2

@@ -69,3 +69,21 @@ def test_build_cli_refuses_second_indexer(tmp_path, monkeypatch, capsys):
         rc = bi.main(["--model", "tiny-test"])
     assert rc == 1
     assert "another indexer" in capsys.readouterr().out
+
+
+def test_viewer_fit_resolution():
+    """The reference's sequential clamp arithmetic
+    (reference:query-index.py:126-139) incl. rounding."""
+    from clipx.cli.viewer import fit_resolution
+
+    # no resize when within bounds
+    assert fit_resolution(640, 480, (1280, 720)) == (640, 480, False)
+    # width clamp scales height
+    w, h, r = fit_resolution(2560, 1440, (1280, 720))
+    assert (w, h, r) == (1280, 720, True)
+    # width clamp then height clamp (both exceed after first pass)
+    w, h, r = fit_resolution(2000, 3000, (1280, 720))
+    assert r and h == 720 and w == round(2000 * (1280 / 2000) * (720 / 1920))
+    # only height exceeds
+    w, h, r = fit_resolution(500, 1000, (1280, 720))
+    assert r and h == 720 and w == 360
