@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int,
                    default=int(os.environ.get("CLIPX_DECODE_WORKERS", "4")))
     p.add_argument("--decode-backend", choices=("cv2", "pil"), default="cv2")
+    p.add_argument("--preprocess", choices=("host", "device"),
+                   default=os.environ.get("CLIPX_PREPROCESS", "host"),
+                   help="host: resize+crop on CPU (PIL-parity option); "
+                        "device: decode to a larger square canvas and do "
+                        "the antialiased bicubic resample on the TPU")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the encode phase")
     p.add_argument("dirs", nargs="*")
@@ -115,6 +120,11 @@ PIPELINE_DEPTH = 2
 def _encode_phase(args, encoder, env, fn_db, skip_db,
                   timers: StageTimers) -> None:
     size = encoder.image_size
+    if args.preprocess == "device":
+        # host decodes to a larger square canvas; the quality-critical
+        # antialiased resample runs fused on the TPU (Encoder routes
+        # canvas-sized batches through device_resize_normalize)
+        size = (size * 8 + 6) // 7
     for base_path in args.dirs:
         print(f"CLIPing {base_path}...")
         with timers.stage("scan"):

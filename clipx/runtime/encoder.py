@@ -28,7 +28,7 @@ from clipx import config as config_lib
 from clipx.config import CLIPConfig
 from clipx.models import clip as model_lib
 from clipx.models import convert
-from clipx.ops.preprocess import normalize_batch
+from clipx.ops.preprocess import device_resize_normalize, normalize_batch
 from clipx.text.tokenizer import ClipTokenizer
 
 _DEFAULT_BUCKETS = (1, 8, 32, 128, 256)
@@ -102,6 +102,17 @@ class Encoder:
                                           attn_impl=attn_impl)
 
         @functools.partial(jax.jit, static_argnames=())
+        def _encode_canvases(params, batch_uint8):
+            # fully on-device preprocess: antialiased bicubic resize from
+            # a square decode canvas (e.g. 256x256) to the model input,
+            # then normalize + encode — the host only decodes
+            pixels = device_resize_normalize(
+                batch_uint8, size=cfg.vision.image_size, dtype=self.dtype)
+            return model_lib.encode_image(params, cfg, pixels,
+                                          normalize=True, dtype=self.dtype,
+                                          attn_impl=attn_impl)
+
+        @functools.partial(jax.jit, static_argnames=())
         def _encode_pixels(params, pixels):
             return model_lib.encode_image(params, cfg,
                                           pixels.astype(self.dtype),
@@ -117,6 +128,7 @@ class Encoder:
                                          attn_impl="xla")
 
         self._encode_images = _encode_images
+        self._encode_canvases = _encode_canvases
         self._encode_pixels = _encode_pixels
         self._encode_text = _encode_text
 
@@ -175,7 +187,12 @@ class Encoder:
         if bucket != n:
             pad = np.zeros((bucket - n,) + batch_uint8.shape[1:], np.uint8)
             batch_uint8 = np.concatenate([batch_uint8, pad], axis=0)
-        out = self._encode_images(self.params, jax.device_put(batch_uint8))
+        # batches at the model input size go straight to encode; larger
+        # square canvases take the fused on-device resize path
+        fn = (self._encode_images
+              if batch_uint8.shape[1] == self.image_size
+              else self._encode_canvases)
+        out = fn(self.params, jax.device_put(batch_uint8))
         return (out, n)
 
     @staticmethod

@@ -260,3 +260,29 @@ def test_repl_sharded_search_matches_single(photo_dir, workdir, capsys,
     rows_single = run(["--sharded", "off"])
     rows_sharded = run(["--sharded", "on"])
     assert rows_single and rows_single == rows_sharded
+
+
+def test_device_preprocess_path(photo_dir, workdir, capsys):
+    """--preprocess device: embeddings land close to the host path."""
+    _build(photo_dir)
+    env = open_env("vectors.lmdb")
+    fn_db = env.open_db(FN_DB)
+    with env.begin(db=fn_db) as txn:
+        host_vecs = {k: np.frombuffer(v, dtype=np.float32)
+                     for k, v in txn.cursor()}
+    env.close()
+    os.remove("images.index")
+    import shutil
+    shutil.rmtree("vectors.lmdb")
+
+    _build(photo_dir, extra=["--preprocess", "device"])
+    env = open_env("vectors.lmdb")
+    fn_db = env.open_db(FN_DB)
+    with env.begin(db=fn_db) as txn:
+        dev_vecs = {k: np.frombuffer(v, dtype=np.float32)
+                    for k, v in txn.cursor()}
+    env.close()
+    assert host_vecs.keys() == dev_vecs.keys()
+    for k in host_vecs:
+        cos = float(host_vecs[k] @ dev_vecs[k])
+        assert cos > 0.9, (k, cos)  # same image, different resample path

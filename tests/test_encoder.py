@@ -1,0 +1,87 @@
+"""Encoder service unit tests: bucketing, chunking, dtype policy,
+text/image consistency."""
+
+import numpy as np
+import pytest
+
+from clipx.runtime.encoder import Encoder, _pick_bucket
+
+
+@pytest.fixture(scope="module")
+def enc():
+    return Encoder.create("tiny-test", batch_buckets=(1, 4, 8))
+
+
+def test_pick_bucket():
+    assert _pick_bucket(1, (1, 4, 8)) == 1
+    assert _pick_bucket(3, (1, 4, 8)) == 4
+    assert _pick_bucket(8, (1, 4, 8)) == 8
+    assert _pick_bucket(99, (1, 4, 8)) == 8
+
+
+def test_padding_does_not_change_results(enc):
+    rng = np.random.RandomState(0)
+    batch = rng.randint(0, 256, (3, 32, 32, 3), np.uint8)
+    out3 = enc.encode_images(batch)           # padded to bucket 4
+    out1 = np.concatenate([enc.encode_images(batch[i:i + 1])
+                           for i in range(3)])
+    np.testing.assert_allclose(out3, out1, rtol=1e-4, atol=1e-5)
+
+
+def test_oversized_batch_chunks(enc):
+    rng = np.random.RandomState(1)
+    batch = rng.randint(0, 256, (19, 32, 32, 3), np.uint8)  # > bucket cap 8
+    out = enc.encode_images(batch)
+    assert out.shape == (19, 32)
+    ref = np.concatenate([enc.encode_images(batch[i:i + 1])
+                          for i in range(19)])
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_embeddings_are_normalized_f32(enc):
+    rng = np.random.RandomState(2)
+    out = enc.encode_images(rng.randint(0, 256, (2, 32, 32, 3), np.uint8))
+    assert out.dtype == np.float32
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+
+
+def test_encode_texts_shapes(enc):
+    out = enc.encode_texts("one string")
+    assert out.shape == (1, 32)
+    out = enc.encode_texts(["a", "b", "c"])
+    assert out.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+
+
+def test_async_matches_sync(enc):
+    rng = np.random.RandomState(3)
+    batch = rng.randint(0, 256, (5, 32, 32, 3), np.uint8)
+    sync = enc.encode_images(batch)
+    handle = enc.encode_images_async(batch)
+    out = enc.finalize(handle)
+    np.testing.assert_allclose(out, sync, rtol=1e-5, atol=1e-6)
+
+
+def test_async_rejects_oversized(enc):
+    with pytest.raises(ValueError):
+        enc.encode_images_async(np.zeros((9, 32, 32, 3), np.uint8))
+
+
+def test_canvas_route_close_to_direct(enc):
+    """A larger square canvas goes through device_resize_normalize and
+    must embed close to the host-resized version of the same image."""
+    from PIL import Image
+
+    from clipx.ops.preprocess import pil_resize_crop
+
+    rng = np.random.RandomState(4)
+    img = Image.fromarray(rng.randint(0, 255, (64, 64, 3), np.uint8))
+    canvas = np.asarray(img.resize((40, 40), Image.BICUBIC))[None]
+    direct = enc.encode_images(pil_resize_crop(img, 32)[None])
+    via_device = enc.encode_images(canvas)
+    cos = float(direct[0] @ via_device[0])
+    assert cos > 0.9
+
+
+def test_warmup_runs(enc):
+    enc.warmup(buckets=(1,))
