@@ -94,17 +94,33 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
         return c / jnp.linalg.norm(c, axis=1, keepdims=True)
 
     corpus = make_corpus(jax.random.PRNGKey(1))
-    q = corpus[:1]
     valid = jnp.int32(n_vectors)
     kk = _bucket_k(k)
+    # vary the query per call — identical-arg dispatches have produced
+    # implausible (above-roofline) timings on this runtime
+    queries = [corpus[i: i + 1] for i in range(32)]
 
-    np.asarray(_search_kernel(corpus, valid, q, kk)[0])  # compile
-    per_query = _slope_time(
-        lambda: _search_kernel(corpus, valid, q, kk)[0],
-        np.asarray, max(trials // 8, 2), trials)
-    p50 = per_query * 1e3
-    log(f"  search over {n_vectors:,}: {p50:.3f} ms/query (device)")
-    return {"p50_ms": p50}
+    def timed(fn):
+        np.asarray(fn(queries[0])[0])  # compile
+        state = {"i": 0}
+
+        def one():
+            state["i"] += 1
+            return fn(queries[state["i"] % 32])[0]
+
+        return _slope_time(one, np.asarray, max(trials // 8, 2), trials)
+
+    p50_exact = timed(
+        lambda q: _search_kernel(corpus, valid, q, kk)) * 1e3
+    from clipx.search.engine import _quantize_device, _search_kernel_int8
+
+    codes, scales = _quantize_device(corpus)
+    p50_quant = timed(
+        lambda q: _search_kernel_int8(codes, scales, corpus, valid, q,
+                                      kk)) * 1e3
+    log(f"  search over {n_vectors:,}: {p50_exact:.3f} ms f32-exact, "
+        f"{p50_quant:.3f} ms int8+rescore (device)")
+    return {"p50_ms": p50_quant, "p50_ms_f32": p50_exact}
 
 
 def main() -> int:
@@ -133,6 +149,8 @@ def main() -> int:
         "ms_per_batch": round(enc["ms_per_batch"], 2),
         "query_p50_ms_1M": (None if not search
                             else round(search["p50_ms"], 3)),
+        "query_p50_ms_1M_f32_exact": (None if not search
+                                      else round(search["p50_ms_f32"], 3)),
         "batch_size": args.batch_size,
     }
     print(json.dumps(result), flush=True)

@@ -83,7 +83,8 @@ def _load_index(args):
             sharded = ShardedVectorIndex(index.vectors())
             sharded.nprobe = 32
             return sharded
-    return index
+    return common.apply_search_mode(index,
+                                    getattr(args, "search_mode", "auto"))
 
 
 class QueryREPL:

@@ -84,6 +84,66 @@ def _search_kernel(corpus: jax.Array, valid: jax.Array, queries: jax.Array,
     return _exact_topk(scores, k)
 
 
+# -- int8 scan + exact rescore ------------------------------------------------
+#
+# The 1M-corpus scan is HBM-bandwidth-bound (2 GB f32 per query at ~800
+# GB/s on v5e). Quantizing the scanned copy to symmetric per-row int8
+# cuts the read 4x; the int32-accumulated approximate scores select
+# k * RESCORE_MARGIN candidates whose *exact* f32 rows are then gathered
+# and rescored, so the returned ranking is computed in full precision.
+# A true top-k entry is missed only if its int8 score falls below the
+# (margin*k)-th — with per-score error ~0.2% of ||q||, effectively never
+# (validated against the exact oracle in tests and at 1M in bench).
+
+RESCORE_MARGIN = 4
+
+
+@jax.jit
+def _quantize_device(corpus: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """On-device symmetric per-row int8 quantization of the scan copy."""
+    scales = jnp.maximum(jnp.abs(corpus).max(axis=1, keepdims=True),
+                         1e-12) / 127.0
+    codes = jnp.clip(jnp.rint(corpus / scales), -127, 127).astype(jnp.int8)
+    return codes, scales[:, 0].astype(jnp.float32)
+
+
+def quantize_rows(vectors: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization: returns (int8 codes, scales)."""
+    scales = np.abs(vectors).max(axis=1, keepdims=True) / 127.0
+    scales = np.maximum(scales, 1e-12).astype(np.float32)
+    codes = np.clip(np.rint(vectors / scales), -127, 127).astype(np.int8)
+    return codes, scales[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int8(codes: jax.Array, scales: jax.Array,
+                        corpus_f32: jax.Array, valid: jax.Array,
+                        queries: jax.Array, k: int
+                        ) -> Tuple[jax.Array, jax.Array]:
+    """codes: (N_pad, D) int8; scales: (N_pad,) f32; corpus_f32 the exact
+    rows for rescoring; queries: (Q, D) f32."""
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        q_codes, codes, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)           # (Q, N) int32 exact
+    approx = raw.astype(jnp.float32) * (q_scale * scales[None, :])
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
+    approx = jnp.where(row_ids < valid, approx, -jnp.inf)
+
+    m = min(k * RESCORE_MARGIN, approx.shape[1])
+    _, cand = _exact_topk(approx, m)                # (Q, m) candidate ids
+    rows = corpus_f32[cand]                         # (Q, m, D) gather
+    exact = jnp.einsum("qd,qmd->qm", queries, rows,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(jnp.isfinite(jnp.take_along_axis(approx, cand, 1)),
+                      exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact, k)
+    return d, jnp.take_along_axis(cand, sel, axis=1)
+
+
 class VectorIndex:
     """Flat inner-product index over device-resident vectors.
 
@@ -91,18 +151,22 @@ class VectorIndex:
     the index builder (reference:build-index.py:87-88).
     """
 
-    def __init__(self, dim: int, dtype=jnp.float32):
+    def __init__(self, dim: int, dtype=jnp.float32, quantized: bool = False):
         self.dim = dim
         self.dtype = dtype
+        self.quantized = quantized
         self.ntotal = 0
         self.nprobe = 32  # compatibility no-op (reference:query-index.py:30)
         self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
+        self._codes: Optional[jax.Array] = None   # int8 scan copy
+        self._scales: Optional[jax.Array] = None
 
     # -- construction -------------------------------------------------------
     @classmethod
-    def from_vectors(cls, vectors: np.ndarray, dtype=jnp.float32) -> "VectorIndex":
+    def from_vectors(cls, vectors: np.ndarray, dtype=jnp.float32,
+                     quantized: bool = False) -> "VectorIndex":
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
-        idx = cls(dim=vectors.shape[1], dtype=dtype)
+        idx = cls(dim=vectors.shape[1], dtype=dtype, quantized=quantized)
         idx.add(vectors)
         return idx
 
@@ -127,6 +191,7 @@ class VectorIndex:
                 jnp.asarray(vectors, dtype=self.dtype),
                 (self.ntotal, 0))
         self.ntotal = new_total
+        self._codes = None  # int8 scan copy rebuilt lazily on next search
 
     # -- search ---------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -139,14 +204,28 @@ class VectorIndex:
                     np.full((q.shape[0], k), -1, np.int64))
         queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
         kk = min(_bucket_k(k), self._corpus.shape[0])
-        scores, ids = _search_kernel(
-            self._corpus, jnp.int32(self.ntotal),
-            jnp.asarray(queries, dtype=self.dtype), kk)
+        if self.quantized:
+            self._ensure_codes()
+            scores, ids = _search_kernel_int8(
+                self._codes, self._scales, self._corpus,
+                jnp.int32(self.ntotal), jnp.asarray(queries), kk)
+        else:
+            scores, ids = _search_kernel(
+                self._corpus, jnp.int32(self.ntotal),
+                jnp.asarray(queries, dtype=self.dtype), kk)
         scores = np.asarray(scores[:, :k], dtype=np.float32)
         ids = np.asarray(ids[:, :k], dtype=np.int64)
         invalid = ~np.isfinite(scores)
         ids[invalid] = -1
         return scores, ids
+
+    def _ensure_codes(self) -> None:
+        if self._codes is not None:
+            return
+        if self.dtype != jnp.float32:
+            raise ValueError("quantized search rescoring requires the "
+                             "f32 corpus (dtype=jnp.float32)")
+        self._codes, self._scales = _quantize_device(self._corpus)
 
     # -- reconstruction ---------------------------------------------------------
     def reconstruct(self, row: int) -> np.ndarray:

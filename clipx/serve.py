@@ -50,7 +50,8 @@ class SearchService:
                             max_dbs=4)
         self.idx_db = self.env.open_db(common.IDX_DB)
         self.fn_db = self.env.open_db(common.FN_DB)
-        self.index = read_index(args.index)
+        self.index = common.apply_search_mode(
+            read_index(args.index), getattr(args, "search_mode", "auto"))
         self._encoder = None
         self._lock = threading.Lock()
 

@@ -121,3 +121,39 @@ def test_nprobe_is_accepted_noop():
     idx.nprobe = 1
     D2, I2 = idx.search(q, k=5)
     np.testing.assert_array_equal(I1, I2)
+
+
+def test_quantized_search_matches_exact():
+    """int8 scan + f32 rescore returns the exact top-k on normalized
+    CLIP-like vectors (margin makes misses vanishingly unlikely)."""
+    rng = np.random.RandomState(11)
+    corpus = _normed(rng, 3000)
+    queries = _normed(rng, 4)
+    exact = VectorIndex.from_vectors(corpus)
+    quant = VectorIndex.from_vectors(corpus, quantized=True)
+    De, Ie = exact.search(queries, k=20)
+    Dq, Iq = quant.search(queries, k=20)
+    np.testing.assert_array_equal(Iq, Ie)
+    np.testing.assert_allclose(Dq, De, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized_incremental_add():
+    rng = np.random.RandomState(12)
+    a, b = _normed(rng, 100), _normed(rng, 50)
+    idx = VectorIndex(dim=64, quantized=True)
+    idx.add(a)
+    idx.search(a[:1], k=5)      # builds codes
+    idx.add(b)                  # invalidates codes
+    D, I = idx.search(b[-1:], k=1)
+    assert I[0, 0] == 149
+    np.testing.assert_allclose(D[0, 0], 1.0, rtol=1e-5)
+
+
+def test_quantize_rows_roundtrip_error_small():
+    from clipx.search.engine import quantize_rows
+    rng = np.random.RandomState(13)
+    v = _normed(rng, 50)
+    codes, scales = quantize_rows(v)
+    assert codes.dtype == np.int8 and scales.shape == (50,)
+    recon = codes.astype(np.float32) * scales[:, None]
+    assert np.abs(recon - v).max() < 0.005
