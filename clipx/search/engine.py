@@ -257,7 +257,13 @@ def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
-            raise ValueError(f"{path!r} is not a clipx index file")
+            hint = ""
+            if magic[:2] in (b"Iw", b"IV", b"Ix", b"IF"):
+                # faiss serialization starts with an index-type fourcc
+                hint = (" (this looks like a faiss index from the "
+                        "reference implementation — rerun build-index.py "
+                        "to regenerate it from vectors.lmdb)")
+            raise ValueError(f"{path!r} is not a clipx index file{hint}")
         ntotal, dim = struct.unpack("<qq", f.read(16))
         data = np.frombuffer(f.read(ntotal * dim * 4), dtype=np.float32)
     index = VectorIndex(dim=dim, dtype=dtype)

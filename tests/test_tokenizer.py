@@ -90,3 +90,26 @@ def test_empty_string():
 def test_module_level_tokenize():
     out = tokenize("cat")
     assert out.shape == (1, CONTEXT_LENGTH)
+
+
+def test_loads_openai_format_merge_file(tmp_path):
+    """A gzip merges file in the OpenAI layout (header line + merge
+    pairs) loads by path and drives BPE."""
+    import gzip
+
+    content = "#version: bpe header\nl l\nll o</w>\nh e\n"
+    path = tmp_path / "merges.txt.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(content)
+    tok = ClipTokenizer(bpe_path=str(path))
+    assert tok.has_learned_merges
+    assert tok.bpe("hello").split(" ") == ["he", "llo</w>"]
+
+
+def test_env_var_merge_file(tmp_path, monkeypatch):
+    path = tmp_path / "merges.txt"
+    path.write_text("header\nc a\nca t</w>\n")
+    monkeypatch.setenv("CLIPX_BPE_PATH", str(path))
+    tok = ClipTokenizer()
+    assert tok.has_learned_merges
+    assert tok.bpe("cat") == "cat</w>"
