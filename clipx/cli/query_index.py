@@ -114,6 +114,7 @@ class QueryREPL:
         """Compile the search kernel off the critical path so the first
         'Search time:' measures search, not XLA compilation. (The
         encoder stays lazy — 'i ID' queries never need it.)"""
+        self._warmup_thread = None
         if self.index.ntotal == 0 or os.environ.get("CLIPX_NO_WARMUP"):
             return
         import threading
@@ -125,7 +126,8 @@ class QueryREPL:
             except Exception:
                 pass
 
-        threading.Thread(target=work, daemon=True).start()
+        self._warmup_thread = threading.Thread(target=work, daemon=True)
+        self._warmup_thread.start()
 
     # -- encoder bootstrap is deferred: 'i ID' queries never need it ------
     def _get_encoder(self):
@@ -144,6 +146,9 @@ class QueryREPL:
                 if not self.handle(in_text):
                     return 0
         finally:
+            # don't leave an XLA execution racing process teardown
+            if getattr(self, "_warmup_thread", None) is not None:
+                self._warmup_thread.join(timeout=60)
             self.env.close()
 
     # returns False to quit

@@ -44,6 +44,15 @@ def enable_persistent_compile_cache() -> None:
     if _cache_enabled:
         return
     _cache_enabled = True
+    try:
+        if jax.devices()[0].platform != "tpu":
+            # TPU-only: compiles there go through a slow remote service
+            # (minutes cold). On CPU the cache buys nothing and XLA has
+            # aborted deserializing cached donated multi-device CPU
+            # executables (flaky SIGABRT reproduced in the test suite).
+            return
+    except Exception:  # pragma: no cover
+        return
     import os
 
     cache_dir = os.environ.get(
