@@ -77,6 +77,28 @@ def bench_encode(batch_size: int, iters: int, model: str) -> dict:
     return {"images_per_sec": ips, "ms_per_batch": per_batch * 1e3}
 
 
+def bench_text_encode(model: str) -> dict:
+    """Single text query through the tokenizer + text tower — the other
+    latency component of a REPL text search (the reference runs this on
+    host CPU, reference:query-index.py:108)."""
+    from clipx.runtime.encoder import Encoder
+
+    enc = Encoder.create(model, batch_buckets=(1,))
+    enc.encode_texts(["warmup"])  # compile
+    ids = [enc.tokenizer([f"a photo of thing {i}"],
+                         context_length=enc.cfg.text.context_length)
+           for i in range(16)]
+    state = {"i": 0}
+
+    def one():
+        state["i"] += 1
+        return enc._encode_text(enc.params, ids[state["i"] % 16])
+
+    per = _slope_time(one, np.asarray, 4, 16)
+    log(f"  text encode: {per * 1e3:.2f} ms/query")
+    return {"text_ms": per * 1e3}
+
+
 def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
     import jax
     import jax.numpy as jnp
@@ -135,6 +157,7 @@ def main() -> int:
     args = ap.parse_args()
 
     enc = bench_encode(args.batch_size, args.iters, args.model)
+    text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials))
 
@@ -151,6 +174,7 @@ def main() -> int:
                             else round(search["p50_ms"], 3)),
         "query_p50_ms_1M_f32_exact": (None if not search
                                       else round(search["p50_ms_f32"], 3)),
+        "text_encode_ms": round(text["text_ms"], 2),
         "batch_size": args.batch_size,
     }
     print(json.dumps(result), flush=True)

@@ -113,3 +113,29 @@ def test_env_var_merge_file(tmp_path, monkeypatch):
     tok = ClipTokenizer()
     assert tok.has_learned_merges
     assert tok.bpe("cat") == "cat</w>"
+
+
+def test_fuzz_invariants():
+    """Random unicode soup: ids stay in range, output shape/padding hold,
+    decode never raises."""
+    import random
+
+    rng = random.Random(0)
+    tok = ClipTokenizer()
+    alphabets = [
+        lambda: chr(rng.randint(32, 126)),
+        lambda: chr(rng.randint(0x80, 0x2FF)),
+        lambda: chr(rng.randint(0x4E00, 0x4FFF)),  # CJK
+        lambda: chr(rng.randint(0x1F300, 0x1F64F)),  # emoji
+        lambda: " ",
+    ]
+    for _ in range(50):
+        text = "".join(rng.choice(alphabets)()
+                       for _ in range(rng.randint(0, 120)))
+        out = tok([text])
+        assert out.shape == (1, CONTEXT_LENGTH)
+        assert out.min() >= 0 and out.max() < VOCAB_SIZE
+        assert out[0, 0] == tok.sot_token
+        eot_pos = int(np.argmax(out[0]))
+        assert out[0, eot_pos] == tok.eot_token
+        tok.decode(out[0].tolist())  # must not raise

@@ -87,3 +87,35 @@ def test_viewer_fit_resolution():
     # only height exceeds
     w, h, r = fit_resolution(500, 1000, (1280, 720))
     assert r and h == 720 and w == 360
+
+
+def test_kv_tool_cli(tmp_path, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import kv_tool
+
+    from clipx.store import kv as kv_mod
+    env_path = str(tmp_path / "vectors.lmdb")
+    env = kv_mod.open_env(env_path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db, write=True) as txn:
+        for i in range(20):
+            txn.put(f"k{i:02d}".encode(), b"v" * 50)
+    # garbage for compaction
+    for _ in range(3):
+        with env.begin(db=db, write=True) as txn:
+            for i in range(20):
+                txn.put(f"k{i:02d}".encode(), b"w" * 50)
+    env.close()
+
+    assert kv_tool.main(["stat", env_path]) == 0
+    out = capsys.readouterr().out
+    assert "fn_db" in out and "20" in out
+
+    assert kv_tool.main(["compact", env_path]) == 0
+    assert "compacted" in capsys.readouterr().out
+
+    assert kv_tool.main(["verify", env_path]) == 0
+    assert "verify: OK" in capsys.readouterr().out
+
+    assert kv_tool.main(["stat", str(tmp_path / "missing")]) == 1

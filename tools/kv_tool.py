@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Storage maintenance CLI for the clipx native KV store.
+
+    python tools/kv_tool.py stat vectors.lmdb
+    python tools/kv_tool.py compact vectors.lmdb
+    python tools/kv_tool.py verify vectors.lmdb
+
+``stat`` prints per-database entry counts and the log file size;
+``compact`` rewrites the log with only live records; ``verify`` walks
+every cursor and cross-checks counts (exercises torn-tail recovery on a
+crashed environment as a side effect of opening it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from clipx.store import kv  # noqa: E402
+
+KNOWN_DBS = [b"fn_db", b"skip_db", b"idx_db"]
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("command", choices=("stat", "compact", "verify"))
+    ap.add_argument("env_path")
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(args.env_path):
+        print(f"no environment at {args.env_path!r}")
+        return 1
+    env = kv.open_env(args.env_path)
+    try:
+        if args.command == "stat":
+            total = 0
+            for name in KNOWN_DBS:
+                db = env.open_db(name)
+                with env.begin(db=db) as txn:
+                    n = txn.stat()["entries"]
+                total += n
+                print(f"{name.decode():8s} {n:>10,} entries")
+            log = os.path.join(args.env_path, "data.cxkv")
+            size = os.path.getsize(log) if os.path.exists(log) else 0
+            print(f"{'total':8s} {total:>10,} entries; log {size:,} bytes")
+        elif args.command == "compact":
+            log = os.path.join(args.env_path, "data.cxkv")
+            before = os.path.getsize(log)
+            env.compact()
+            after = os.path.getsize(log)
+            print(f"compacted: {before:,} -> {after:,} bytes")
+        else:  # verify
+            ok = True
+            for name in KNOWN_DBS:
+                db = env.open_db(name)
+                with env.begin(db=db) as txn:
+                    expected = txn.stat()["entries"]
+                    count = 0
+                    last = None
+                    for key, _ in txn.cursor():
+                        if last is not None and key <= last:
+                            print(f"ORDER VIOLATION in {name.decode()}")
+                            ok = False
+                        last = key
+                        count += 1
+                if count != expected:
+                    print(f"COUNT MISMATCH in {name.decode()}: "
+                          f"cursor {count} vs stat {expected}")
+                    ok = False
+                print(f"{name.decode():8s} {count:>10,} rows, sorted")
+            if not ok:
+                return 2
+            print("verify: OK")
+    finally:
+        env.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
