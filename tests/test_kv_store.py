@@ -253,3 +253,48 @@ def test_cross_process_persistence(tmp_path):
     with env.begin(db=db) as txn:
         assert txn.get(b"from-child") == b"hello"
     env.close()
+
+
+def test_kill9_mid_writes_recovers(tmp_path):
+    """SIGKILL a writer mid-stream; reopening must recover every
+    committed transaction and stay writable."""
+    import signal
+    import time
+
+    path = str(tmp_path / "vectors.lmdb")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        f"from clipx.store import kv\n"
+        f"env = kv.open_env({path!r})\n"
+        f"db = env.open_db(b'fn_db')\n"
+        f"i = 0\n"
+        f"while True:\n"
+        f"    with env.begin(db=db, write=True) as txn:\n"
+        f"        txn.put(f'k{{i:06d}}'.encode(), b'v' * 100)\n"
+        f"    i += 1\n"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code])
+    # wait until the child has demonstrably committed work
+    log = os.path.join(path, "data.cxkv")
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        if os.path.exists(log) and os.path.getsize(log) > 4096:
+            break
+        time.sleep(0.05)
+    proc.send_signal(signal.SIGKILL)
+    proc.wait()
+
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db) as txn:
+        n = txn.stat()["entries"]
+        assert n > 0
+        # contiguous prefix: every committed key present in order
+        keys = [k for k, _ in txn.cursor()]
+        assert keys == [f"k{i:06d}".encode() for i in range(n)]
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"after-crash", b"ok")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"after-crash") == b"ok"
+    env.close()
