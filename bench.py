@@ -94,8 +94,8 @@ def bench_text_encode(model: str) -> dict:
         state["i"] += 1
         return enc._encode_text(enc.params, ids[state["i"] % 16])
 
-    per = _slope_time(one, np.asarray, 4, 16)
-    log(f"  text encode: {per * 1e3:.2f} ms/query")
+    per = _slope_time(one, np.asarray, 16, 128)
+    log(f"  text encode: {per * 1e3:.3f} ms/query")
     return {"text_ms": per * 1e3}
 
 
@@ -174,7 +174,7 @@ def main() -> int:
                             else round(search["p50_ms"], 3)),
         "query_p50_ms_1M_f32_exact": (None if not search
                                       else round(search["p50_ms_f32"], 3)),
-        "text_encode_ms": round(text["text_ms"], 2),
+        "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
     print(json.dumps(result), flush=True)

@@ -19,7 +19,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from clipx.ops.attention import xla_attention
+from clipx.ops.attention import packed_pair_attention, xla_attention
 
 Params = Dict[str, Any]
 
@@ -61,6 +61,10 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     if attn_impl == "pallas":
         from clipx.ops.flash_attention import flash_attention
         o = flash_attention(q, k, v, causal=causal)
+    elif not causal and s <= 64 and heads % 2 == 0:
+        # head-pair MXU packing (see clipx.ops.attention) — exact, and
+        # much faster for the ViT towers' tiny per-head score tiles
+        o = packed_pair_attention(q, k, v)
     else:
         o = xla_attention(q, k, v, causal=causal)
     o = o.transpose(0, 2, 1, 3).reshape(b, s, w)

@@ -73,3 +73,31 @@ def test_bf16_inputs():
     out = np.asarray(flash_attention(qb, kb, vb, interpret=True),
                      dtype=np.float32)
     np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("s", [50, 64, 33])
+def test_packed_pair_matches_xla(s):
+    from clipx.ops.attention import packed_pair_attention
+    rng = np.random.RandomState(7)
+    q, k, v = _qkv(rng, 2, 4, s, 64)
+    ref = np.asarray(xla_attention(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v)))
+    out = np.asarray(packed_pair_attention(jnp.asarray(q), jnp.asarray(k),
+                                           jnp.asarray(v)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_pair_heads_stay_independent():
+    """Perturbing head 1's inputs must not change head 0's output."""
+    from clipx.ops.attention import packed_pair_attention
+    rng = np.random.RandomState(8)
+    q, k, v = _qkv(rng, 1, 2, 50, 64)
+    base = np.asarray(packed_pair_attention(jnp.asarray(q), jnp.asarray(k),
+                                            jnp.asarray(v)))
+    k2, v2 = k.copy(), v.copy()
+    k2[:, 1] += 1.0
+    v2[:, 1] -= 2.0
+    pert = np.asarray(packed_pair_attention(jnp.asarray(q), jnp.asarray(k2),
+                                            jnp.asarray(v2)))
+    np.testing.assert_array_equal(base[:, 0], pert[:, 0])
+    assert np.abs(base[:, 1] - pert[:, 1]).max() > 1e-3
