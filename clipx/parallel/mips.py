@@ -26,9 +26,18 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clipx.search.engine import _bucket_k, _exact_topk
+from clipx.search.engine import (RESCORE_MARGIN, _bucket_k, _exact_topk,
+                                 _quantize_device)
 
 AXIS = "shard"
+
+
+def _merge_across_shards(d, gi, k):
+    """all_gather (Q, k) candidates from every shard, replicated top-k."""
+    all_d = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
+    all_g = jax.lax.all_gather(gi, AXIS, axis=1, tiled=True)
+    dd, sel = jax.lax.top_k(all_d, k)
+    return dd, jnp.take_along_axis(all_g, sel, axis=1)
 
 
 def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
@@ -43,24 +52,56 @@ def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
     scores = jnp.where(gids < valid_total, scores, -jnp.inf)
     d, li = _exact_topk(scores, k)                      # (Q, k) local
     gi = jnp.take_along_axis(gids, li, axis=1)
-    # gather candidates from every shard: (Q, n_shards * k)
-    all_d = jax.lax.all_gather(d, AXIS, axis=1, tiled=True)
-    all_g = jax.lax.all_gather(gi, AXIS, axis=1, tiled=True)
-    dd, sel = jax.lax.top_k(all_d, k)
-    return dd, jnp.take_along_axis(all_g, sel, axis=1)
+    return _merge_across_shards(d, gi, k)
+
+
+def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
+                            corpus_local: jax.Array, queries: jax.Array,
+                            valid_total: jax.Array, k: int
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """int8 scan + exact f32 rescore, per shard (the distributed variant
+    of engine._search_kernel_int8): approximate scores pick k * margin
+    local candidates, their exact rows rescore locally, and only exact
+    (score, global id) pairs cross the ICI."""
+    rows = codes_local.shape[0]
+    my = jax.lax.axis_index(AXIS)
+    base = my * rows
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    raw = jax.lax.dot_general(q_codes, codes_local,
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    approx = raw.astype(jnp.float32) * (q_scale * scales_local[None, :])
+    gids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1) + base
+    approx = jnp.where(gids < valid_total, approx, -jnp.inf)
+    m = min(k * RESCORE_MARGIN, approx.shape[1])
+    _, cand = _exact_topk(approx, m)                    # (Q, m) local rows
+    rows_f32 = corpus_local[cand]                       # (Q, m, D)
+    exact = jnp.einsum("qd,qmd->qm", queries, rows_f32,
+                       preferred_element_type=jnp.float32)
+    exact = jnp.where(jnp.isfinite(jnp.take_along_axis(approx, cand, 1)),
+                      exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact, k)
+    gi = jnp.take_along_axis(cand + base, sel, axis=1)
+    return _merge_across_shards(d, gi, k)
 
 
 class ShardedVectorIndex:
     """Flat exact MIPS with the corpus row-sharded over a 1D mesh axis."""
 
     def __init__(self, vectors: np.ndarray, mesh: Optional[Mesh] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, quantized: bool = False):
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (AXIS,))
         if AXIS not in mesh.axis_names:
             raise ValueError(f"mesh must have a {AXIS!r} axis")
         self.mesh = mesh
         self.dtype = dtype
+        self.quantized = quantized
+        self._codes = None
+        self._scales = None
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.ntotal, self.dim = vectors.shape
         n_shards = mesh.shape[AXIS]
@@ -75,18 +116,35 @@ class ShardedVectorIndex:
         self._search_fns = {}
 
     def _compiled(self, k: int):
-        if k not in self._search_fns:
-            fn = functools.partial(_local_topk_kernel, k=k)
+        key = (k, self.quantized)
+        if key not in self._search_fns:
             # outputs are replicated by construction (every shard computes
             # the same merge after the all_gather); the static vma checker
             # can't see that through axis_index, hence check_vma=False
+            if self.quantized:
+                fn = functools.partial(_local_topk_kernel_int8, k=k)
+                in_specs = (P(AXIS, None), P(AXIS), P(AXIS, None),
+                            P(None, None), P())
+            else:
+                fn = functools.partial(_local_topk_kernel, k=k)
+                in_specs = (P(AXIS, None), P(None, None), P())
             smapped = jax.shard_map(
-                fn, mesh=self.mesh,
-                in_specs=(P(AXIS, None), P(None, None), P()),
+                fn, mesh=self.mesh, in_specs=in_specs,
                 out_specs=(P(None, None), P(None, None)),
                 check_vma=False)
-            self._search_fns[k] = jax.jit(smapped)
-        return self._search_fns[k]
+            self._search_fns[key] = jax.jit(smapped)
+        return self._search_fns[key]
+
+    def _ensure_codes(self):
+        if self._codes is None:
+            if self.dtype != jnp.float32:
+                raise ValueError("quantized sharded search requires the "
+                                 "f32 corpus (dtype=jnp.float32)")
+            codes, scales = _quantize_device(self._corpus)
+            spec = NamedSharding(self.mesh, P(AXIS, None))
+            self._codes = jax.lax.with_sharding_constraint(codes, spec)
+            self._scales = jax.lax.with_sharding_constraint(
+                scales, NamedSharding(self.mesh, P(AXIS)))
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """faiss-shaped (D, I): (Q, k) scores desc + int64 global ids,
@@ -98,10 +156,16 @@ class ShardedVectorIndex:
                     np.full((queries.shape[0], k), -1, np.int64))
         rows_per_shard = self._corpus.shape[0] // self.mesh.shape[AXIS]
         kk = min(_bucket_k(k), rows_per_shard)
-        d, i = self._compiled(kk)(
-            self._corpus,
-            jnp.asarray(queries, self.dtype),
-            jnp.int32(self.ntotal))
+        if self.quantized:
+            self._ensure_codes()
+            d, i = self._compiled(kk)(
+                self._codes, self._scales, self._corpus,
+                jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))
+        else:
+            d, i = self._compiled(kk)(
+                self._corpus,
+                jnp.asarray(queries, self.dtype),
+                jnp.int32(self.ntotal))
         d = np.asarray(d[:, :k], np.float32)
         i = np.asarray(i[:, :k], np.int64)
         i[~np.isfinite(d)] = -1

@@ -182,3 +182,16 @@ def test_train_state_checkpoint_roundtrip(tmp_path):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sharded_quantized_matches_exact():
+    rng = np.random.RandomState(21)
+    corpus = _normed(rng, 2000)
+    queries = _normed(rng, 3)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    exact = ShardedVectorIndex(corpus, mesh)
+    quant = ShardedVectorIndex(corpus, mesh, quantized=True)
+    De, Ie = exact.search(queries, k=15)
+    Dq, Iq = quant.search(queries, k=15)
+    np.testing.assert_array_equal(Iq, Ie)
+    np.testing.assert_allclose(Dq, De, rtol=1e-5, atol=1e-6)
