@@ -103,10 +103,12 @@ def save_train_state(path: str, state: TrainState) -> None:
 
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:
+    import os
+
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(path, template)
+        restored = ckptr.restore(os.path.abspath(path), template)
     return TrainState(*restored)
 
 

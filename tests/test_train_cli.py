@@ -86,3 +86,18 @@ def test_train_dp_tp_mesh(pair_dir, capsys):
     out = capsys.readouterr().out
     assert "mesh: dp=4 tp=2" in out
     assert "step 2/2" in out
+
+
+def test_train_resume_relative_checkpoint_dir(pair_dir, tmp_path,
+                                              monkeypatch, capsys):
+    """orbax needs absolute paths; both save and restore must absolutize
+    (caught by end-to-end verification with --checkpoint-dir ckpts)."""
+    monkeypatch.chdir(tmp_path)
+    base = [pair_dir, "--model", "tiny-test", "--batch-size", "4",
+            "--checkpoint-dir", "ckpts", "--checkpoint-every", "2",
+            "--log-every", "2", "--lr", "1e-3", "--warmup-steps", "1"]
+    assert train_cli.main(base + ["--steps", "2"]) == 0
+    capsys.readouterr()
+    assert train_cli.main(base + ["--steps", "4", "--resume"]) == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 2" in out
