@@ -46,11 +46,32 @@ def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
     return y.astype(x.dtype)
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
               attn_impl: str = "xla") -> jax.Array:
     """Self-attention. x: (B, S, W)."""
     b, s, w = x.shape
     d = w // heads
+
+    if (not causal and s <= 64 and d == 64 and heads % 2 == 0
+            and attn_impl != "pallas" and _on_tpu()):
+        # fused pallas kernel: pair-packing + mask + softmax + both
+        # matmuls in VMEM, consuming/producing (B, S, W) directly — no
+        # XLA transposes or score-tile HBM round-trips
+        # (clipx.ops.packed_sdpa; verified bit-identical to the XLA path)
+        from clipx.ops.packed_sdpa import packed_sdpa
+
+        q = dense(x, p["wq"], p["bq"])
+        k = dense(x, p["wk"], p["bk"])
+        v = dense(x, p["wv"], p["bv"])
+        o = packed_sdpa(q, k, v, heads=heads)
+        return dense(o, p["wo"], p["bo"])
 
     def split(t):
         return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
@@ -63,7 +84,8 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
         o = flash_attention(q, k, v, causal=causal)
     elif not causal and s <= 64 and heads % 2 == 0:
         # head-pair MXU packing (see clipx.ops.attention) — exact, and
-        # much faster for the ViT towers' tiny per-head score tiles
+        # much faster than per-head tiny score tiles (the XLA fallback
+        # for this shape off-TPU)
         o = packed_pair_attention(q, k, v)
     else:
         o = xla_attention(q, k, v, causal=causal)

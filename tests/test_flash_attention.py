@@ -101,3 +101,32 @@ def test_packed_pair_heads_stay_independent():
                                             jnp.asarray(v2)))
     np.testing.assert_array_equal(base[:, 0], pert[:, 0])
     assert np.abs(base[:, 1] - pert[:, 1]).max() > 1e-3
+
+
+def test_packed_sdpa_interpret_matches_xla():
+    """The fused pallas SDPA kernel (interpret mode here; compiled on
+    TPU) against the reference path, (B, S, W) layout."""
+    from clipx.ops.packed_sdpa import packed_sdpa
+    rng = np.random.RandomState(9)
+    b, s, h, d = 2, 50, 4, 64
+    q, k, v = (rng.randn(b, s, h * d).astype(np.float32) * 0.5
+               for _ in range(3))
+
+    def split(t):
+        return jnp.asarray(t).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(xla_attention(split(q), split(k), split(v)))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    out = np.asarray(packed_sdpa(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), heads=h, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_sdpa_rejects_bad_shapes():
+    from clipx.ops.packed_sdpa import packed_sdpa
+    x = jnp.zeros((1, 50, 3 * 64))
+    with pytest.raises(ValueError):
+        packed_sdpa(x, x, x, heads=3, interpret=True)  # odd heads
+    y = jnp.zeros((1, 100, 2 * 64))
+    with pytest.raises(ValueError):
+        packed_sdpa(y, y, y, heads=2, interpret=True)  # S > 64
