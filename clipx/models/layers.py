@@ -59,18 +59,25 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     b, s, w = x.shape
     d = w // heads
 
-    if (not causal and s <= 64 and d == 64 and heads % 2 == 0
+    use_packed = (s <= 64 and d == 64 and heads % 2 == 0)
+    # K/V must fit VMEM alongside scores for the long kernel
+    use_long = (s > 64 and (-(-s // 128) * 128) * w * 2 * 2 < 8 * 2 ** 20)
+    if (not causal and (use_packed or use_long)
             and attn_impl != "pallas" and _on_tpu()):
-        # fused pallas kernel: pair-packing + mask + softmax + both
-        # matmuls in VMEM, consuming/producing (B, S, W) directly — no
-        # XLA transposes or score-tile HBM round-trips
-        # (clipx.ops.packed_sdpa; verified bit-identical to the XLA path)
-        from clipx.ops.packed_sdpa import packed_sdpa
+        # fused pallas kernels: mask + f32 softmax + both matmuls in
+        # VMEM, consuming/producing (B, S, W) directly — no XLA
+        # transposes or score-tile HBM round-trips (clipx.ops.packed_sdpa;
+        # verified bit-identical to the XLA path). Short sequences also
+        # pack head pairs onto full MXU tiles.
+        from clipx.ops.packed_sdpa import fused_sdpa_long, packed_sdpa
 
         q = dense(x, p["wq"], p["bq"])
         k = dense(x, p["wk"], p["bk"])
         v = dense(x, p["wv"], p["bv"])
-        o = packed_sdpa(q, k, v, heads=heads)
+        if use_packed:
+            o = packed_sdpa(q, k, v, heads=heads)
+        else:
+            o = fused_sdpa_long(q, k, v, heads=heads)
         return dense(o, p["wo"], p["bo"])
 
     def split(t):

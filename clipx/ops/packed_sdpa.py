@@ -72,6 +72,92 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, seq_len: int,
         o_ref[0, :, lo + head_dim: lo + 2 * head_dim] = out[_SP:]
 
 
+_BLOCK_Q = 128
+
+
+def _long_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, heads: int,
+                 head_dim: int, scale: float, causal: bool):
+    """Long-sequence fused SDPA: one program = (batch row, q block),
+    looping heads over lane slices of the (S, H*D) layout. Blocks:
+    q/o (1, BLOCK_Q, H*D); k/v (1, S_pad, H*D) resident in VMEM."""
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    s_pad = k.shape[0]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_Q, s_pad), 1)
+    mask = col < seq_len
+    if causal:
+        row = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_Q, s_pad), 0)
+               + qi * _BLOCK_Q)
+        mask = jnp.logical_and(mask, col <= row)
+
+    for h in range(heads):
+        lo = h * head_dim
+        scores = jax.lax.dot_general(
+            q[:, lo: lo + head_dim], k[:, lo: lo + head_dim],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (BQ, S_pad)
+        scores = jnp.where(mask, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v.dtype)
+        o_ref[0, :, lo: lo + head_dim] = jax.lax.dot_general(
+            probs, v[:, lo: lo + head_dim], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret"))
+def fused_sdpa_long(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                    heads: int, causal: bool = False,
+                    interpret: bool | None = None) -> jax.Array:
+    """Fused SDPA for arbitrary sequence lengths in (B, S, W) layout.
+
+    The ViT-L/14@336 tower (577 tokens) spends most of its XLA attention
+    time writing/reading the (B, H, S, S) f32 score tensor for the
+    softmax (~680 MB per layer at batch 32) plus layout transposes; this
+    kernel keeps each (BLOCK_Q, S) score tile in VMEM and consumes the
+    activations in their natural layout. Per-head matmuls contract over
+    D=head_dim directly (no 64->128 lane padding — the waste that made
+    clipx.ops.flash_attention lose to XLA in-model)."""
+    b, s, w = q.shape
+    d = w // heads
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_pad = _round_up(s, _BLOCK_Q)
+    pad = s_pad - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    nq = s_pad // _BLOCK_Q
+
+    qspec = pl.BlockSpec((1, _BLOCK_Q, w), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM)
+    kvspec = pl.BlockSpec((1, s_pad, w), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_long_kernel, seq_len=s, heads=heads, head_dim=d,
+                          scale=1.0 / (d ** 0.5), causal=causal),
+        grid=(b, nq),
+        in_specs=[qspec, kvspec, kvspec],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s_pad * s_pad * d,
+            bytes_accessed=b * s_pad * w * 2 * (2 + 2 * nq),
+            transcendentals=b * heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *, heads: int,
                 interpret: bool | None = None) -> jax.Array:

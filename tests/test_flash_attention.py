@@ -130,3 +130,23 @@ def test_packed_sdpa_rejects_bad_shapes():
     y = jnp.zeros((1, 100, 2 * 64))
     with pytest.raises(ValueError):
         packed_sdpa(y, y, y, heads=2, interpret=True)  # S > 64
+
+
+@pytest.mark.parametrize("s,causal", [(130, False), (77, True), (577, False)])
+def test_fused_sdpa_long_matches_xla(s, causal):
+    from clipx.ops.packed_sdpa import fused_sdpa_long
+    rng = np.random.RandomState(10)
+    b, h, d = 1, 4, 64
+    q, k, v = (rng.randn(b, s, h * d).astype(np.float32) * 0.5
+               for _ in range(3))
+
+    def split(t):
+        return jnp.asarray(t).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(xla_attention(split(q), split(k), split(v),
+                                   causal=causal))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    out = np.asarray(fused_sdpa_long(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), heads=h,
+                                     causal=causal, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
