@@ -92,12 +92,11 @@ class Encoder:
         self.params = params
         self.dtype = compute_dtype or default_compute_dtype()
         if attn_impl == "auto":
-            # Measured on v5e (bench notes in SURVEY-adjacent commit): the
-            # pallas kernel beats a *standalone* XLA attention ~9x at the
-            # ViT-L/14@336 shape, but inside the fully-jitted tower XLA's
-            # own fusion wins (0.88x for pallas at batch 32, mostly the
-            # D=64->128 lane padding doubling kernel FLOPs). Until the
-            # packed-head kernel lands, auto resolves to XLA everywhere.
+            # "xla" here means "let mha_block pick": on TPU it dispatches
+            # the fused pallas SDPA kernels (packed_sdpa for S<=64,
+            # fused_sdpa_long above) and falls back to einsum attention
+            # elsewhere. attn_impl="pallas" forces the (B,H,S,D)-layout
+            # flash kernel instead.
             attn_impl = "xla"
         self.attn_impl = attn_impl
         self.buckets = tuple(sorted(batch_buckets))
