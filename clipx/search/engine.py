@@ -35,14 +35,20 @@ import numpy as np
 
 _MAGIC = b"CLIPXIDX1\n"
 _MIN_BUCKET = 4096
+_MAX_Q = 8  # queries per kernel call (bounds top-k sort scratch)
 
 
 def _bucket_rows(n: int) -> int:
-    """Next geometric (power-of-two) bucket >= n, floored at _MIN_BUCKET."""
+    """Static-shape row bucket >= n: powers of two up to 1M rows, then
+    512k-row steps (pure doubling would waste gigabytes of HBM at
+    multi-million-vector scale — 5M vectors would pad to 8.4M rows)."""
     b = _MIN_BUCKET
-    while b < n:
+    while b < n and b < (1 << 20):
         b *= 2
-    return b
+    if b >= n:
+        return b
+    step = 1 << 19
+    return -(-n // step) * step
 
 
 def _bucket_k(k: int) -> int:
@@ -203,6 +209,13 @@ class VectorIndex:
             return (np.full((q.shape[0], k), -np.inf, np.float32),
                     np.full((q.shape[0], k), -1, np.int64))
         queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        # the two-stage top-k sorts (Q*chunks, chunk) buffers; cap Q per
+        # kernel call so multi-million-row corpora don't OOM at high Q
+        if queries.shape[0] > _MAX_Q:
+            parts = [self.search(queries[i: i + _MAX_Q], k)
+                     for i in range(0, queries.shape[0], _MAX_Q)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         kk = min(_bucket_k(k), self._corpus.shape[0])
         if self.quantized:
             self._ensure_codes()

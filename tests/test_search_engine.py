@@ -157,3 +157,15 @@ def test_quantize_rows_roundtrip_error_small():
     assert codes.dtype == np.int8 and scales.shape == (50,)
     recon = codes.astype(np.float32) * scales[:, None]
     assert np.abs(recon - v).max() < 0.005
+
+
+def test_large_query_batch_chunks():
+    rng = np.random.RandomState(14)
+    corpus = _normed(rng, 300)
+    queries = _normed(rng, 20)  # > _MAX_Q, forces chunked kernel calls
+    idx = VectorIndex.from_vectors(corpus)
+    D, I = idx.search(queries, k=5)
+    assert D.shape == (20, 5)
+    ref = queries @ corpus.T
+    for q in range(20):
+        np.testing.assert_array_equal(I[q], np.argsort(-ref[q])[:5])
