@@ -119,3 +119,46 @@ def test_kv_tool_cli(tmp_path, capsys):
     assert "verify: OK" in capsys.readouterr().out
 
     assert kv_tool.main(["stat", str(tmp_path / "missing")]) == 1
+
+
+def test_kv_tool_check_index(tmp_path, monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import kv_tool
+    import numpy as np
+    from PIL import Image
+    from clipx.cli import build_index as bi
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(0)
+    for n in ("a.jpg", "b.jpg", "c.jpg"):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / n)
+    work = tmp_path / "w"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    capsys.readouterr()
+
+    assert kv_tool.main(["check-index", "vectors.lmdb"]) == 0
+    assert "check-index: OK" in capsys.readouterr().out
+
+    # corrupt: add a new embedding without rebuilding the index
+    from clipx.store import kv as kv_mod
+    env = kv_mod.open_env("vectors.lmdb")
+    fn_db = env.open_db(b"fn_db")
+    with env.begin(db=fn_db, write=True) as txn:
+        txn.put(b"zzz_new.jpg", np.zeros(32, np.float32).tobytes())
+    env.close()
+    assert kv_tool.main(["check-index", "vectors.lmdb"]) == 2
+    assert "STALE" in capsys.readouterr().out
+
+
+def test_process_local_batch():
+    from clipx.parallel.distributed import process_local_batch
+
+    assert process_local_batch(64) == 64  # single process
+    import pytest as _pytest
+    # divisibility errors surface clearly under multi-process counts
+    # (single-process here, so any batch divides)

@@ -26,8 +26,12 @@ KNOWN_DBS = [b"fn_db", b"skip_db", b"idx_db"]
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("command", choices=("stat", "compact", "verify"))
+    ap.add_argument("command",
+                    choices=("stat", "compact", "verify", "check-index"))
     ap.add_argument("env_path")
+    ap.add_argument("--index", default="images.index",
+                    help="vector index file for check-index")
+    ap.add_argument("--samples", type=int, default=16)
     args = ap.parse_args(argv)
 
     if not os.path.isdir(args.env_path):
@@ -52,6 +56,48 @@ def main(argv=None) -> int:
             env.compact()
             after = os.path.getsize(log)
             print(f"compacted: {before:,} -> {after:,} bytes")
+        elif args.command == "check-index":
+            # cross-check images.index <-> idx_db <-> fn_db: same count,
+            # ids in byte-sorted path order, vectors bit-identical.
+            # (The reference's repair story is "rerun the indexer";
+            # this tells you whether you need to.)
+            import numpy as np
+
+            from clipx.search.engine import read_index
+
+            index = read_index(args.index)
+            fn_db = env.open_db(b"fn_db")
+            idx_db = env.open_db(b"idx_db")
+            with env.begin(db=idx_db) as txn:
+                n_ids = txn.stat()["entries"]
+            with env.begin(db=fn_db) as txn:
+                n_fn = txn.stat()["entries"]
+                sorted_paths = [k for k, _ in txn.cursor()]
+            ok = True
+            if not (index.ntotal == n_ids == n_fn):
+                print(f"COUNT MISMATCH: index {index.ntotal}, "
+                      f"idx_db {n_ids}, fn_db {n_fn}")
+                ok = False
+            n = min(index.ntotal, n_ids, n_fn)
+            step = max(1, n // max(args.samples, 1))
+            with env.begin() as txn:
+                for i in range(0, n, step):
+                    path = txn.get(str(i).encode(), db=idx_db)
+                    if path != sorted_paths[i]:
+                        print(f"ID ORDER MISMATCH at {i}")
+                        ok = False
+                        continue
+                    stored = np.frombuffer(txn.get(path, db=fn_db),
+                                           dtype=np.float32)
+                    if not np.array_equal(index.reconstruct(i), stored):
+                        print(f"VECTOR MISMATCH at id {i} "
+                              f"({path.decode()})")
+                        ok = False
+            if not ok:
+                print("check-index: STALE — rerun build-index.py to "
+                      "rebuild idx_db and the index from fn_db")
+                return 2
+            print(f"check-index: OK ({n} rows consistent)")
         else:  # verify
             ok = True
             for name in KNOWN_DBS:
