@@ -39,9 +39,6 @@ from clipx.store.kv import open_env
 from clipx.utils.locking import LockHeldError, SingleWriterLock
 from clipx.utils.profiling import StageTimers, device_trace
 
-EMBED_DTYPE = "float32"  # fn_db value format: raw f32[embed_dim] bytes
-
-
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="build-index.py")
     common.add_model_flags(p)

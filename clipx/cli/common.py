@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import List, Optional, Tuple
 
 # Same on-disk names as the reference (reference:build-index.py:22,109)
 DEFAULT_DB_PATH = "vectors.lmdb"
@@ -69,19 +68,3 @@ def make_encoder(args):
     return enc
 
 
-def split_dirs(argv: List[str]) -> Tuple[List[str], List[str]]:
-    """Separate positional dirs from --flags so the bare reference
-    invocation keeps working."""
-    flags, dirs = [], []
-    it = iter(argv)
-    for a in it:
-        if a.startswith("--"):
-            flags.append(a)
-            if "=" not in a:
-                try:
-                    flags.append(next(it))
-                except StopIteration:
-                    pass
-        else:
-            dirs.append(a)
-    return flags, dirs

@@ -38,7 +38,7 @@ Params = Dict[str, Any]
 def init_params(cfg: CLIPConfig, rng: jax.Array) -> Params:
     kv, kt = jax.random.split(rng)
     v, t = cfg.vision, cfg.text
-    kv = jax.random.split(kv, 4)
+    kv = jax.random.split(kv, 5)
     kt = jax.random.split(kt, 4)
     patch_dim = v.patch_size * v.patch_size * 3
     return {
@@ -51,7 +51,7 @@ def init_params(cfg: CLIPConfig, rng: jax.Array) -> Params:
             "ln_pre": _ln_init(v.width),
             "blocks": init_block_stack(kv[3], v.layers, v.width),
             "ln_post": _ln_init(v.width),
-            "proj": jax.random.normal(kv[1], (v.width, v.embed_dim)) * (v.width ** -0.5),
+            "proj": jax.random.normal(kv[4], (v.width, v.embed_dim)) * (v.width ** -0.5),
         },
         "text": {
             "token_embedding": jax.random.normal(kt[0], (t.vocab_size, t.width)) * 0.02,
