@@ -158,7 +158,5 @@ def test_kv_tool_check_index(tmp_path, monkeypatch, capsys):
 def test_process_local_batch():
     from clipx.parallel.distributed import process_local_batch
 
-    assert process_local_batch(64) == 64  # single process
-    import pytest as _pytest
-    # divisibility errors surface clearly under multi-process counts
-    # (single-process here, so any batch divides)
+    # single-process: the whole global batch is local
+    assert process_local_batch(64) == 64
