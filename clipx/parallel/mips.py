@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipx.search.engine import (RESCORE_MARGIN, _bucket_k, _exact_topk,
-                                 _quantize_device)
+                                 _quantize_device, clamp_k)
 
 AXIS = "shard"
 
@@ -151,6 +151,7 @@ class ShardedVectorIndex:
         -1 beyond ntotal — identical contract to the single-device
         VectorIndex so the CLI can swap either in."""
         queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        k = clamp_k(k)
         if self.ntotal == 0:
             return (np.full((queries.shape[0], k), -np.inf, np.float32),
                     np.full((queries.shape[0], k), -1, np.int64))

@@ -36,6 +36,14 @@ import numpy as np
 _MAGIC = b"CLIPXIDX1\n"
 _MIN_BUCKET = 4096
 _MAX_Q = 8  # queries per kernel call (bounds top-k sort scratch)
+# requested k is clamped here: nobody can use billions of result rows,
+# and honoring them would allocate unbounded host memory (found by REPL
+# fuzzing with 'c 9999999999')
+_MAX_K = 16384
+
+
+def clamp_k(k: int) -> int:
+    return max(1, min(int(k), _MAX_K))
 
 
 def _bucket_rows(n: int) -> int:
@@ -204,6 +212,7 @@ class VectorIndex:
         """faiss-shaped search: returns (D, I) with D (Q, k) float32 scores
         descending and I (Q, k) int64 row ids; slots past ntotal get id -1
         (matching faiss's behavior for k > ntotal)."""
+        k = clamp_k(k)
         if self.ntotal == 0:
             q = np.atleast_2d(np.asarray(queries))
             return (np.full((q.shape[0], k), -np.inf, np.float32),

@@ -195,3 +195,12 @@ def test_sharded_quantized_matches_exact():
     Dq, Iq = quant.search(queries, k=15)
     np.testing.assert_array_equal(Iq, Ie)
     np.testing.assert_allclose(Dq, De, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_absurd_k_is_clamped():
+    rng = np.random.RandomState(22)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    idx = ShardedVectorIndex(_normed(rng, 10), mesh)
+    D, I = idx.search(_normed(rng, 1), k=9_999_999_999)
+    assert D.shape[1] <= 16384
+    assert (I[0, :10] >= 0).all()

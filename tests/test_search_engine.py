@@ -169,3 +169,13 @@ def test_large_query_batch_chunks():
     ref = queries @ corpus.T
     for q in range(20):
         np.testing.assert_array_equal(I[q], np.argsort(-ref[q])[:5])
+
+
+def test_absurd_k_is_clamped():
+    """'c 9999999999' in the REPL must not allocate billions of result
+    slots (fuzz-found: the sharded path np.pad'ed to k)."""
+    rng = np.random.RandomState(15)
+    idx = VectorIndex.from_vectors(_normed(rng, 10))
+    D, I = idx.search(_normed(rng, 1), k=9_999_999_999)
+    assert D.shape[1] <= 16384
+    assert (I[0, :10] >= 0).all()
