@@ -160,3 +160,34 @@ def test_process_local_batch():
 
     # single-process: the whole global batch is local
     assert process_local_batch(64) == 64
+
+
+def test_eval_quality_tool(tmp_path, monkeypatch, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import eval_quality
+    import numpy as np
+    from PIL import Image
+    from clipx.cli import build_index as bi
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(1)
+    for i in range(6):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"x{i}.jpg")
+    work = tmp_path / "w"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    capsys.readouterr()
+
+    rc = eval_quality.main(["--model", "tiny-test",
+                            "--photos", str(photos) + os.sep,
+                            "--samples", "6", "--k", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "self-retrieval: 6/6 rank-0 hits" in out
+    assert "int8+rescore vs exact: recall@3 1.0000" in out
+    assert "sharded vs exact: recall@3 1.0000" in out
+    assert "preprocess drift" in out

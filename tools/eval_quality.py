@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Search/embedding quality evaluation over a built index.
+
+    python tools/eval_quality.py --db vectors.lmdb --index images.index
+
+Reports, using the indexed corpus itself as queries (no labels needed):
+
+- **self-retrieval**: every stored vector must hit its own id at rank 0
+  with score ~1 — catches id/vector misalignment end to end.
+- **mode agreement**: recall@k of quantized (int8+rescore) and sharded
+  search against the exact single-device ranking.
+- **preprocess drift** (with --photos): re-encodes a sample of source
+  images through the PIL-parity and cv2 host paths and reports cosine
+  agreement with the stored embeddings — the tolerance-budget check
+  from SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db", default="vectors.lmdb")
+    ap.add_argument("--index", default="images.index")
+    ap.add_argument("--photos", default=None,
+                    help="re-encode a sample from this folder and compare "
+                         "against stored embeddings (needs --model to "
+                         "match the indexing run)")
+    ap.add_argument("--model", default=os.environ.get("CLIPX_MODEL",
+                                                      "ViT-B/32"))
+    ap.add_argument("--checkpoint",
+                    default=os.environ.get("CLIPX_CHECKPOINT"))
+    ap.add_argument("--samples", type=int, default=64)
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    from clipx.search.engine import VectorIndex, read_index
+
+    index = read_index(args.index)
+    if index.ntotal == 0:
+        print("index is empty")
+        return 1
+    n = index.ntotal
+    rng = np.random.RandomState(0)
+    sample = rng.choice(n, size=min(args.samples, n), replace=False)
+    queries = np.stack([index.reconstruct(int(i)) for i in sample])
+
+    # self-retrieval
+    D, I = index.search(queries, k=1)
+    hits = int((I[:, 0] == sample).sum())
+    score_ok = int((np.abs(D[:, 0] - 1.0) < 1e-2).sum())
+    print(f"self-retrieval: {hits}/{len(sample)} rank-0 hits, "
+          f"{score_ok}/{len(sample)} scores ~1.0")
+
+    # quantized agreement
+    k = min(args.k, n)
+    De, Ie = index.search(queries, k=k)
+    quant = VectorIndex.from_vectors(index.vectors(), quantized=True)
+    Dq, Iq = quant.search(queries, k=k)
+    recall = np.mean([len(set(Ie[i]) & set(Iq[i])) / k
+                      for i in range(len(sample))])
+    top1 = float(np.mean(Ie[:, 0] == Iq[:, 0]))
+    print(f"int8+rescore vs exact: recall@{k} {recall:.4f}, "
+          f"top-1 agreement {top1:.4f}")
+
+    import jax
+    if len(jax.devices()) > 1:
+        from clipx.parallel.mips import ShardedVectorIndex
+
+        sharded = ShardedVectorIndex(index.vectors())
+        Ds, Is = sharded.search(queries, k=k)
+        recall = np.mean([len(set(Ie[i]) & set(Is[i])) / k
+                          for i in range(len(sample))])
+        print(f"sharded vs exact: recall@{k} {recall:.4f} "
+              f"({len(jax.devices())} devices)")
+
+    if args.photos:
+        _preprocess_drift(args, index, sample)
+    return 0 if hits == len(sample) else 2
+
+
+def _preprocess_drift(args, index, sample) -> None:
+    from clipx.ops.preprocess import cv2_resize_crop, pil_resize_crop
+    from clipx.runtime.encoder import Encoder
+    from clipx.store.kv import open_env
+
+    env = open_env(args.db)
+    idx_db = env.open_db(b"idx_db")
+    fn_db = env.open_db(b"fn_db")
+    enc = Encoder.create(args.model, checkpoint=args.checkpoint)
+    cos_pil, cos_cv2 = [], []
+    from PIL import Image
+
+    with env.begin() as txn:
+        for i in sample[:16]:
+            path = txn.get(str(int(i)).encode(), db=idx_db)
+            if path is None:
+                continue
+            stored = np.frombuffer(txn.get(path, db=fn_db),
+                                   dtype=np.float32)
+            fname = path.decode()
+            if not os.path.exists(fname):
+                continue
+            with Image.open(fname) as img:
+                pil = pil_resize_crop(img, enc.image_size)
+                rgb = np.asarray(img.convert("RGB"))
+            cv = cv2_resize_crop(rgb, enc.image_size)
+            e_pil = enc.encode_images(pil[None])[0]
+            e_cv = enc.encode_images(cv[None])[0]
+            cos_pil.append(float(stored @ e_pil))
+            cos_cv2.append(float(stored @ e_cv))
+    env.close()
+    if cos_pil:
+        print(f"preprocess drift vs stored (cosine, n={len(cos_pil)}): "
+              f"pil min {min(cos_pil):.4f} mean {np.mean(cos_pil):.4f}; "
+              f"cv2 min {min(cos_cv2):.4f} mean {np.mean(cos_cv2):.4f}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
