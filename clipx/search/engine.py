@@ -239,6 +239,11 @@ class VectorIndex:
         ids = np.asarray(ids[:, :k], dtype=np.int64)
         invalid = ~np.isfinite(scores)
         ids[invalid] = -1
+        if scores.shape[1] < k:  # tiny corpus, huge (clamped) k
+            pad = k - scores.shape[1]
+            scores = np.pad(scores, ((0, 0), (0, pad)),
+                            constant_values=-np.inf)
+            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
         return scores, ids
 
     def _ensure_codes(self) -> None:

@@ -14,6 +14,11 @@ so the CLI layer reads like the reference contract. ``map_size`` and
 ``max_dbs`` are accepted for signature compatibility and ignored — the
 native store grows as needed and has no database cap.
 
+Semantics note vs py-lmdb: ``get`` inside a write transaction sees that
+transaction's own pending writes (read-your-writes), but *cursors*
+iterate only committed state — no clipx code opens a cursor over keys
+it is mutating in the same transaction.
+
 The shared library is compiled from clipx/store/native/kvstore.cpp on
 first use (g++ is part of the toolchain); a build lock makes concurrent
 first-use safe.

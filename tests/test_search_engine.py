@@ -179,3 +179,13 @@ def test_absurd_k_is_clamped():
     D, I = idx.search(_normed(rng, 1), k=9_999_999_999)
     assert D.shape[1] <= 16384
     assert (I[0, :10] >= 0).all()
+
+
+def test_large_k_small_corpus_pads_to_k():
+    """k in (corpus bucket, clamp]: result must still be (Q, k) with -1
+    padding, like faiss."""
+    rng = np.random.RandomState(16)
+    idx = VectorIndex.from_vectors(_normed(rng, 5))
+    D, I = idx.search(_normed(rng, 1), k=5000)
+    assert I.shape == (1, 5000)
+    assert (I[0, :5] >= 0).all() and (I[0, 5:] == -1).all()
