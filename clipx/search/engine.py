@@ -261,6 +261,8 @@ class VectorIndex:
         return np.asarray(self._corpus[row], dtype=np.float32)
 
     def vectors(self) -> np.ndarray:
+        if self._corpus is None:
+            return np.zeros((0, self.dim), dtype=np.float32)
         return np.asarray(self._corpus[: self.ntotal], dtype=np.float32)
 
 
@@ -292,7 +294,14 @@ def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
                         "to regenerate it from vectors.lmdb)")
             raise ValueError(f"{path!r} is not a clipx index file{hint}")
         ntotal, dim = struct.unpack("<qq", f.read(16))
-        data = np.frombuffer(f.read(ntotal * dim * 4), dtype=np.float32)
+        if not (0 <= ntotal <= 1_000_000_000 and 0 < dim <= 65536):
+            raise ValueError(f"{path!r} header is corrupt "
+                             f"(ntotal={ntotal}, dim={dim})")
+        raw = f.read(ntotal * dim * 4)
+        if len(raw) != ntotal * dim * 4:
+            raise ValueError(f"{path!r} is truncated "
+                             f"({len(raw)} of {ntotal * dim * 4} bytes)")
+        data = np.frombuffer(raw, dtype=np.float32)
     index = VectorIndex(dim=dim, dtype=dtype)
     if ntotal:
         index.add(data.reshape(ntotal, dim))

@@ -189,3 +189,30 @@ def test_large_k_small_corpus_pads_to_k():
     D, I = idx.search(_normed(rng, 1), k=5000)
     assert I.shape == (1, 5000)
     assert (I[0, :5] >= 0).all() and (I[0, 5:] == -1).all()
+
+
+def test_read_index_rejects_truncated_and_corrupt_header(tmp_path):
+    import struct as _struct
+
+    from clipx.search.engine import _MAGIC
+
+    # truncated data section
+    p = tmp_path / "trunc.index"
+    p.write_bytes(_MAGIC + _struct.pack("<qq", 100, 64) + b"\x00" * 16)
+    with pytest.raises(ValueError, match="truncated"):
+        read_index(str(p))
+    # insane header values
+    p2 = tmp_path / "corrupt.index"
+    p2.write_bytes(_MAGIC + _struct.pack("<qq", -5, 10**9))
+    with pytest.raises(ValueError, match="corrupt"):
+        read_index(str(p2))
+
+
+def test_write_read_empty_index(tmp_path):
+    idx = VectorIndex(dim=64)
+    path = str(tmp_path / "empty.index")
+    write_index(idx, path)
+    loaded = read_index(path)
+    assert loaded.ntotal == 0 and loaded.dim == 64
+    D, I = loaded.search(np.zeros((1, 64), np.float32), k=3)
+    assert (I == -1).all()
