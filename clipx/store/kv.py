@@ -90,6 +90,8 @@ def _load() -> ctypes.CDLL:
         lib.cxkv_cursor_close.argtypes = [ctypes.c_void_p]
         lib.cxkv_compact.restype = ctypes.c_int
         lib.cxkv_compact.argtypes = [ctypes.c_void_p]
+        lib.cxkv_refresh.restype = ctypes.c_int
+        lib.cxkv_refresh.argtypes = [ctypes.c_void_p]
         lib.cxkv_sync.restype = ctypes.c_int
         lib.cxkv_sync.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -256,6 +258,15 @@ class Environment:
 
     def sync(self) -> None:
         self._lib.cxkv_sync(self._h)
+
+    def refresh(self) -> None:
+        """Fold in transactions committed by *other processes* since this
+        environment was opened (reads are otherwise a snapshot as of
+        open — the reference's documented query-during-rebuild staleness,
+        made explicit and fixable)."""
+        rc = self._lib.cxkv_refresh(self._h)
+        if rc != 0:
+            raise Error(f"refresh failed (rc={rc})")
 
     def compact(self) -> None:
         rc = self._lib.cxkv_compact(self._h)

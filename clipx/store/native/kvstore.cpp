@@ -59,6 +59,7 @@ struct Env {
     int lock_fd = -1;
     uint64_t log_records = 0;   // total records in log file
     uint64_t live_records = 0;  // records that still matter
+    uint64_t log_offset = 0;    // bytes of the log applied to memory
     std::string error;
 };
 
@@ -128,19 +129,30 @@ int env_db_id(Env* env, const std::string& name) {
     return id;
 }
 
-// Replay the log file into memory. Truncated trailing records (torn
-// writes from a crash) are discarded.
-bool replay_log(Env* env, const std::string& path) {
+// Replay the log file into memory from `from_offset` (0 = from the
+// header). Truncated trailing records (torn writes from a crash) are
+// discarded; only the initial open truncates them from disk.
+bool replay_log_from(Env* env, const std::string& path,
+                     uint64_t from_offset, bool trim_tail) {
     FILE* f = ::fopen(path.c_str(), "rb");
-    if (!f) return true;  // fresh env
+    if (!f) {
+        env->log_offset = 8;  // fresh env: header will be written
+        return true;
+    }
     char magic[8];
     if (::fread(magic, 1, 8, f) != 8 || ::memcmp(magic, kMagic, 8) != 0) {
         ::fclose(f);
         env->error = "bad log magic";
         return false;
     }
+    if (from_offset > 8) {
+        if (::fseek(f, static_cast<long>(from_offset), SEEK_SET) != 0) {
+            ::fclose(f);
+            return false;
+        }
+    }
     std::string db, key, val;
-    long good_end = 8;
+    long good_end = static_cast<long>(from_offset > 8 ? from_offset : 8);
     for (;;) {
         uint8_t op;
         uint32_t dl, kl, vl;
@@ -166,34 +178,52 @@ bool replay_log(Env* env, const std::string& path) {
         good_end = ::ftell(f);
     }
     ::fclose(f);
-    // trim a torn tail so future appends start from a clean record boundary
-    ::truncate(path.c_str(), good_end);
+    if (trim_tail) {
+        // trim a torn tail so future appends start on a record boundary
+        ::truncate(path.c_str(), good_end);
+    }
+    env->log_offset = static_cast<uint64_t>(good_end);
     uint64_t live = 0;
     for (const auto& m : env->dbs) live += m.size();
     env->live_records = live;
     return true;
 }
 
+// Apply records other processes appended since we last read. Caller
+// holds env->mu (and the flock when mutating afterwards). Without this,
+// compaction from a long-lived handle would rewrite the log from stale
+// memory and drop their committed data.
+bool catch_up_locked(Env* env) {
+    return replay_log_from(env, env->dir + "/data.cxkv",
+                           env->log_offset, /*trim_tail=*/false);
+}
+
 std::string log_path(const Env* env) { return env->dir + "/data.cxkv"; }
 
-// Rewrite the log with only live records. Caller holds env->mu.
+// Rewrite the log with only live records. Caller holds env->mu AND the
+// exclusive flock (so no other process can append between catch-up and
+// the rename).
 bool compact_locked(Env* env) {
+    if (!catch_up_locked(env)) return false;  // never drop others' data
     std::string tmp = env->dir + "/data.cxkv.tmp";
     int fd = ::open(tmp.c_str(), O_CREAT | O_TRUNC | O_WRONLY, 0644);
     if (fd < 0) return false;
     std::string buf(kMagic, 8);
     uint64_t live = 0;
+    uint64_t bytes = 0;
     for (size_t id = 0; id < env->dbs.size(); ++id) {
         const std::string& name = env->db_names[id];
         for (const auto& kv : env->dbs[id]) {
             append_record(&buf, kOpPut, name, kv.first, kv.second);
             live++;
             if (buf.size() > (16u << 20)) {
+                bytes += buf.size();
                 if (!write_all(fd, buf.data(), buf.size())) { ::close(fd); return false; }
                 buf.clear();
             }
         }
     }
+    bytes += buf.size();
     if (!buf.empty() && !write_all(fd, buf.data(), buf.size())) { ::close(fd); return false; }
     if (::fsync(fd) != 0) { ::close(fd); return false; }
     ::close(fd);
@@ -202,6 +232,7 @@ bool compact_locked(Env* env) {
     env->log_fd = ::open(log_path(env).c_str(), O_WRONLY | O_APPEND, 0644);
     env->log_records = live;
     env->live_records = live;
+    env->log_offset = bytes;
     return env->log_fd >= 0;
 }
 
@@ -213,7 +244,10 @@ void* cxkv_open(const char* path) {
     auto env = std::make_unique<Env>();
     env->dir = path;
     ::mkdir(path, 0755);
-    if (!replay_log(env.get(), env->dir + "/data.cxkv")) return nullptr;
+    if (!replay_log_from(env.get(), env->dir + "/data.cxkv", 0,
+                         /*trim_tail=*/true)) {
+        return nullptr;
+    }
     std::string lp = env->dir + "/LOCK";
     env->lock_fd = ::open(lp.c_str(), O_CREAT | O_RDWR, 0644);
     if (env->lock_fd < 0) return nullptr;
@@ -313,6 +347,21 @@ int cxkv_txn_commit(void* th) {
     // cross-process single-writer: hold the flock only for the commit
     if (::flock(env->lock_fd, LOCK_EX) != 0) return -2;
     std::lock_guard<std::mutex> g(env->mu);
+    // fold in records other processes appended since we last read, so
+    // our in-memory state (and log_offset) match the file before we
+    // extend it
+    if (!catch_up_locked(env)) {
+        ::flock(env->lock_fd, LOCK_UN);
+        return -4;
+    }
+    // a process that died mid-append leaves a torn tail; appending after
+    // it would orphan our records behind an unparseable prefix. We hold
+    // the exclusive flock, so trimming is safe.
+    struct stat st;
+    if (::stat(log_path(env).c_str(), &st) == 0 &&
+        static_cast<uint64_t>(st.st_size) != env->log_offset) {
+        ::truncate(log_path(env).c_str(), env->log_offset);
+    }
     std::string buf;
     for (const auto& op : txn->ops) {
         append_record(&buf, op.op, env->db_names[op.db], op.key, op.val);
@@ -330,6 +379,7 @@ int cxkv_txn_commit(void* th) {
             }
             env->log_records++;
         }
+        env->log_offset += buf.size();
     }
     ::flock(env->lock_fd, LOCK_UN);
     return ok ? 0 : -3;
@@ -398,6 +448,15 @@ int cxkv_compact(void* handle) {
     bool ok = compact_locked(env);
     ::flock(env->lock_fd, LOCK_UN);
     return ok ? 0 : -2;
+}
+
+int cxkv_refresh(void* handle) {
+    // pick up records committed by other processes since open/last
+    // refresh (a reader that wants live data calls this; a partially
+    // appended tail simply stops the parse and is retried next time)
+    Env* env = static_cast<Env*>(handle);
+    std::lock_guard<std::mutex> g(env->mu);
+    return catch_up_locked(env) ? 0 : -1;
 }
 
 int cxkv_sync(void* handle) {

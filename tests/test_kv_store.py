@@ -298,3 +298,91 @@ def test_kill9_mid_writes_recovers(tmp_path):
     with env.begin(db=db) as txn:
         assert txn.get(b"after-crash") == b"ok"
     env.close()
+
+
+def _child_write(path, key, val):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (f"import sys; sys.path.insert(0, {repo!r})\n"
+            f"from clipx.store import kv\n"
+            f"env = kv.open_env({path!r})\n"
+            f"db = env.open_db(b'fn_db')\n"
+            f"with env.begin(db=db, write=True) as txn:\n"
+            f"    txn.put({key!r}, {val!r})\n"
+            f"env.close()\n")
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def test_refresh_sees_other_process_commits(tmp_path):
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"mine", b"1")
+    _child_write(path, b"theirs", b"2")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"theirs") is None  # snapshot-as-of-open
+    env.refresh()
+    with env.begin(db=db) as txn:
+        assert txn.get(b"theirs") == b"2"
+        assert txn.get(b"mine") == b"1"
+    env.close()
+
+
+def test_compact_preserves_other_process_commits(tmp_path):
+    """A long-lived handle must never compact away records another
+    process appended after it opened (found by review: compaction wrote
+    the log from stale in-memory state)."""
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    for i in range(30):  # make some garbage so compaction has work
+        with env.begin(db=db, write=True) as txn:
+            txn.put(b"gkey", f"v{i}".encode())
+    _child_write(path, b"from-other", b"precious")
+    env.compact()  # must catch up before rewriting
+    env.close()
+
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"from-other") == b"precious"
+        assert txn.get(b"gkey") == b"v29"
+    env.close()
+
+
+def test_own_commit_catches_up_first(tmp_path):
+    """Committing from a stale handle must fold in other processes'
+    records rather than diverge."""
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    _child_write(path, b"other", b"x")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"mine", b"y")
+    with env.begin(db=db) as txn:  # commit path caught us up
+        assert txn.get(b"other") == b"x"
+        assert txn.get(b"mine") == b"y"
+    env.close()
+
+
+def test_commit_after_foreign_torn_tail(tmp_path):
+    """Another process dies mid-append while we're live; our next commit
+    must trim the torn tail instead of appending after it (which would
+    orphan our records at the next open)."""
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"a", b"1")
+    # simulate a foreign torn append
+    with open(os.path.join(path, "data.cxkv"), "ab") as f:
+        f.write(b"\x01\x10\x00")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"b", b"2")
+    env.close()
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"a") == b"1"
+        assert txn.get(b"b") == b"2"
+    env.close()
