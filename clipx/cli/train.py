@@ -86,8 +86,12 @@ class PairLoader:
         self.rng = np.random.RandomState(seed)
         self._cache = {}
 
+    _CACHE_CAP = 8192  # decoded images kept in RAM (~150 KB each at 224px)
+
     def _decode(self, path: str):
         if path not in self._cache:
+            if len(self._cache) >= self._CACHE_CAP:
+                self._cache.pop(next(iter(self._cache)))
             item = next(iter_decoded([path], self.image_size, workers=1))
             self._cache[path] = item.array  # None on failure
         return self._cache[path]
