@@ -244,21 +244,37 @@ void* cxkv_open(const char* path) {
     auto env = std::make_unique<Env>();
     env->dir = path;
     ::mkdir(path, 0755);
-    if (!replay_log_from(env.get(), env->dir + "/data.cxkv", 0,
-                         /*trim_tail=*/true)) {
-        return nullptr;
-    }
     std::string lp = env->dir + "/LOCK";
     env->lock_fd = ::open(lp.c_str(), O_CREAT | O_RDWR, 0644);
     if (env->lock_fd < 0) return nullptr;
+    // The open-time replay trims torn tails from disk. Without the
+    // exclusive flock, a record that merely hasn't finished being
+    // appended by a live writer is indistinguishable from a crash
+    // remnant: truncating it would chop a committed-in-progress
+    // transaction whose writer then appends the remainder at the new
+    // EOF and reports it durable. Hold the flock so a partial record
+    // seen here really is a torn tail.
+    if (::flock(env->lock_fd, LOCK_EX) != 0) return nullptr;
+    if (!replay_log_from(env.get(), env->dir + "/data.cxkv", 0,
+                         /*trim_tail=*/true)) {
+        ::flock(env->lock_fd, LOCK_UN);
+        return nullptr;
+    }
     std::string dp = log_path(env.get());
     env->log_fd = ::open(dp.c_str(), O_CREAT | O_WRONLY | O_APPEND, 0644);
-    if (env->log_fd < 0) return nullptr;
+    if (env->log_fd < 0) {
+        ::flock(env->lock_fd, LOCK_UN);
+        return nullptr;
+    }
     // write magic if the file is new
     struct stat st;
     if (::fstat(env->log_fd, &st) == 0 && st.st_size == 0) {
-        if (!write_all(env->log_fd, kMagic, 8)) return nullptr;
+        if (!write_all(env->log_fd, kMagic, 8)) {
+            ::flock(env->lock_fd, LOCK_UN);
+            return nullptr;
+        }
     }
+    ::flock(env->lock_fd, LOCK_UN);
     return env.release();
 }
 
@@ -269,8 +285,13 @@ void cxkv_close(void* handle) {
         std::lock_guard<std::mutex> g(env->mu);
         // opportunistic compaction: reclaim when >half the log is garbage
         if (env->log_records > 1024 &&
-            env->live_records * 2 < env->log_records) {
+            env->live_records * 2 < env->log_records &&
+            ::flock(env->lock_fd, LOCK_EX) == 0) {
+            // compact_locked requires the exclusive flock: it rewrites
+            // the log from memory after a catch-up, and a commit landing
+            // between the catch-up and the rename would be dropped.
             compact_locked(env);
+            ::flock(env->lock_fd, LOCK_UN);
         }
     }
     if (env->log_fd >= 0) ::close(env->log_fd);

@@ -212,6 +212,56 @@ def test_torn_tail_recovery(tmp_path):
     env.close()
 
 
+def test_open_time_trim_waits_for_writer_flock(tmp_path):
+    """Opening an env must not trim the log while another process holds
+    the writer flock: a half-appended record under the lock is a commit
+    in flight, not a torn tail, and truncating it would corrupt the
+    transaction the writer is about to fdatasync."""
+    import fcntl
+    import time
+
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"good", b"record")
+    env.close()
+    log = os.path.join(path, "data.cxkv")
+    committed_size = os.path.getsize(log)
+    # a writer mid-commit: flock held, record partially appended
+    with open(log, "ab") as f:
+        f.write(b"\x01\xff\xff")
+    lock_fd = os.open(os.path.join(path, "LOCK"), os.O_RDWR)
+    fcntl.flock(lock_fd, fcntl.LOCK_EX)
+    try:
+        code = (
+            "import sys; sys.path.insert(0, {root!r})\n"
+            "from clipx.store import kv\n"
+            "e = kv.open_env({path!r})\n"
+            "print('OPENED', flush=True)\n"
+            "e.close()\n"
+        ).format(root=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), path=path)
+        proc = subprocess.Popen([sys.executable, "-c", code],
+                                stdout=subprocess.PIPE, text=True)
+        time.sleep(1.0)
+        assert proc.poll() is None, "open proceeded despite held flock"
+        # the partial record must still be on disk while the lock is held
+        assert os.path.getsize(log) == committed_size + 3
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
+    out, _ = proc.communicate(timeout=30)
+    assert proc.returncode == 0 and "OPENED" in out
+    # after release the opener trimmed the (now genuinely torn) tail
+    assert os.path.getsize(log) == committed_size
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"good") == b"record"
+    env.close()
+
+
 def test_concurrent_threads(env):
     """Parallel writers from many threads (the data pipeline's LMDB
     writeback workers) must serialize cleanly."""
