@@ -51,18 +51,22 @@ def _resize_shape(w: int, h: int, target: int) -> Tuple[int, int]:
 def pil_resize_crop(img, size: int = 224) -> np.ndarray:
     """PIL path, arithmetic-identical to the reference transform.
 
-    Accepts a PIL.Image, returns (size, size, 3) uint8 RGB.
+    Accepts a PIL.Image, returns (size, size, 3) uint8 RGB. Operator
+    order matches CLIP's torchvision pipeline exactly — Resize ->
+    CenterCrop -> *then* convert-to-RGB — so palette/RGBA/grayscale
+    inputs resample in their native mode first, as the reference does
+    (reference:build-index.py:48; the transform built by clip.load).
     """
     from PIL import Image
 
-    if img.mode != "RGB":
-        img = img.convert("RGB")
     w, h = img.size
     nw, nh = _resize_shape(w, h, size)
     img = img.resize((nw, nh), Image.BICUBIC)  # PIL bicubic is antialiased
     left = int(round((nw - size) / 2.0))
     top = int(round((nh - size) / 2.0))
     img = img.crop((left, top, left + size, top + size))
+    if img.mode != "RGB":
+        img = img.convert("RGB")
     return np.asarray(img, dtype=np.uint8)
 
 

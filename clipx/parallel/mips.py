@@ -41,8 +41,14 @@ def _merge_across_shards(d, gi, k):
 
 
 def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
-                       valid_total: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Runs per shard inside shard_map. corpus_local: (rows, D)."""
+                       valid_total: jax.Array, k: int, merge_k: int
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Runs per shard inside shard_map. corpus_local: (rows, D).
+
+    ``k`` is the per-shard candidate count (capped at rows-per-shard);
+    ``merge_k`` is the final result width, selected from the gathered
+    n_shards * k pool so k > rows-per-shard still returns every valid
+    row, matching the single-device contract."""
     rows = corpus_local.shape[0]
     my = jax.lax.axis_index(AXIS)
     base = my * rows
@@ -52,12 +58,12 @@ def _local_topk_kernel(corpus_local: jax.Array, queries: jax.Array,
     scores = jnp.where(gids < valid_total, scores, -jnp.inf)
     d, li = _exact_topk(scores, k)                      # (Q, k) local
     gi = jnp.take_along_axis(gids, li, axis=1)
-    return _merge_across_shards(d, gi, k)
+    return _merge_across_shards(d, gi, merge_k)
 
 
 def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
                             corpus_local: jax.Array, queries: jax.Array,
-                            valid_total: jax.Array, k: int
+                            valid_total: jax.Array, k: int, merge_k: int
                             ) -> Tuple[jax.Array, jax.Array]:
     """int8 scan + exact f32 rescore, per shard (the distributed variant
     of engine._search_kernel_int8): approximate scores pick k * margin
@@ -85,7 +91,7 @@ def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
                       exact, -jnp.inf)
     d, sel = jax.lax.top_k(exact, k)
     gi = jnp.take_along_axis(cand + base, sel, axis=1)
-    return _merge_across_shards(d, gi, k)
+    return _merge_across_shards(d, gi, merge_k)
 
 
 class ShardedVectorIndex:
@@ -115,18 +121,20 @@ class ShardedVectorIndex:
             padded.astype(dtype), NamedSharding(mesh, spec))
         self._search_fns = {}
 
-    def _compiled(self, k: int):
-        key = (k, self.quantized)
+    def _compiled(self, k: int, merge_k: int):
+        key = (k, merge_k, self.quantized)
         if key not in self._search_fns:
             # outputs are replicated by construction (every shard computes
             # the same merge after the all_gather); the static vma checker
             # can't see that through axis_index, hence check_vma=False
             if self.quantized:
-                fn = functools.partial(_local_topk_kernel_int8, k=k)
+                fn = functools.partial(_local_topk_kernel_int8, k=k,
+                                       merge_k=merge_k)
                 in_specs = (P(AXIS, None), P(AXIS), P(AXIS, None),
                             P(None, None), P())
             else:
-                fn = functools.partial(_local_topk_kernel, k=k)
+                fn = functools.partial(_local_topk_kernel, k=k,
+                                       merge_k=merge_k)
                 in_specs = (P(AXIS, None), P(None, None), P())
             smapped = jax.shard_map(
                 fn, mesh=self.mesh, in_specs=in_specs,
@@ -155,15 +163,20 @@ class ShardedVectorIndex:
         if self.ntotal == 0:
             return (np.full((queries.shape[0], k), -np.inf, np.float32),
                     np.full((queries.shape[0], k), -1, np.int64))
-        rows_per_shard = self._corpus.shape[0] // self.mesh.shape[AXIS]
+        n_shards = self.mesh.shape[AXIS]
+        rows_per_shard = self._corpus.shape[0] // n_shards
         kk = min(_bucket_k(k), rows_per_shard)
+        # merge over the gathered n_shards * kk pool, not just kk: when
+        # k > rows_per_shard every shard still contributes its full top
+        # list, so all valid rows are returned (single-device parity)
+        merge_k = min(_bucket_k(k), n_shards * kk)
         if self.quantized:
             self._ensure_codes()
-            d, i = self._compiled(kk)(
+            d, i = self._compiled(kk, merge_k)(
                 self._codes, self._scales, self._corpus,
                 jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))
         else:
-            d, i = self._compiled(kk)(
+            d, i = self._compiled(kk, merge_k)(
                 self._corpus,
                 jnp.asarray(queries, self.dtype),
                 jnp.int32(self.ntotal))

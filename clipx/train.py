@@ -112,6 +112,29 @@ def restore_train_state(path: str, template: TrainState) -> TrainState:
     return TrainState(*restored)
 
 
+def _mirror_opt_shardings(opt_state, p_sh, rep):
+    """Sharding pytree for ``opt_state`` mirroring the param shardings.
+
+    Optimizer moments (adam mu/nu, etc.) embed the param pytree verbatim,
+    so a leaf whose key-path *ends with* a param's key-path gets that
+    param's sharding; everything else (counts, empty states) replicates.
+    """
+    param_sh = {tuple(map(str, path)): sh
+                for path, sh in jax.tree_util.tree_flatten_with_path(p_sh)[0]}
+    flat, treedef = jax.tree_util.tree_flatten_with_path(opt_state)
+    out = []
+    for path, _ in flat:
+        keys = tuple(map(str, path))
+        sh = rep
+        for start in range(len(keys)):
+            hit = param_sh.get(keys[start:])
+            if hit is not None:
+                sh = hit
+                break
+        out.append(sh)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def make_sharded_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
                             dp: str = "dp", tp: Optional[str] = "tp",
                             dtype=jnp.float32, remat: bool = False):
@@ -123,13 +146,13 @@ def make_sharded_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
 
     def shard_state(state: TrainState) -> TrainState:
         params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
-        # optimizer moments mirror the param shardings; scalars replicate
-        def place(x):
-            x = jnp.asarray(x)
-            if x.ndim == 0:
-                return jax.device_put(x, rep)
-            return x
-        opt_state = jax.tree_util.tree_map(place, tx.init(params))
+        # Place the EXISTING optimizer state (restored adam moments and
+        # schedule step must survive --resume; rebuilding via tx.init here
+        # silently restarted LR warmup) with param-mirrored shardings.
+        opt_sh = _mirror_opt_shardings(state.opt_state, p_sh, rep)
+        opt_state = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(jnp.asarray(x), s),
+            state.opt_state, opt_sh)
         return TrainState(params, opt_state, jax.device_put(state.step, rep))
 
     step = make_train_step(cfg, tx, dtype=dtype, remat=remat)

@@ -204,3 +204,54 @@ def test_sharded_absurd_k_is_clamped():
     D, I = idx.search(_normed(rng, 1), k=9_999_999_999)
     assert D.shape[1] <= 16384
     assert (I[0, :10] >= 0).all()
+
+
+def test_sharded_k_beyond_rows_per_shard_matches_single_device():
+    """k larger than rows-per-shard must still return every valid row
+    (the merge selects from the gathered n_shards * kk pool, not kk)."""
+    rng = np.random.RandomState(23)
+    corpus = _normed(rng, 1024)  # 8 shards x 128 rows
+    queries = _normed(rng, 2)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    sharded = ShardedVectorIndex(corpus, mesh)
+    single = VectorIndex.from_vectors(corpus)
+    Ds, Is = sharded.search(queries, k=500)
+    D1, I1 = single.search(queries, k=500)
+    assert (Is >= 0).all(), "valid rows were dropped / padded with -1"
+    np.testing.assert_array_equal(Is, I1)
+    np.testing.assert_allclose(Ds, D1, rtol=1e-5, atol=1e-6)
+
+
+def test_shard_state_preserves_opt_state():
+    """--resume contract: re-sharding a restored TrainState must keep the
+    adam moments and schedule step, not rebuild them via tx.init."""
+    cfg = tiny_test()
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    tx = train_lib.make_optimizer(learning_rate=1e-3, warmup_steps=2,
+                                  total_steps=50)
+    state, tx = train_lib.create_train_state(cfg, jax.random.PRNGKey(3), tx)
+    jitted, shard_state, batch_sh = train_lib.make_sharded_train_step(
+        cfg, tx, mesh)
+    state = shard_state(state)
+    rng = np.random.RandomState(4)
+    pixels, ids = _tiny_batch(rng, 8, cfg)
+    pixels = jax.device_put(pixels, batch_sh)
+    ids = jax.device_put(ids, batch_sh)
+    for _ in range(3):
+        state, _ = jitted(state, pixels, ids)
+    host = train_lib.TrainState(*jax.device_get(state))  # what orbax saves
+
+    resharded = shard_state(host)  # what --resume does after restore
+    a = jax.tree_util.tree_leaves(host.opt_state)
+    b = jax.tree_util.tree_leaves(jax.device_get(resharded).opt_state)
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    flat = jax.tree_util.tree_flatten_with_path(
+        jax.device_get(resharded).opt_state)[0]
+    counts = [np.asarray(leaf) for path, leaf in flat
+              if "count" in "".join(map(str, path))]
+    assert counts and all(int(c) == 3 for c in counts)
+    # moments carry the same shardings as before (next step still runs)
+    resharded, metrics = jitted(resharded, pixels, ids)
+    assert np.isfinite(float(metrics["loss"]))

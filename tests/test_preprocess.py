@@ -82,3 +82,26 @@ def test_resize_shape_semantics():
     assert pp._resize_shape(640, 480, 224) == (298, 224)
     assert pp._resize_shape(480, 640, 224) == (224, 298)
     assert pp._resize_shape(224, 224, 224) == (224, 224)
+
+
+def test_pil_rgb_conversion_after_resize_crop():
+    """Operator order parity: the reference transform converts to RGB
+    AFTER Resize + CenterCrop (clip.load's torchvision pipeline), so
+    palette inputs resample in their native mode first."""
+    rng = np.random.RandomState(7)
+    pal = Image.fromarray(rng.randint(0, 16, (100, 130), dtype=np.uint8),
+                          mode="P")
+    pal.putpalette(rng.randint(0, 255, (768,), dtype=np.uint8).tolist())
+    out = pp.pil_resize_crop(pal, 64)
+    nw, nh = pp._resize_shape(130, 100, 64)
+    ref = pal.resize((nw, nh), Image.BICUBIC)
+    left = int(round((nw - 64) / 2.0))
+    top = int(round((nh - 64) / 2.0))
+    ref = np.asarray(ref.crop((left, top, left + 64, top + 64))
+                     .convert("RGB"))
+    np.testing.assert_array_equal(out, ref)
+    # the two orders genuinely differ on palette inputs, so this pins
+    # the reference's order rather than an arbitrary one
+    alt = pal.convert("RGB").resize((nw, nh), Image.BICUBIC)
+    alt = np.asarray(alt.crop((left, top, left + 64, top + 64)))
+    assert np.abs(out.astype(int) - alt.astype(int)).max() > 0
