@@ -52,13 +52,14 @@ def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int) -> float:
     return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
 
 
-def bench_encode(batch_size: int, iters: int, model: str) -> dict:
+def bench_encode(batch_size: int, iters: int, model: str,
+                 mesh=None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from clipx.runtime.encoder import Encoder
 
-    enc = Encoder.create(model, batch_buckets=(batch_size,))
+    enc = Encoder.create(model, batch_buckets=(batch_size,), mesh=mesh)
     size = enc.image_size
 
     # distinct per-dispatch inputs, generated on device (H2D rides a slow
@@ -70,6 +71,8 @@ def bench_encode(batch_size: int, iters: int, model: str) -> dict:
                                   0, 256, jnp.uint8)
 
     batches = [make_batch(jax.random.PRNGKey(i)) for i in range(4)]
+    if mesh is not None:
+        batches = [jax.device_put(b, enc._batch_sh) for b in batches]
 
     log(f"compiling {model} encode at batch {batch_size} "
         f"on {jax.devices()[0]} ...")
@@ -157,6 +160,31 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
     return {"p50_ms": p50_quant, "p50_ms_f32": p50_exact}
 
 
+def bench_dp_encode(batch_size: int, iters: int, model: str,
+                    dp: int) -> dict:
+    """Data-parallel encode scaling: batch sharded over a dp-axis mesh
+    (the build-index --sharded path). Reports total and per-chip rates."""
+    import jax
+
+    from clipx.parallel import mesh as mesh_lib
+
+    dp = min(dp, len(jax.devices()))
+    mesh = mesh_lib.make_mesh({"dp": dp}, devices=jax.devices()[:dp])
+    # shard the same global batch the single-chip bench uses, times dp
+    res = bench_encode(batch_size * dp, iters, model, mesh=mesh)
+    log(f"  dp={dp}: {res['images_per_sec']:,.0f} img/s total, "
+        f"{res['images_per_sec'] / dp:,.0f} img/s/chip")
+    return {"dp": dp, "images_per_sec_total": res["images_per_sec"],
+            "images_per_sec_per_chip": res["images_per_sec"] / dp}
+
+
+# stress config (BASELINE.json config 3): the 577-token long-sequence
+# encoder; batch per docs/ARCHITECTURE.md measurement
+STRESS_MODEL = "ViT-L/14@336px"
+STRESS_BATCH = 32
+STRESS_CORPUS = 5_000_000
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-B/32")
@@ -166,12 +194,27 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
+    ap.add_argument("--skip-stress", action="store_true",
+                    help="skip the ViT-L/14@336 + 5M-corpus stress "
+                         "measurements")
+    ap.add_argument("--dp", type=int, default=0,
+                    help="also measure data-parallel encode scaling over "
+                         "this many devices (needs a multi-chip platform)")
     args = ap.parse_args()
 
     enc = bench_encode(args.batch_size, args.iters, args.model)
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials))
+    search5m = ({} if (args.skip_search or args.skip_stress)
+                else bench_search(STRESS_CORPUS, args.dim, 50,
+                                  max(args.trials // 2, 10)))
+    dp = bench_dp_encode(args.batch_size, args.iters, args.model,
+                         args.dp) if args.dp > 1 else {}
+    # the big search corpora are freed before ViT-L params/activations
+    # land (16 GB HBM on v5e fits either, not both)
+    stress = ({} if args.skip_stress
+              else bench_encode(STRESS_BATCH, args.iters, STRESS_MODEL))
 
     value = round(enc["images_per_sec"], 1)
     result = {
@@ -189,6 +232,21 @@ def main() -> int:
         "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
+    if search5m:
+        result["query_p50_ms_5M"] = round(search5m["p50_ms"], 3)
+        result["query_p50_ms_5M_f32_exact"] = round(search5m["p50_ms_f32"], 3)
+    if stress:
+        result["vit_l14_336_images_per_sec"] = round(
+            stress["images_per_sec"], 1)
+        result["vit_l14_336_ms_per_batch"] = round(
+            stress["ms_per_batch"], 2)
+        result["vit_l14_336_batch_size"] = STRESS_BATCH
+    if dp:
+        result["dp_devices"] = dp["dp"]
+        result["dp_images_per_sec_total"] = round(
+            dp["images_per_sec_total"], 1)
+        result["dp_images_per_sec_per_chip"] = round(
+            dp["images_per_sec_per_chip"], 1)
     print(json.dumps(result), flush=True)
     return 0
 

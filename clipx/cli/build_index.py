@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="host: resize+crop on CPU (PIL-parity option); "
                         "device: decode to a larger square canvas and do "
                         "the antialiased bicubic resample on the TPU")
+    p.add_argument("--sharded", choices=("auto", "on", "off"),
+                   default=os.environ.get("CLIPX_SHARDED", "auto"),
+                   help="data-parallel encode over all visible devices "
+                        "(batch dim sharded, params replicated; auto: "
+                        "only when >1 device is visible)")
     p.add_argument("--trace-dir", default=None,
                    help="write a jax.profiler trace of the encode phase")
     p.add_argument("dirs", nargs="*")
@@ -70,7 +75,11 @@ def main(argv: List[str] | None = None) -> int:
         return 1
 
     timers = StageTimers()
-    encoder = common.make_encoder(args)
+    mesh = common.encode_mesh(getattr(args, "sharded", "off"))
+    if mesh is not None:
+        print(f"(data-parallel encode over {mesh.size} devices)",
+              file=sys.stderr)
+    encoder = common.make_encoder(args, mesh=mesh)
     env = open_env(args.db, map_size=common.DEFAULT_MAP_SIZE, max_dbs=4)
     fn_db = env.open_db(common.FN_DB)
     skip_db = env.open_db(common.SKIP_DB)

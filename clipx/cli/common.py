@@ -57,14 +57,27 @@ def apply_search_mode(index, mode: str):
     return index
 
 
-def make_encoder(args):
+def make_encoder(args, mesh=None):
     from clipx.runtime.encoder import Encoder
 
-    enc = Encoder.create(args.model, checkpoint=args.checkpoint)
+    enc = Encoder.create(args.model, checkpoint=args.checkpoint, mesh=mesh)
     if args.checkpoint is None and args.model != "tiny-test":
         print("(no checkpoint given — using randomly initialized weights; "
               "pass --checkpoint or set $CLIPX_CHECKPOINT for real "
               "embeddings)")
     return enc
+
+
+def encode_mesh(mode: str):
+    """Mesh for data-parallel indexing encode per the --sharded flag:
+    all visible devices on a 'dp' axis, or None for single-device."""
+    import jax
+
+    n = len(jax.devices())
+    if mode == "on" or (mode == "auto" and n > 1):
+        from clipx.parallel import mesh as mesh_lib
+
+        return mesh_lib.make_mesh({"dp": n})
+    return None
 
 

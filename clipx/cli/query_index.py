@@ -74,6 +74,7 @@ def _load_index(args):
     visible chip (BASELINE.json config 5)."""
     index = read_index(args.index)
     mode = getattr(args, "sharded", "off")
+    search_mode = getattr(args, "search_mode", "auto")
     import jax
 
     if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
@@ -82,9 +83,10 @@ def _load_index(args):
         if index.ntotal > 0:
             sharded = ShardedVectorIndex(index.vectors())
             sharded.nprobe = 32
-            return sharded
-    return common.apply_search_mode(index,
-                                    getattr(args, "search_mode", "auto"))
+            # --search-mode applies to both branches: the int8-scan +
+            # exact-rescore win must not silently disappear on a pod
+            return common.apply_search_mode(sharded, search_mode)
+    return common.apply_search_mode(index, search_mode)
 
 
 class QueryREPL:

@@ -81,15 +81,24 @@ def default_compute_dtype():
 
 
 class Encoder:
-    """Holds (config, params) and compiled encode functions."""
+    """Holds (config, params) and compiled encode functions.
+
+    With ``mesh`` set, image encodes run data-parallel: the batch dim is
+    sharded over the mesh's ``dp`` axis and params are replicated (or
+    TP-sharded when ``tp`` names a mesh axis) — the multi-chip scale-out
+    of the reference's indexing hot loop (reference:build-index.py:45-51,
+    SURVEY.md section 2c DP row). Embeddings are identical to the
+    single-device path; only the placement changes.
+    """
 
     def __init__(self, cfg: CLIPConfig, params, *,
                  compute_dtype=None, attn_impl: str = "auto",
                  batch_buckets: Sequence[int] = _DEFAULT_BUCKETS,
-                 tokenizer: Optional[ClipTokenizer] = None):
+                 tokenizer: Optional[ClipTokenizer] = None,
+                 mesh=None, tp: Optional[str] = None):
         enable_persistent_compile_cache()
         self.cfg = cfg
-        self.params = params
+        self.mesh = mesh
         self.dtype = compute_dtype or default_compute_dtype()
         if attn_impl == "auto":
             # "xla" here means "let mha_block pick": on TPU it dispatches
@@ -99,17 +108,36 @@ class Encoder:
             # flash kernel instead.
             attn_impl = "xla"
         self.attn_impl = attn_impl
-        self.buckets = tuple(sorted(batch_buckets))
         self.tokenizer = tokenizer or ClipTokenizer()
 
-        @functools.partial(jax.jit, static_argnames=())
+        self._batch_sh = None
+        out_sh = None
+        if mesh is not None:
+            from clipx.parallel import mesh as mesh_lib
+
+            dp_size = mesh.shape.get("dp")
+            if dp_size is None:
+                raise ValueError("encoder mesh must have a 'dp' axis")
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # replicate (tp=None) or TP-shard the params onto the mesh
+            params = mesh_lib.shard_params(params, mesh, tp)
+            self._batch_sh = NamedSharding(mesh, P("dp"))
+            out_sh = self._batch_sh
+            # every bucket must split evenly over dp
+            batch_buckets = {max(dp_size, -(-b // dp_size) * dp_size)
+                             for b in batch_buckets}
+        self.params = params
+        self.buckets = tuple(sorted(batch_buckets))
+
+        @functools.partial(jax.jit, out_shardings=out_sh)
         def _encode_images(params, batch_uint8):
             pixels = normalize_batch(batch_uint8, dtype=self.dtype)
             return model_lib.encode_image(params, cfg, pixels,
                                           normalize=True, dtype=self.dtype,
                                           attn_impl=attn_impl)
 
-        @functools.partial(jax.jit, static_argnames=())
+        @functools.partial(jax.jit, out_shardings=out_sh)
         def _encode_canvases(params, batch_uint8):
             # fully on-device preprocess: antialiased bicubic resize from
             # a square decode canvas (e.g. 256x256) to the model input,
@@ -200,7 +228,10 @@ class Encoder:
         fn = (self._encode_images
               if batch_uint8.shape[1] == self.image_size
               else self._encode_canvases)
-        out = fn(self.params, jax.device_put(batch_uint8))
+        # dp mode: the H2D transfer itself is sharded — each device
+        # receives only its 1/dp slice of the batch
+        dev_batch = jax.device_put(batch_uint8, self._batch_sh)
+        out = fn(self.params, dev_batch)
         return (out, n)
 
     @staticmethod

@@ -119,3 +119,40 @@ def test_resume_after_partial_build(big_folder, tmp_path, monkeypatch,
         assert txn.stat()["entries"] == N_IMAGES
     env.close()
     assert read_index("images.index").ntotal == N_IMAGES
+
+
+def test_sharded_indexing_matches_single_device(tmp_path, monkeypatch,
+                                                capsys):
+    """--sharded on (dp encode over the 8-device mesh) must write the
+    exact same embeddings to fn_db as --sharded off."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    folder = tmp_path / "photos"
+    folder.mkdir()
+    rng = np.random.RandomState(11)
+    for i in range(25):
+        Image.fromarray(rng.randint(0, 255, (40, 48, 3), dtype=np.uint8)
+                        ).save(folder / f"p{i:02d}.png")
+    src = str(folder) + os.sep
+
+    results = {}
+    for mode in ("off", "on"):
+        work = tmp_path / f"w_{mode}"
+        work.mkdir()
+        monkeypatch.chdir(work)
+        rc = bi.main(["--model", "tiny-test", "--batch-size", "8",
+                      "--sharded", mode, src])
+        assert rc == 0
+        env = open_env("vectors.lmdb")
+        with env.begin(db=env.open_db(FN_DB)) as txn:
+            results[mode] = {k: v for k, v in txn.cursor()}
+        env.close()
+    capsys.readouterr()
+    assert results["off"].keys() == results["on"].keys()
+    assert len(results["on"]) == 25
+    for key in results["off"]:
+        a = np.frombuffer(results["off"][key], np.float32)
+        b = np.frombuffer(results["on"][key], np.float32)
+        np.testing.assert_array_equal(a, b)

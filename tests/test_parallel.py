@@ -255,3 +255,80 @@ def test_shard_state_preserves_opt_state():
     # moments carry the same shardings as before (next step still runs)
     resharded, metrics = jitted(resharded, pixels, ids)
     assert np.isfinite(float(metrics["loss"]))
+
+
+# ---------------------------------------------------------------------------
+# data-parallel indexing encode (the reference's hot loop #1 scaled out,
+# reference:build-index.py:45-51; SURVEY.md section 2c DP row)
+# ---------------------------------------------------------------------------
+
+def test_dp_encode_bitwise_matches_single_device():
+    from clipx.runtime.encoder import Encoder
+
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    single = Encoder(cfg, params)
+    mesh = mesh_lib.make_mesh({"dp": 8})
+    dp = Encoder(cfg, params, mesh=mesh)
+    rng = np.random.RandomState(0)
+    s = cfg.vision.image_size
+    batch = rng.randint(0, 256, (20, s, s, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(single.encode_images(batch),
+                                  dp.encode_images(batch))
+
+
+def test_dp_encode_batch_actually_sharded():
+    """The compiled dp encode must consume a dp-sharded batch and produce
+    a dp-sharded output — not silently replicate onto one device."""
+    from jax.sharding import PartitionSpec as P
+    from clipx.runtime.encoder import Encoder
+
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh({"dp": 8})
+    enc = Encoder(cfg, params, mesh=mesh)
+    assert all(b % 8 == 0 for b in enc.buckets)
+    s = cfg.vision.image_size
+    out, n = enc.encode_images_async(
+        np.zeros((16, s, s, 3), np.uint8))
+    assert n == 16
+    assert out.sharding.spec == P("dp")
+    # placement: each device holds exactly 1/8 of the (bucketed) batch
+    shard_rows = {sh.data.shape[0] for sh in out.addressable_shards}
+    assert shard_rows == {out.shape[0] // 8}
+
+
+def test_dp_encode_tp_sharded_params():
+    """dp x tp: params TP-sharded via the mesh rules, batch over dp."""
+    from clipx.runtime.encoder import Encoder
+
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(1))
+    single = Encoder(cfg, params)
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    dptp = Encoder(cfg, params, mesh=mesh, tp="tp")
+    rng = np.random.RandomState(1)
+    s = cfg.vision.image_size
+    batch = rng.randint(0, 256, (8, s, s, 3), dtype=np.uint8)
+    np.testing.assert_allclose(single.encode_images(batch),
+                               dptp.encode_images(batch),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_search_mode_wired_through_sharded_index(tmp_path):
+    """--search-mode must configure the sharded index too, not just the
+    single-device branch (the int8 win must survive on a pod)."""
+    from types import SimpleNamespace
+
+    from clipx.cli.query_index import _load_index
+    from clipx.search.engine import write_index
+
+    rng = np.random.RandomState(30)
+    idx = VectorIndex.from_vectors(_normed(rng, 300))
+    path = str(tmp_path / "images.index")
+    write_index(idx, path)
+    for sm, expect in (("quant", True), ("exact", False), ("auto", False)):
+        args = SimpleNamespace(index=path, sharded="on", search_mode=sm)
+        loaded = _load_index(args)
+        assert isinstance(loaded, ShardedVectorIndex)
+        assert loaded.quantized is expect, sm
