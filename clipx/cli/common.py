@@ -58,6 +58,8 @@ def apply_search_mode(index, mode: str):
 
 
 def make_encoder(args, mesh=None):
+    import sys
+
     from clipx.runtime.encoder import Encoder
 
     enc = Encoder.create(args.model, checkpoint=args.checkpoint, mesh=mesh)
@@ -65,6 +67,19 @@ def make_encoder(args, mesh=None):
         print("(no checkpoint given — using randomly initialized weights; "
               "pass --checkpoint or set $CLIPX_CHECKPOINT for real "
               "embeddings)")
+    elif args.checkpoint and not enc.tokenizer.has_learned_merges:
+        # Real weights with the byte-fallback tokenizer produce garbage
+        # text embeddings: the weights were trained against the learned
+        # BPE merge table (reference:query-index.py:107 — tokenize must
+        # match the weights). Image search still works; warn loudly.
+        print(
+            "WARNING: checkpoint loaded but the BPE merge table "
+            "(bpe_simple_vocab_16e6.txt.gz) was not found — TEXT QUERIES "
+            "WILL NOT MATCH THESE WEIGHTS. Point $CLIPX_BPE_PATH at the "
+            "merge file (ships with OpenAI CLIP) or place it next to "
+            "clipx/text/tokenizer.py. Image-similarity ('i ID') queries "
+            "are unaffected.",
+            file=sys.stderr, flush=True)
     return enc
 
 

@@ -85,3 +85,26 @@ def test_canvas_route_close_to_direct(enc):
 
 def test_warmup_runs(enc):
     enc.warmup(buckets=(1,))
+
+
+def test_checkpoint_without_merges_warns(tmp_path, capsys):
+    """Real-weight readiness: a supplied checkpoint without the learned
+    BPE merge table must warn loudly that text queries won't match
+    (reference:query-index.py:107 — tokenize must match the weights)."""
+    from types import SimpleNamespace
+
+    import jax
+
+    from clipx.cli import common
+    from clipx.config import tiny_test
+    from clipx.models import clip as model_lib, convert
+    from clipx.text.tokenizer import ClipTokenizer
+
+    if ClipTokenizer().has_learned_merges:
+        pytest.skip("merge table present — warning path not reachable")
+    params = model_lib.init_params(tiny_test(), jax.random.PRNGKey(0))
+    path = str(tmp_path / "params.npz")
+    convert.save_params(path, params)
+    args = SimpleNamespace(model="tiny-test", checkpoint=path)
+    common.make_encoder(args)
+    assert "TEXT QUERIES WILL NOT MATCH" in capsys.readouterr().err
