@@ -91,6 +91,20 @@ class SearchService:
         return {"results": results, "search_time_s": round(dt, 6)}
 
 
+# Upper bound on accepted POST bodies: the largest legitimate payload
+# (a /search_vector query at dim 1024) is a few KB; 8 MB leaves room for
+# encode_text batches while keeping a hostile Content-Length from
+# ballooning resident memory.
+MAX_POST_BYTES = 8 * 1024 * 1024
+
+
+def _validated_k_offset(k, offset) -> tuple:
+    k, offset = int(k), int(offset)
+    if k < 1 or k > 1000 or offset < 0:
+        raise ValueError("k must be 1..1000, offset >= 0")
+    return k, offset
+
+
 class Handler(BaseHTTPRequestHandler):
     service: SearchService = None  # injected by serve()
 
@@ -123,10 +137,8 @@ class Handler(BaseHTTPRequestHandler):
                 text = q.get("q", "")
                 if not text:
                     return self._bad("missing q parameter")
-                k = int(q.get("k", "50"))
-                offset = int(q.get("offset", "0"))
-                if k < 1 or k > 1000 or offset < 0:
-                    return self._bad("k must be 1..1000, offset >= 0")
+                k, offset = _validated_k_offset(q.get("k", "50"),
+                                                q.get("offset", "0"))
                 feats = self.service.encoder().encode_texts([text])
                 self._json(200, self.service.search(feats, k, offset))
             elif url.path == "/similar":
@@ -134,8 +146,8 @@ class Handler(BaseHTTPRequestHandler):
                 vec = self.service.stored_vector(image_id)
                 if vec is None:
                     return self._bad(f"id {image_id} not found", 404)
-                k = int(q.get("k", "50"))
-                offset = int(q.get("offset", "0"))
+                k, offset = _validated_k_offset(q.get("k", "50"),
+                                                q.get("offset", "0"))
                 self._json(200, self.service.search(vec, k, offset))
             else:
                 self._bad("unknown endpoint", 404)
@@ -149,6 +161,13 @@ class Handler(BaseHTTPRequestHandler):
         url = urlparse(self.path)
         try:
             length = int(self.headers.get("Content-Length", "0"))
+            if length < 0:
+                return self._bad("bad Content-Length")
+            if length > MAX_POST_BYTES:
+                # don't trust Content-Length into a read(): a hostile
+                # multi-GB body must never land in RAM
+                return self._bad(
+                    f"body exceeds {MAX_POST_BYTES} bytes", 413)
             payload = json.loads(self.rfile.read(length) or b"{}")
             if url.path == "/encode_text":
                 texts = payload.get("texts")
@@ -159,7 +178,7 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"embeddings": emb.tolist()})
             elif url.path == "/search_vector":
                 vec = payload.get("vector")
-                k = int(payload.get("k", 50))
+                k, _ = _validated_k_offset(payload.get("k", 50), 0)
                 arr = np.asarray(vec, dtype=np.float32).reshape(1, -1)
                 if arr.shape[1] != self.service.index.dim:
                     return self._bad(

@@ -144,3 +144,58 @@ def test_pagination_offset(served):
     ids2 = [r["id"] for r in page2["results"]]
     assert not set(ids1) & set(ids2)
     assert page2["results"][0]["rank"] == 2
+
+
+def test_search_vector_bad_k(served):
+    """/search_vector validates k like /search (1..1000)."""
+    vec = [0.0] * 32
+    for bad_k in (0, -3, 1001, "junk"):
+        status, data = _post(served, "/search_vector",
+                             {"vector": vec, "k": bad_k})
+        assert status == 400, bad_k
+        assert "k must be" in data["error"] or "bad request" in data["error"]
+
+
+def test_post_body_cap(served):
+    """A hostile Content-Length must be rejected before the read, not
+    buffered into RAM."""
+    conn = HTTPConnection("127.0.0.1", served, timeout=60)
+    conn.request("POST", "/encode_text", body=b"x",
+                 headers={"Content-Length": str(3 * 1024 ** 3)})
+    resp = conn.getresponse()
+    assert resp.status == 413
+    body = json.loads(resp.read())
+    assert "exceeds" in body["error"]
+
+
+def test_concurrent_search_and_encode(served):
+    """ThreadingHTTPServer under concurrency: two searchers race an
+    encoder thread; every response must be well-formed and correct."""
+    errors = []
+
+    def searcher(i):
+        try:
+            for _ in range(5):
+                status, data = _get(served, "/similar?id=%d&k=3" % (i % 4))
+                assert status == 200
+                assert data["results"][0]["id"] == i % 4
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    def encoder():
+        try:
+            for _ in range(3):
+                status, data = _post(served, "/encode_text",
+                                     {"texts": ["busy", "bee"]})
+                assert status == 200
+                assert len(data["embeddings"]) == 2
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=searcher, args=(i,))
+               for i in range(2)] + [threading.Thread(target=encoder)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
