@@ -74,41 +74,53 @@ def find_pairs(data_dir: str) -> List[Tuple[str, str]]:
 
 
 class PairLoader:
-    """Cycles (pixels, token_ids) batches from caption pairs."""
+    """Cycles (pixels, token_ids) batches from caption pairs.
+
+    Cache misses are decoded through the indexer's thread pool in one
+    sweep per batch instead of one file at a time, so cold-corpus
+    fine-tuning is decode-parallel like the indexing pipeline."""
 
     def __init__(self, pairs, image_size: int, context_length: int,
-                 batch_size: int, seed: int):
+                 batch_size: int, seed: int, decode_workers: int = 4):
         self.pairs = pairs
         self.image_size = image_size
         self.batch_size = batch_size
         self.tok = ClipTokenizer()
         self.context_length = context_length
         self.rng = np.random.RandomState(seed)
+        self.decode_workers = decode_workers
         self._cache = {}
 
     _CACHE_CAP = 8192  # decoded images kept in RAM (~150 KB each at 224px)
 
-    def _decode(self, path: str):
-        if path not in self._cache:
+    def _fill_cache(self, paths) -> None:
+        missing = list(dict.fromkeys(
+            p for p in paths if p not in self._cache))
+        if not missing:
+            return
+        for item in iter_decoded(missing, self.image_size,
+                                 workers=self.decode_workers):
             if len(self._cache) >= self._CACHE_CAP:
                 self._cache.pop(next(iter(self._cache)))
-            item = next(iter_decoded([path], self.image_size, workers=1))
-            self._cache[path] = item.array  # None on failure
-        return self._cache[path]
+            self._cache[item.path] = item.array  # None on failure
 
     def next_batch(self):
         from clipx.ops.preprocess import normalize_host
 
         pixels, captions = [], []
         while len(pixels) < self.batch_size:
-            img_path, txt_path = self.pairs[
-                self.rng.randint(len(self.pairs))]
-            arr = self._decode(img_path)
-            if arr is None:
-                continue
-            with open(txt_path, encoding="utf-8", errors="replace") as f:
-                captions.append(f.read().strip())
-            pixels.append(arr)
+            want = self.batch_size - len(pixels)
+            picks = [self.pairs[self.rng.randint(len(self.pairs))]
+                     for _ in range(want)]
+            self._fill_cache([p for p, _ in picks])
+            for img_path, txt_path in picks:
+                arr = self._cache.get(img_path)
+                if arr is None:
+                    continue  # undecodable file: resampled next loop
+                with open(txt_path, encoding="utf-8",
+                          errors="replace") as f:
+                    captions.append(f.read().strip())
+                pixels.append(arr)
         ids = self.tok(captions, context_length=self.context_length)
         return normalize_host(np.stack(pixels)), ids
 

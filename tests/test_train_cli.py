@@ -101,3 +101,25 @@ def test_train_resume_relative_checkpoint_dir(pair_dir, tmp_path,
     assert train_cli.main(base + ["--steps", "4", "--resume"]) == 0
     out = capsys.readouterr().out
     assert "resumed from" in out and "at step 2" in out
+
+
+def test_pair_loader_pooled_decode_and_bad_file(pair_dir):
+    """Cold-cache batches decode through the thread pool in one sweep;
+    undecodable files are resampled, never crash the loader."""
+    (os.path.join(pair_dir, "bad.jpg"))
+    with open(os.path.join(pair_dir, "bad.jpg"), "wb") as f:
+        f.write(b"garbage not an image")
+    with open(os.path.join(pair_dir, "bad.txt"), "w") as f:
+        f.write("caption of a broken file")
+    pairs = train_cli.find_pairs(pair_dir)
+    assert any(p[0].endswith("bad.jpg") for p in pairs)
+    loader = train_cli.PairLoader(pairs, image_size=32, context_length=16,
+                                  batch_size=6, seed=3, decode_workers=4)
+    for _ in range(4):  # several batches so the bad file gets sampled
+        pixels, ids = loader.next_batch()
+        assert pixels.shape == (6, 32, 32, 3)
+        assert ids.shape == (6, 16)
+        assert np.isfinite(pixels).all()
+    # the bad file is cached as None (decoded once, skipped forever)
+    bad = [p for p in loader._cache if p.endswith("bad.jpg")]
+    assert all(loader._cache[p] is None for p in bad)
