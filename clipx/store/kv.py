@@ -94,6 +94,10 @@ def _load() -> ctypes.CDLL:
         lib.cxkv_refresh.argtypes = [ctypes.c_void_p]
         lib.cxkv_sync.restype = ctypes.c_int
         lib.cxkv_sync.argtypes = [ctypes.c_void_p]
+        lib.cxkv_generation.restype = ctypes.c_uint64
+        lib.cxkv_generation.argtypes = [ctypes.c_void_p]
+        lib.cxkv_overlay_bytes.restype = ctypes.c_uint64
+        lib.cxkv_overlay_bytes.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -272,6 +276,16 @@ class Environment:
         rc = self._lib.cxkv_compact(self._h)
         if rc != 0:
             raise Error(f"compact failed (rc={rc})")
+
+    def generation(self) -> int:
+        """Current segment generation (bumps on every compaction)."""
+        return int(self._lib.cxkv_generation(self._h))
+
+    def overlay_bytes(self) -> int:
+        """Approximate RAM held by the write overlay (the memtable);
+        bounded by $CLIPX_KV_MEMTABLE_MB — bulk ingests spill to a new
+        sorted-segment generation instead of accumulating."""
+        return int(self._lib.cxkv_overlay_bytes(self._h))
 
     def close(self) -> None:
         if self._h:

@@ -166,6 +166,13 @@ def test_reader_cursor_interleaved_with_writer(env):
         assert txn.get(b"49") == b"path049"
 
 
+def _store_bytes(path):
+    """Total size of data-bearing store files (segment + WAL)."""
+    return sum(os.path.getsize(os.path.join(path, f))
+               for f in os.listdir(path)
+               if f.endswith((".cxkv", ".cxs")))
+
+
 def test_compaction_preserves_data(tmp_path):
     path = str(tmp_path / "vectors.lmdb")
     env = kv.open_env(path)
@@ -175,13 +182,20 @@ def test_compaction_preserves_data(tmp_path):
         with env.begin(db=db, write=True) as txn:
             for i in range(20):
                 txn.put(f"k{i}".encode(), f"v{round_}".encode())
-    size_before = os.path.getsize(os.path.join(path, "data.cxkv"))
+    size_before = _store_bytes(path)
     env.compact()
-    size_after = os.path.getsize(os.path.join(path, "data.cxkv"))
+    size_after = _store_bytes(path)
     assert size_after < size_before
     with env.begin(db=db) as txn:
         assert txn.stat()["entries"] == 20
         assert txn.get(b"k3") == b"v4"
+    env.close()
+    # compaction rotated to a sorted segment + fresh WAL generation
+    assert any(f.startswith("seg-") for f in os.listdir(path))
+    env = kv.open_env(path)
+    with env.begin(db=env.open_db(b"fn_db")) as txn:
+        assert txn.stat()["entries"] == 20
+        assert txn.get(b"k19") == b"v4"
     env.close()
 
 

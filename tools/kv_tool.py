@@ -24,6 +24,18 @@ from clipx.store import kv  # noqa: E402
 KNOWN_DBS = [b"fn_db", b"skip_db", b"idx_db"]
 
 
+def _store_bytes(env_path: str):
+    """(segment bytes, wal bytes) of the data-bearing store files."""
+    seg = wal = 0
+    for f in os.listdir(env_path):
+        full = os.path.join(env_path, f)
+        if f.endswith(".cxs"):
+            seg += os.path.getsize(full)
+        elif f.endswith(".cxkv"):
+            wal += os.path.getsize(full)
+    return seg, wal
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command",
@@ -47,15 +59,16 @@ def main(argv=None) -> int:
                     n = txn.stat()["entries"]
                 total += n
                 print(f"{name.decode():8s} {n:>10,} entries")
-            log = os.path.join(args.env_path, "data.cxkv")
-            size = os.path.getsize(log) if os.path.exists(log) else 0
-            print(f"{'total':8s} {total:>10,} entries; log {size:,} bytes")
+            seg, wal = _store_bytes(args.env_path)
+            print(f"{'total':8s} {total:>10,} entries; generation "
+                  f"{env.generation()}; segment {seg:,} bytes, "
+                  f"wal {wal:,} bytes")
         elif args.command == "compact":
-            log = os.path.join(args.env_path, "data.cxkv")
-            before = os.path.getsize(log)
+            before = sum(_store_bytes(args.env_path))
             env.compact()
-            after = os.path.getsize(log)
-            print(f"compacted: {before:,} -> {after:,} bytes")
+            after = sum(_store_bytes(args.env_path))
+            print(f"compacted: {before:,} -> {after:,} bytes "
+                  f"(generation {env.generation()})")
         elif args.command == "check-index":
             # cross-check images.index <-> idx_db <-> fn_db: same count,
             # ids in byte-sorted path order, vectors bit-identical.
