@@ -59,7 +59,7 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     b, s, w = x.shape
     d = w // heads
 
-    use_packed = (s <= 64 and d == 64 and heads % 2 == 0)
+    use_packed = (s <= 64 and d == 64 and (heads % 2 == 0 or b % 2 == 0))
     # K/V must fit VMEM alongside scores for the long kernel
     use_long = (s > 64 and (-(-s // 128) * 128) * w * 2 * 2 < 8 * 2 ** 20)
     if (not causal and (use_packed or use_long)
@@ -68,16 +68,44 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
         # VMEM, consuming/producing (B, S, W) directly — no XLA
         # transposes or score-tile HBM round-trips (clipx.ops.packed_sdpa;
         # verified bit-identical to the XLA path). Short sequences also
-        # pack head pairs onto full MXU tiles.
-        from clipx.ops.packed_sdpa import fused_sdpa_long, packed_sdpa
+        # pack pairs (of batch rows, else of heads) onto full MXU tiles.
+        from clipx.ops.packed_sdpa import (fused_attn_block, fused_sdpa_long,
+                                           packed_sdpa, packed_sdpa_qkv,
+                                           packed_sdpa_rows)
+        import os
 
+        variant = os.environ.get("CLIPX_PACKED_SDPA", "auto")
+        if use_packed and b % 2 == 0 and variant in ("auto", "block"):
+            # whole attention sublayer in ONE kernel (qkv proj -> SDPA
+            # -> out proj, weights VMEM-resident): the separate GEMMs
+            # measured ~29% MFU on v5e — HBM round-trips and stalls
+            # around the pallas call, not matmul width, were the cost
+            wqkv = jnp.concatenate(
+                [p["wq"], p["wk"], p["wv"]], axis=-1)
+            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
+            return fused_attn_block(x, wqkv, bqkv, p["wo"], p["bo"],
+                                    heads=heads)
+        if use_packed and b % 2 == 0 and variant == "qkv":
+            # fused projection feeding the packed kernel (measured
+            # slower than pairs end-to-end; kept for A/B)
+            wqkv = jnp.concatenate(
+                [p["wq"], p["wk"], p["wv"]], axis=-1)
+            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
+            qkv = dense(x, wqkv, bqkv)
+            o = packed_sdpa_qkv(qkv, heads=heads)
+            return dense(o, p["wo"], p["bo"])
         q = dense(x, p["wq"], p["bq"])
         k = dense(x, p["wk"], p["bk"])
         v = dense(x, p["wv"], p["bv"])
-        if use_packed:
-            o = packed_sdpa(q, k, v, heads=heads)
-        else:
+        if not use_packed:
             o = fused_sdpa_long(q, k, v, heads=heads)
+        elif b % 2 == 0 and variant == "rows":
+            # batch-pair variant: same MXU packing as pairs with zero
+            # scratch copies (measured equal end-to-end); covers odd
+            # head counts
+            o = packed_sdpa_rows(q, k, v, heads=heads)
+        else:
+            o = packed_sdpa(q, k, v, heads=heads)
         return dense(o, p["wo"], p["bo"])
 
     def split(t):
@@ -101,6 +129,19 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
 
 
 def mlp_block(x: jax.Array, p: Params, use_quick_gelu: bool) -> jax.Array:
+    import os
+
+    # default off: unlike the attention sublayer (whose separate GEMMs
+    # measured ~29% MFU), XLA already runs the MLP at ~74% MFU and the
+    # fused kernel measured no end-to-end win (A/B at ViT-B/32 b256:
+    # 18.3-19.2 ms fused vs 17.7-18.8 ms XLA — noise)
+    if (_on_tpu() and os.environ.get("CLIPX_FUSED_MLP", "off") == "on"):
+        from clipx.ops.packed_sdpa import fused_mlp, mlp_fusible
+
+        w, hidden = p["w1"].shape
+        if mlp_fusible(w, hidden, x.dtype):
+            return fused_mlp(x, p["w1"], p["b1"], p["w2"], p["b2"],
+                             quick=use_quick_gelu)
     h = dense(x, p["w1"], p["b1"])
     h = quick_gelu(h) if use_quick_gelu else jax.nn.gelu(h, approximate=False)
     return dense(h, p["w2"], p["b2"])

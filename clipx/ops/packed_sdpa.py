@@ -72,6 +72,328 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, qs, ks, vs, *, seq_len: int,
         o_ref[0, :, lo + head_dim: lo + 2 * head_dim] = out[_SP:]
 
 
+def _rows_kernel(q_ref, k_ref, v_ref, o_ref, *, seq_len: int, heads: int,
+                 head_dim: int, scale: float):
+    """Batch-pair packing: one program = TWO batch rows, looping heads.
+    Blocks: (2, SP, H*D). The (2, SP, D) head slice reshapes to a
+    (2*SP, D) MXU operand directly (leading-dim collapse) — the same
+    full-tile (128, 128) scores as the head-pair kernel but with ZERO
+    scratch copies; the block-diagonal mask keeps the rows independent."""
+    q = q_ref[...]  # (2, SP, W)
+    k = k_ref[...]
+    v = v_ref[...]
+
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) % _SP
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 0) // _SP
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) // _SP
+    mask = jnp.logical_and(row_b == col_b, col_s < seq_len)
+
+    for h in range(heads):
+        lo = h * head_dim
+        q2 = q[:, :, lo: lo + head_dim].reshape(2 * _SP, head_dim)
+        k2 = k[:, :, lo: lo + head_dim].reshape(2 * _SP, head_dim)
+        v2 = v[:, :, lo: lo + head_dim].reshape(2 * _SP, head_dim)
+        scores = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (2SP, 2SP)
+        scores = jnp.where(mask, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v2.dtype)
+        out = jax.lax.dot_general(
+            probs, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o_ref[0, :, lo: lo + head_dim] = out[:_SP]
+        o_ref[1, :, lo: lo + head_dim] = out[_SP:]
+
+
+def _rows_qkv_kernel(qkv_ref, o_ref, *, seq_len: int, heads: int,
+                     head_dim: int, scale: float, width: int):
+    """Like _rows_kernel but consumes the PACKED projection output
+    (B, SP, 3W) = [q | k | v] along lanes, exactly as a single fused
+    qkv matmul produces it — no q/k/v slicing ever materializes in HBM."""
+    t = qkv_ref[...]  # (2, SP, 3W)
+
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) % _SP
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 0) // _SP
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) // _SP
+    mask = jnp.logical_and(row_b == col_b, col_s < seq_len)
+
+    for h in range(heads):
+        lo = h * head_dim
+        q2 = t[:, :, lo: lo + head_dim].reshape(2 * _SP, head_dim)
+        k2 = t[:, :, width + lo: width + lo + head_dim
+               ].reshape(2 * _SP, head_dim)
+        v2 = t[:, :, 2 * width + lo: 2 * width + lo + head_dim
+               ].reshape(2 * _SP, head_dim)
+        scores = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(v2.dtype)
+        out = jax.lax.dot_general(
+            probs, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+        o_ref[0, :, lo: lo + head_dim] = out[:_SP]
+        o_ref[1, :, lo: lo + head_dim] = out[_SP:]
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def packed_sdpa_qkv(qkv: jax.Array, *, heads: int,
+                    interpret: bool | None = None) -> jax.Array:
+    """SDPA over a fused projection output.
+
+    ``qkv``: (B, S, 3W) with lanes laid out [q | k | v], i.e. the result
+    of one ``x @ [wq wk wv]`` matmul. One wide GEMM keeps the MXU busy
+    where three narrow ones stalled (measured: the q/k/v/o projections
+    ran at ~29% MFU vs the MLP's ~74% on v5e), and the kernel consumes
+    the packed layout directly so nothing is sliced or copied between.
+    S <= 64, D = 64, even batch; returns (B, S, W)."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    if d != 64 or s > _SP or b % 2:
+        raise ValueError(f"packed_sdpa_qkv needs D=64, S<=64, even B; "
+                         f"got B={b}, D={d}, S={s}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    pad = _SP - s
+    if pad:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad), (0, 0)))
+
+    in_spec = pl.BlockSpec((2, _SP, w3), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((2, _SP, w), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rows_qkv_kernel, seq_len=s, heads=heads,
+                          head_dim=d, scale=1.0 / (d ** 0.5), width=w),
+        grid=(b // 2,),
+        in_specs=[in_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, _SP, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * _SP * _SP * d,
+            bytes_accessed=4 * b * _SP * w * 2,
+            transcendentals=b * heads * _SP * _SP,
+        ),
+        interpret=interpret,
+    )(qkv)
+    return out[:, :s, :]
+
+
+def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
+                       acc, *, seq_len: int, heads: int, head_dim: int,
+                       scale: float, width: int):
+    """The ENTIRE attention block in one kernel: qkv projection -> SDPA
+    -> out projection, per program over two batch rows. Weights sit in
+    VMEM (constant block index: fetched once, reused by every program),
+    so the only HBM traffic per layer is x in and o out."""
+    x = x_ref[...].reshape(2 * _SP, width)          # batch-pair rows
+    qkv = jax.lax.dot_general(
+        x, wqkv_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
+
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) % _SP
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 0) // _SP
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) // _SP
+    mask = jnp.logical_and(row_b == col_b, col_s < seq_len)
+
+    for h in range(heads):
+        lo = h * head_dim
+        q2 = qkv[:, lo: lo + head_dim]
+        k2 = qkv[:, width + lo: width + lo + head_dim]
+        v2 = qkv[:, 2 * width + lo: 2 * width + lo + head_dim]
+        scores = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(x.dtype)
+        acc[:, lo: lo + head_dim] = jax.lax.dot_general(
+            probs, v2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+
+    out = jax.lax.dot_general(
+        acc[...], wo_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out = (out + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    o_ref[...] = out.reshape(2, _SP, width)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def fused_attn_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
+                     wo: jax.Array, bo: jax.Array, *, heads: int,
+                     interpret: bool | None = None) -> jax.Array:
+    """qkv-projection + SDPA + out-projection fused into one pallas call.
+
+    x: (B, S, W); wqkv: (W, 3W) = [wq | wk | wv]; wo: (W, W). S <= 64,
+    D = 64, even B. Returns (B, S, W) — everything between LayerNorm and
+    the residual add of a ViT attention sublayer."""
+    b, s, w = x.shape
+    d = w // heads
+    if d != 64 or s > _SP or b % 2:
+        raise ValueError(f"fused_attn_block needs D=64, S<=64, even B; "
+                         f"got B={b}, D={d}, S={s}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    pad = _SP - s
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    wqkv = wqkv.astype(x.dtype)
+    wo = wo.astype(x.dtype)
+    bqkv = bqkv.reshape(1, 3 * w).astype(jnp.float32)
+    bo = bo.reshape(1, w).astype(jnp.float32)
+
+    xspec = pl.BlockSpec((2, _SP, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_block_kernel, seq_len=s, heads=heads,
+                          head_dim=d, scale=1.0 / (d ** 0.5), width=w),
+        grid=(b // 2,),
+        in_specs=[xspec, const((w, 3 * w)), const((1, 3 * w)),
+                  const((w, w)), const((1, w))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, _SP, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * _SP, w), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * _SP * w * 4 * w + 4 * b * heads * _SP * _SP * d,
+            bytes_accessed=2 * b * _SP * w * 2 + 8 * w * w * 2,
+            transcendentals=b * heads * _SP * _SP,
+        ),
+        interpret=interpret,
+    )(x, wqkv, bqkv, wo, bo)
+    return out[:, :s, :]
+
+
+_MLP_ROWS = 128
+
+
+def _mlp_block_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, *,
+                      quick: bool):
+    """One program = _MLP_ROWS token rows through w1 -> gelu -> w2 with
+    both weight matrices VMEM-resident. Numerics mirror layers.mlp_block
+    exactly: f32 accumulation, bias in f32, activation in the compute
+    dtype."""
+    x = x_ref[...]
+    h = jax.lax.dot_general(x, w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = (h + b1_ref[...].astype(jnp.float32)).astype(x.dtype)
+    # activation arithmetic in f32 (Mosaic rejects f32-scalar x bf16
+    # broadcasts, and transcendentals are f32 on the VPU anyway); the
+    # f32->dtype->f32 round-trip keeps input rounding identical to the
+    # unfused path
+    hf = h.astype(jnp.float32)
+    if quick:
+        hf = hf * jax.nn.sigmoid(1.702 * hf)
+    else:
+        hf = jax.nn.gelu(hf, approximate=False)
+    h = hf.astype(x.dtype)
+    out = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[...] = (out + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+# weights for both GEMMs must sit in VMEM (~16 MB/core) alongside the
+# row blocks and the f32 hidden tile
+_MLP_VMEM_BUDGET = 12 * 2 ** 20
+
+
+def mlp_fusible(width: int, hidden: int, dtype) -> bool:
+    itemsize = jnp.dtype(dtype).itemsize
+    weights = 2 * width * hidden * itemsize
+    tiles = _MLP_ROWS * (2 * width + hidden) * itemsize + \
+        _MLP_ROWS * hidden * 4
+    return weights + tiles < _MLP_VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("quick", "interpret"))
+def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
+              b2: jax.Array, *, quick: bool = True,
+              interpret: bool | None = None) -> jax.Array:
+    """Fused transformer MLP over (..., W): both GEMMs + activation in
+    one kernel, 128 token rows per program (shape-agnostic — the token
+    grid flattens, so any sequence length works)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    width, hidden = w1.shape
+    shape = x.shape
+    rows = 1
+    for dim in shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, width)
+    rows_pad = _round_up(rows, _MLP_ROWS)
+    if rows_pad != rows:
+        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    b1 = b1.reshape(1, hidden).astype(jnp.float32)
+    b2 = b2.reshape(1, width).astype(jnp.float32)
+
+    xspec = pl.BlockSpec((_MLP_ROWS, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_block_kernel, quick=quick),
+        grid=(rows_pad // _MLP_ROWS,),
+        in_specs=[xspec, const((width, hidden)), const((1, hidden)),
+                  const((hidden, width)), const((1, width))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, width), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows_pad * width * hidden,
+            bytes_accessed=2 * rows_pad * width * 2 + 4 * width * hidden,
+            transcendentals=rows_pad * hidden,
+        ),
+        interpret=interpret,
+    )(x2, w1, b1, w2, b2)
+    return out[:rows].reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+def packed_sdpa_rows(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                     heads: int, interpret: bool | None = None) -> jax.Array:
+    """Batch-pair variant of :func:`packed_sdpa`: S <= 64, D = 64, any
+    head count, even batch (odd batches fall back in the caller)."""
+    b, s, w = q.shape
+    d = w // heads
+    if d != 64 or s > _SP or b % 2:
+        raise ValueError(f"packed_sdpa_rows needs D=64, S<=64, even B; "
+                         f"got B={b}, D={d}, S={s}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    pad = _SP - s
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+
+    spec = pl.BlockSpec((2, _SP, w), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_rows_kernel, seq_len=s, heads=heads, head_dim=d,
+                          scale=1.0 / (d ** 0.5)),
+        grid=(b // 2,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, _SP, w), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * _SP * _SP * d,
+            bytes_accessed=4 * b * _SP * w * 2,
+            transcendentals=b * heads * _SP * _SP,
+        ),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :s, :]
+
+
 _BLOCK_Q = 128
 
 

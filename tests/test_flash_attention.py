@@ -3,6 +3,7 @@
 Runs in interpreter mode on CPU (the same kernel code compiles on TPU;
 bench.py exercises the compiled path)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -150,3 +151,117 @@ def test_fused_sdpa_long_matches_xla(s, causal):
                                      jnp.asarray(v), heads=h,
                                      causal=causal, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_sdpa_rows_matches_pairs_and_xla():
+    """The batch-pair variant must be bit-identical to the head-pair
+    kernel and match the XLA reference; it also covers odd head counts
+    the pairs kernel rejects."""
+    from clipx.ops.packed_sdpa import packed_sdpa, packed_sdpa_rows
+    rng = np.random.RandomState(10)
+    b, s, h, d = 4, 50, 4, 64
+    q, k, v = (rng.randn(b, s, h * d).astype(np.float32) * 0.5
+               for _ in range(3))
+    pairs = np.asarray(packed_sdpa(jnp.asarray(q), jnp.asarray(k),
+                                   jnp.asarray(v), heads=h, interpret=True))
+    rows = np.asarray(packed_sdpa_rows(jnp.asarray(q), jnp.asarray(k),
+                                       jnp.asarray(v), heads=h,
+                                       interpret=True))
+    np.testing.assert_array_equal(rows, pairs)
+
+    # odd heads: only the rows variant handles them
+    h = 3
+    q, k, v = (rng.randn(b, s, h * d).astype(np.float32) * 0.5
+               for _ in range(3))
+
+    def split(t):
+        return jnp.asarray(t).reshape(b, s, h, d).transpose(0, 2, 1, 3)
+
+    ref = np.asarray(xla_attention(split(q), split(k), split(v)))
+    ref = ref.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    out = np.asarray(packed_sdpa_rows(jnp.asarray(q), jnp.asarray(k),
+                                      jnp.asarray(v), heads=h,
+                                      interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_sdpa_rows_rejects_odd_batch():
+    from clipx.ops.packed_sdpa import packed_sdpa_rows
+    x = jnp.zeros((3, 50, 2 * 64))
+    with pytest.raises(ValueError):
+        packed_sdpa_rows(x, x, x, heads=2, interpret=True)
+
+
+def test_fused_attn_block_matches_unfused():
+    """The whole-sublayer kernel (qkv proj -> SDPA -> out proj) against
+    the composed reference ops."""
+    from clipx.ops.packed_sdpa import fused_attn_block, packed_sdpa
+
+    rng = np.random.RandomState(11)
+    b, s, h, d = 4, 50, 12, 64
+    w = h * d
+    x = jnp.asarray(rng.randn(b, s, w).astype(np.float32) * 0.1)
+    wq, wk, wv, wo = (rng.randn(w, w).astype(np.float32) * 0.03
+                      for _ in range(4))
+    bq, bk, bv, bo = (rng.randn(w).astype(np.float32) * 0.01
+                      for _ in range(4))
+
+    def dense(t, wm, bias):
+        return (jnp.dot(t, wm, preferred_element_type=jnp.float32)
+                + bias).astype(t.dtype)
+
+    o = packed_sdpa(dense(x, wq, bq), dense(x, wk, bk), dense(x, wv, bv),
+                    heads=h, interpret=True)
+    ref = np.asarray(dense(o, wo, bo))
+    out = np.asarray(fused_attn_block(
+        x, jnp.asarray(np.concatenate([wq, wk, wv], axis=1)),
+        jnp.asarray(np.concatenate([bq, bk, bv])), jnp.asarray(wo),
+        jnp.asarray(bo), heads=h, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_mlp_matches_unfused():
+    from clipx.ops.packed_sdpa import fused_mlp, mlp_fusible
+
+    rng = np.random.RandomState(12)
+    b, s, w = 3, 33, 768  # odd row count exercises padding
+    hid = 4 * w
+    assert mlp_fusible(w, hid, jnp.bfloat16)
+    assert not mlp_fusible(1024, 4096, jnp.bfloat16)  # ViT-L: too big
+    x = jnp.asarray(rng.randn(b, s, w).astype(np.float32) * 0.1)
+    w1 = rng.randn(w, hid).astype(np.float32) * 0.02
+    b1 = rng.randn(hid).astype(np.float32) * 0.01
+    w2 = rng.randn(hid, w).astype(np.float32) * 0.02
+    b2 = rng.randn(w).astype(np.float32) * 0.01
+
+    def dense(t, wm, bias):
+        return (jnp.dot(t, wm, preferred_element_type=jnp.float32)
+                + bias).astype(t.dtype)
+
+    for quick in (True, False):
+        h = dense(x, w1, b1)
+        if quick:
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
+        ref = np.asarray(dense(h, w2, b2))
+        out = np.asarray(fused_mlp(x, jnp.asarray(w1), jnp.asarray(b1),
+                                   jnp.asarray(w2), jnp.asarray(b2),
+                                   quick=quick, interpret=True))
+        np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_packed_sdpa_qkv_matches_pairs():
+    from clipx.ops.packed_sdpa import packed_sdpa, packed_sdpa_qkv
+
+    rng = np.random.RandomState(13)
+    b, s, h, d = 4, 50, 12, 64
+    w = h * d
+    q, k, v = (rng.randn(b, s, w).astype(np.float32) * 0.5
+               for _ in range(3))
+    ref = np.asarray(packed_sdpa(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v), heads=h, interpret=True))
+    out = np.asarray(packed_sdpa_qkv(
+        jnp.asarray(np.concatenate([q, k, v], axis=2)), heads=h,
+        interpret=True))
+    np.testing.assert_array_equal(out, ref)
