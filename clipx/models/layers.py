@@ -94,6 +94,23 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
             qkv = dense(x, wqkv, bqkv)
             o = packed_sdpa_qkv(qkv, heads=heads)
             return dense(o, p["wo"], p["bo"])
+        if not use_packed:
+            s_pad = -(-s // 128) * 128
+            fits = (2 * s_pad * 3 * w * 2 + w * w * 2) < 12 * 2 ** 20
+            if fits and variant == "qkv":
+                # long-sequence analog of fused_attn_block — measured
+                # 13% SLOWER than the split path on ViT-L/14@336 (the
+                # in-kernel per-head K=64 out-projection GEMMs lose to
+                # XLA's one wide GEMM); kept opt-in for A/B
+                from clipx.ops.packed_sdpa import fused_sdpa_long_qkv
+
+                wqkv = jnp.concatenate(
+                    [p["wq"], p["wk"], p["wv"]], axis=-1)
+                bqkv = jnp.concatenate(
+                    [p["bq"], p["bk"], p["bv"]], axis=-1)
+                qkv = dense(x, wqkv, bqkv)
+                return fused_sdpa_long_qkv(qkv, p["wo"], p["bo"],
+                                           heads=heads)
         q = dense(x, p["wq"], p["bq"])
         k = dense(x, p["wk"], p["bk"])
         v = dense(x, p["wv"], p["bv"])

@@ -480,6 +480,98 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _long_qkv_kernel(qkv_ref, wo_ref, bo_ref, o_ref, *, seq_len: int,
+                     heads: int, head_dim: int, scale: float, width: int,
+                     causal: bool):
+    """Long-sequence variant consuming the packed qkv projection and
+    applying the out projection in-kernel. One program = (batch row,
+    q block); the full (S_pad, 3W) row block sits in VMEM so K/V need
+    no separate streams and q is a sublane slice of it."""
+    qi = pl.program_id(1)
+    t = qkv_ref[0]                      # (S_pad, 3W)
+    s_pad = t.shape[0]
+    q_rows = qkv_ref[0, pl.ds(qi * _BLOCK_Q, _BLOCK_Q), :]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_Q, s_pad), 1)
+    mask = col < seq_len
+    if causal:
+        row = (jax.lax.broadcasted_iota(jnp.int32, (_BLOCK_Q, s_pad), 0)
+               + qi * _BLOCK_Q)
+        mask = jnp.logical_and(mask, col <= row)
+
+    acc = None
+    for h in range(heads):
+        lo = h * head_dim
+        scores = jax.lax.dot_general(
+            q_rows[:, lo: lo + head_dim],
+            t[:, width + lo: width + lo + head_dim],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # (BQ, S_pad)
+        scores = jnp.where(mask, scores, _NEG)
+        m = jnp.max(scores, axis=1, keepdims=True)
+        e = jnp.exp(scores - m)
+        probs = (e / jnp.sum(e, axis=1, keepdims=True)).astype(t.dtype)
+        out_h = jax.lax.dot_general(
+            probs, t[:, 2 * width + lo: 2 * width + lo + head_dim],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(t.dtype)
+        # accumulate the out-projection head by head: o = sum_h o_h @ wo_h
+        part = jax.lax.dot_general(
+            out_h, wo_ref[pl.ds(lo, head_dim), :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (BQ, W) f32
+        acc = part if acc is None else acc + part
+    o_ref[0] = (acc + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "causal", "interpret"))
+def fused_sdpa_long_qkv(qkv: jax.Array, wo: jax.Array, bo: jax.Array, *,
+                        heads: int, causal: bool = False,
+                        interpret: bool | None = None) -> jax.Array:
+    """SDPA + out projection over a packed (B, S, 3W) projection output.
+
+    The ViT-L-class follow-up to :func:`fused_attn_block`: the qkv GEMM
+    stays one wide XLA matmul (in-kernel it would be recomputed per q
+    block), but nothing between it and the residual add touches HBM —
+    no q/k/v slicing, no attention-output round-trip before ``wo``."""
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    d = w // heads
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    s_pad = _round_up(s, _BLOCK_Q)
+    if s_pad != s:
+        qkv = jnp.pad(qkv, ((0, 0), (0, s_pad - s), (0, 0)))
+    nq = s_pad // _BLOCK_Q
+    wo = wo.astype(qkv.dtype)
+    bo = bo.reshape(1, w).astype(jnp.float32)
+
+    in_spec = pl.BlockSpec((1, s_pad, w3), lambda i, j: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i, j: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, _BLOCK_Q, w), lambda i, j: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_long_qkv_kernel, seq_len=s, heads=heads,
+                          head_dim=d, scale=1.0 / (d ** 0.5), width=w,
+                          causal=causal),
+        grid=(b, nq),
+        in_specs=[in_spec, const((w, w)), const((1, w))],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, s_pad, w), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s_pad * s_pad * d
+            + 2 * b * s_pad * w * w,
+            bytes_accessed=b * s_pad * w3 * 2 * nq + b * s_pad * w * 2
+            + 2 * w * w,
+            transcendentals=b * heads * s_pad * s_pad,
+        ),
+        interpret=interpret,
+    )(qkv, wo, bo)
+    return out[:, :s, :]
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))
 def packed_sdpa(q: jax.Array, k: jax.Array, v: jax.Array, *, heads: int,
                 interpret: bool | None = None) -> jax.Array:

@@ -265,3 +265,24 @@ def test_packed_sdpa_qkv_matches_pairs():
         jnp.asarray(np.concatenate([q, k, v], axis=2)), heads=h,
         interpret=True))
     np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("s,causal", [(577, False), (77, True)])
+def test_fused_sdpa_long_qkv_matches_split(s, causal):
+    from clipx.ops.packed_sdpa import fused_sdpa_long, fused_sdpa_long_qkv
+
+    rng = np.random.RandomState(14)
+    b, h, d = 2, 16, 64
+    w = h * d
+    q, k, v = (rng.randn(b, s, w).astype(np.float32) * 0.2
+               for _ in range(3))
+    wo = rng.randn(w, w).astype(np.float32) * 0.02
+    bo = rng.randn(w).astype(np.float32) * 0.01
+    o = fused_sdpa_long(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        heads=h, causal=causal, interpret=True)
+    ref = np.asarray((jnp.dot(o, wo, preferred_element_type=jnp.float32)
+                      + bo).astype(o.dtype))
+    out = np.asarray(fused_sdpa_long_qkv(
+        jnp.asarray(np.concatenate([q, k, v], axis=2)), jnp.asarray(wo),
+        jnp.asarray(bo), heads=h, causal=causal, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
