@@ -8,10 +8,13 @@ the work happens on the TPU and the host side is just (de)serialization.
 Endpoints (all JSON):
 
     GET  /healthz                          -> {"status": "ok", ...}
+    GET  /metrics                          -> counters, latency, uptime
     GET  /search?q=TEXT&k=K[&offset=N]     -> ranked text-query results
     GET  /similar?id=ID&k=K[&offset=N]     -> image-similarity by stored id
     POST /encode_text   {"texts": [...]}   -> embeddings
     POST /search_vector {"vector": [...], "k": K}
+    POST /reload                           -> swap in the rebuilt on-disk
+                                              index without a restart
 
 Results mirror the REPL's rows: score, id, path — but rank 0 is NOT
 skipped here (the REPL's rank-0 skip is a display quirk preserved in the
@@ -54,6 +57,11 @@ class SearchService:
             read_index(args.index), getattr(args, "search_mode", "auto"))
         self._encoder = None
         self._lock = threading.Lock()
+        self.counters = {"search": 0, "similar": 0, "encode_text": 0,
+                         "search_vector": 0, "errors": 0, "reloads": 0}
+        self._latency_sum = 0.0
+        self._latency_n = 0
+        self.started = time.time()
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
@@ -61,6 +69,38 @@ class SearchService:
             if self._encoder is None:
                 self._encoder = common.make_encoder(self.args)
             return self._encoder
+
+    def count(self, key: str) -> None:
+        with self._lock:
+            self.counters[key] = self.counters.get(key, 0) + 1
+
+    def reload(self) -> dict:
+        """Swap in the current on-disk index + fold in store updates —
+        the serving answer to the reference's 'querying during a rebuild
+        gives bad results until restart' (reference:README.md:46-48):
+        rebuild with build-index.py, then POST /reload; in-flight
+        searches keep the old device index until the swap."""
+        new_index = common.apply_search_mode(
+            read_index(self.args.index),
+            getattr(self.args, "search_mode", "auto"))
+        self.env.refresh()
+        old = self.index
+        self.index = new_index  # atomic reference swap
+        self.count("reloads")
+        return {"ntotal": new_index.ntotal, "previous_ntotal": old.ntotal}
+
+    def metrics(self) -> dict:
+        with self._lock:
+            avg = (self._latency_sum / self._latency_n
+                   if self._latency_n else None)
+            return {
+                "uptime_s": round(time.time() - self.started, 1),
+                "ntotal": self.index.ntotal,
+                "counters": dict(self.counters),
+                "search_latency_avg_s": (round(avg, 6)
+                                         if avg is not None else None),
+                "encoder_loaded": self._encoder is not None,
+            }
 
     def lookup_path(self, i: int) -> Optional[str]:
         with self.env.begin(db=self.idx_db) as txn:
@@ -81,6 +121,9 @@ class SearchService:
         t0 = time.perf_counter()
         D, I = self.index.search(features, k + offset)
         dt = time.perf_counter() - t0
+        with self._lock:
+            self._latency_sum += dt
+            self._latency_n += 1
         results = []
         for j in range(offset, min(k + offset, I.shape[1])):
             i = int(I[0][j])
@@ -122,6 +165,7 @@ class Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _bad(self, msg: str, code: int = 400) -> None:
+        self.service.count("errors")
         self._json(code, {"error": msg})
 
     # -- GET ----------------------------------------------------------------
@@ -133,12 +177,15 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, {"status": "ok",
                                  "ntotal": self.service.index.ntotal,
                                  "dim": self.service.index.dim})
+            elif url.path == "/metrics":
+                self._json(200, self.service.metrics())
             elif url.path == "/search":
                 text = q.get("q", "")
                 if not text:
                     return self._bad("missing q parameter")
                 k, offset = _validated_k_offset(q.get("k", "50"),
                                                 q.get("offset", "0"))
+                self.service.count("search")
                 feats = self.service.encoder().encode_texts([text])
                 self._json(200, self.service.search(feats, k, offset))
             elif url.path == "/similar":
@@ -148,6 +195,7 @@ class Handler(BaseHTTPRequestHandler):
                     return self._bad(f"id {image_id} not found", 404)
                 k, offset = _validated_k_offset(q.get("k", "50"),
                                                 q.get("offset", "0"))
+                self.service.count("similar")
                 self._json(200, self.service.search(vec, k, offset))
             else:
                 self._bad("unknown endpoint", 404)
@@ -173,6 +221,7 @@ class Handler(BaseHTTPRequestHandler):
                 texts = payload.get("texts")
                 if not isinstance(texts, list) or not texts:
                     return self._bad("texts must be a non-empty list")
+                self.service.count("encode_text")
                 emb = self.service.encoder().encode_texts(
                     [str(t) for t in texts])
                 self._json(200, {"embeddings": emb.tolist()})
@@ -183,7 +232,10 @@ class Handler(BaseHTTPRequestHandler):
                 if arr.shape[1] != self.service.index.dim:
                     return self._bad(
                         f"vector must have dim {self.service.index.dim}")
+                self.service.count("search_vector")
                 self._json(200, self.service.search(arr, k))
+            elif url.path == "/reload":
+                self._json(200, self.service.reload())
             else:
                 self._bad("unknown endpoint", 404)
         except (json.JSONDecodeError, TypeError, ValueError) as exc:

@@ -199,3 +199,65 @@ def test_concurrent_search_and_encode(served):
     for t in threads:
         t.join(timeout=120)
     assert not errors, errors
+
+
+def test_metrics_counters_and_latency(served):
+    _get(served, "/search?q=metrics+probe&k=1")
+    _get(served, "/similar?id=0&k=1")
+    _get(served, "/nope")  # counted as an error
+    status, m = _get(served, "/metrics")
+    assert status == 200
+    assert m["ntotal"] == 4 and m["uptime_s"] >= 0
+    assert m["counters"]["search"] >= 1
+    assert m["counters"]["similar"] >= 1
+    assert m["counters"]["errors"] >= 1
+    assert m["search_latency_avg_s"] > 0
+    assert m["encoder_loaded"] is True
+
+
+def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
+    """The serving answer to the reference's rebuild-while-querying
+    staleness: rebuild on disk, POST /reload, no restart."""
+    import numpy as np
+    from clipx.cli import build_index as bi
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        _, h = _get(port, "/healthz")
+        assert h["ntotal"] == 3
+
+        # grow the corpus and rebuild while the server keeps running
+        for i in range(3, 6):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                            ).save(photos / f"p{i}.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        _, h = _get(port, "/healthz")
+        assert h["ntotal"] == 3  # still the old snapshot
+
+        status, r = _post(port, "/reload", {})
+        assert status == 200
+        assert r["previous_ntotal"] == 3 and r["ntotal"] == 6
+        _, h = _get(port, "/healthz")
+        assert h["ntotal"] == 6
+        # new ids resolve through the refreshed store
+        status, sim = _get(port, "/similar?id=5&k=1")
+        assert status == 200
+        assert sim["results"][0]["id"] == 5
+    finally:
+        server.shutdown()
