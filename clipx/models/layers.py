@@ -168,8 +168,28 @@ def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
                    eps: float, use_quick_gelu: bool,
                    attn_impl: str = "xla") -> jax.Array:
     """Pre-LN transformer block (the CLIP/GPT-2 layout)."""
-    x = x + mha_block(layer_norm(x, p["ln_1"], eps), p["attn"], heads,
-                      causal=causal, attn_impl=attn_impl)
+    import os
+
+    b, s, w = x.shape
+    d = w // heads
+    if (not causal and s <= 64 and d == 64 and b % 2 == 0
+            and attn_impl != "pallas" and _on_tpu()
+            and os.environ.get("CLIPX_PACKED_SDPA", "auto") == "sublayer"):
+        # opt-in: whole pre-LN sublayer (LN -> attn -> +residual) in one
+        # kernel. Measured a wash vs fused_attn_block at ViT-B/32 b256
+        # (XLA already fuses the LN/residual elementwise around the
+        # kernel); kept for A/B on other shapes
+        from clipx.ops.packed_sdpa import fused_attn_sublayer
+
+        a = p["attn"]
+        wqkv = jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=-1)
+        bqkv = jnp.concatenate([a["bq"], a["bk"], a["bv"]], axis=-1)
+        x = fused_attn_sublayer(x, p["ln_1"]["scale"], p["ln_1"]["bias"],
+                                wqkv, bqkv, a["wo"], a["bo"], heads=heads,
+                                eps=eps)
+    else:
+        x = x + mha_block(layer_norm(x, p["ln_1"], eps), p["attn"], heads,
+                          causal=causal, attn_impl=attn_impl)
     x = x + mlp_block(layer_norm(x, p["ln_2"], eps), p["mlp"], use_quick_gelu)
     return x
 

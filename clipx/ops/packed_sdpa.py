@@ -192,6 +192,34 @@ def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
     VMEM (constant block index: fetched once, reused by every program),
     so the only HBM traffic per layer is x in and o out."""
     x = x_ref[...].reshape(2 * _SP, width)          # batch-pair rows
+    _attn_block_core(x, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, acc,
+                     seq_len=seq_len, heads=heads, head_dim=head_dim,
+                     scale=scale, width=width, residual=None)
+
+
+def _attn_sublayer_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
+                          bqkv_ref, wo_ref, bo_ref, o_ref, acc, *,
+                          seq_len: int, heads: int, head_dim: int,
+                          scale: float, width: int, eps: float):
+    """The full pre-LN attention sublayer: LayerNorm -> qkv -> SDPA ->
+    out projection -> +residual, consuming RAW x. Removes the LN-output
+    and residual HBM round-trips XLA can't fuse through a pallas call."""
+    raw = x_ref[...].reshape(2 * _SP, width)
+    x32 = raw.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * ln_scale_ref[...].astype(jnp.float32)
+         + ln_bias_ref[...].astype(jnp.float32))
+    _attn_block_core(y.astype(raw.dtype), wqkv_ref, bqkv_ref, wo_ref,
+                     bo_ref, o_ref, acc, seq_len=seq_len, heads=heads,
+                     head_dim=head_dim, scale=scale, width=width,
+                     residual=raw)
+
+
+def _attn_block_core(x, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, acc, *,
+                     seq_len: int, heads: int, head_dim: int, scale: float,
+                     width: int, residual):
     qkv = jax.lax.dot_general(
         x, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -222,7 +250,61 @@ def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
         acc[...], wo_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     out = (out + bo_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+    if residual is not None:
+        # same order/dtype as the unfused `x + mha_block(...)`
+        out = residual.astype(o_ref.dtype) + out
     o_ref[...] = out.reshape(2, _SP, width)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
+def fused_attn_sublayer(x: jax.Array, ln_scale: jax.Array,
+                        ln_bias: jax.Array, wqkv: jax.Array,
+                        bqkv: jax.Array, wo: jax.Array, bo: jax.Array, *,
+                        heads: int, eps: float = 1e-5,
+                        interpret: bool | None = None) -> jax.Array:
+    """``x + attn(LayerNorm(x))`` in one kernel (see
+    :func:`fused_attn_block`; this variant also absorbs the LN and the
+    residual add, whose intermediate arrays otherwise round-trip HBM on
+    both sides of the pallas call). Same shape constraints."""
+    b, s, w = x.shape
+    d = w // heads
+    if d != 64 or s > _SP or b % 2:
+        raise ValueError(f"fused_attn_sublayer needs D=64, S<=64, even B; "
+                         f"got B={b}, D={d}, S={s}")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    pad = _SP - s
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+    wqkv = wqkv.astype(x.dtype)
+    wo = wo.astype(x.dtype)
+    ln_scale = ln_scale.reshape(1, w).astype(jnp.float32)
+    ln_bias = ln_bias.reshape(1, w).astype(jnp.float32)
+    bqkv = bqkv.reshape(1, 3 * w).astype(jnp.float32)
+    bo = bo.reshape(1, w).astype(jnp.float32)
+
+    xspec = pl.BlockSpec((2, _SP, w), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_sublayer_kernel, seq_len=s, heads=heads,
+                          head_dim=d, scale=1.0 / (d ** 0.5), width=w,
+                          eps=eps),
+        grid=(b // 2,),
+        in_specs=[xspec, const((1, w)), const((1, w)), const((w, 3 * w)),
+                  const((1, 3 * w)), const((w, w)), const((1, w))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, _SP, w), x.dtype),
+        scratch_shapes=[pltpu.VMEM((2 * _SP, w), x.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * _SP * w * 4 * w + 4 * b * heads * _SP * _SP * d,
+            bytes_accessed=2 * b * _SP * w * 2 + 8 * w * w * 2,
+            transcendentals=b * heads * _SP * _SP,
+        ),
+        interpret=interpret,
+    )(x, ln_scale, ln_bias, wqkv, bqkv, wo, bo)
+    return out[:, :s, :]
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "interpret"))

@@ -286,3 +286,32 @@ def test_fused_sdpa_long_qkv_matches_split(s, causal):
         jnp.asarray(np.concatenate([q, k, v], axis=2)), jnp.asarray(wo),
         jnp.asarray(bo), heads=h, causal=causal, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
+
+
+def test_fused_attn_sublayer_matches_composed():
+    """LN -> qkv -> SDPA -> out proj -> +residual in one kernel vs the
+    composed reference ops."""
+    from clipx.models.layers import dense, layer_norm
+    from clipx.ops.packed_sdpa import fused_attn_sublayer, packed_sdpa
+
+    rng = np.random.RandomState(15)
+    b, s, h, d = 4, 50, 12, 64
+    w = h * d
+    x = jnp.asarray(rng.randn(b, s, w).astype(np.float32) * 0.3)
+    ln_s = rng.randn(w).astype(np.float32) * 0.1 + 1.0
+    ln_b = rng.randn(w).astype(np.float32) * 0.05
+    wq, wk, wv, wo = (rng.randn(w, w).astype(np.float32) * 0.03
+                      for _ in range(4))
+    bq, bk, bv, bo = (rng.randn(w).astype(np.float32) * 0.01
+                      for _ in range(4))
+    y = layer_norm(x, {"scale": jnp.asarray(ln_s),
+                       "bias": jnp.asarray(ln_b)}, 1e-5)
+    o = packed_sdpa(dense(y, wq, bq), dense(y, wk, bk), dense(y, wv, bv),
+                    heads=h, interpret=True)
+    ref = np.asarray(x + dense(o, wo, bo))
+    out = np.asarray(fused_attn_sublayer(
+        x, jnp.asarray(ln_s), jnp.asarray(ln_b),
+        jnp.asarray(np.concatenate([wq, wk, wv], axis=1)),
+        jnp.asarray(np.concatenate([bq, bk, bv])), jnp.asarray(wo),
+        jnp.asarray(bo), heads=h, eps=1e-5, interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=3e-5, atol=3e-5)
