@@ -89,6 +89,14 @@ class Encoder:
     of the reference's indexing hot loop (reference:build-index.py:45-51,
     SURVEY.md section 2c DP row). Embeddings are identical to the
     single-device path; only the placement changes.
+
+    Scope: one process feeding its addressable devices. Multi-HOST
+    indexing needs no cross-host batches — encode is embarrassingly
+    parallel, so each host runs its own Encoder over its local chips on
+    a partition of the folder list (the distributed store serializes
+    writers; phase 2 then builds the index from the union). Cross-host
+    meshes are for the training step (clipx.train +
+    clipx.parallel.distributed), where gradients genuinely couple hosts.
     """
 
     def __init__(self, cfg: CLIPConfig, params, *,

@@ -332,7 +332,7 @@ void apply_op(Env* env, uint8_t op, int id, const std::string& key,
         if (!visible) d.live++;
         auto dit = d.dels.find(key);
         if (dit != d.dels.end()) {
-            env->overlay_bytes -= key.size();
+            env->overlay_bytes -= key.size() + 64;
             d.dels.erase(dit);
         }
         auto res = d.puts.emplace(key, val);

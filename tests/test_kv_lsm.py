@@ -216,3 +216,32 @@ def test_open_cost_independent_of_corpus(tmp_path):
         assert txn.get(b"im0029999") == val
     env.close()
     assert open_s < 2.0  # generous CI bound; measured ~1 ms at 60 MB
+
+
+def test_overlay_accounting_stable_under_churn(tmp_path):
+    """put/delete cycles over segment keys must not leak overlay bytes
+    (the spill heuristic depends on the accounting staying truthful)."""
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    with env.begin(db=db, write=True) as txn:
+        for i in range(50):
+            txn.put(f"k{i:03d}".encode(), b"x" * 100)
+    env.compact()  # all 50 in the segment, overlay empty
+    assert env.overlay_bytes() == 0
+    for _ in range(20):  # churn: tombstone a segment key, resurrect it
+        with env.begin(db=db, write=True) as txn:
+            txn.delete(b"k007")
+        with env.begin(db=db, write=True) as txn:
+            txn.put(b"k007", b"x" * 100)
+    first = env.overlay_bytes()
+    for _ in range(20):
+        with env.begin(db=db, write=True) as txn:
+            txn.delete(b"k007")
+        with env.begin(db=db, write=True) as txn:
+            txn.put(b"k007", b"x" * 100)
+    assert env.overlay_bytes() == first  # no growth across cycles
+    with env.begin(db=db) as txn:
+        assert txn.stat()["entries"] == 50
+        assert txn.get(b"k007") == b"x" * 100
+    env.close()
