@@ -88,7 +88,8 @@ def bench_encode(batch_size: int, iters: int, model: str,
 
     per_batch = _slope_time(one, np.asarray, max(iters // 4, 2), iters)
     ips = batch_size / per_batch
-    log(f"  encode: {per_batch * 1e3:.2f} ms/batch -> {ips:,.0f} img/s/chip")
+    unit = "img/s/chip" if mesh is None else f"img/s over {mesh.size} chips"
+    log(f"  encode: {per_batch * 1e3:.2f} ms/batch -> {ips:,.0f} {unit}")
     return {"images_per_sec": ips, "ms_per_batch": per_batch * 1e3}
 
 

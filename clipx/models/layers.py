@@ -53,6 +53,25 @@ def _on_tpu() -> bool:
         return False
 
 
+_SDPA_VARIANTS = ("auto", "block", "sublayer", "pairs", "rows", "qkv")
+
+
+def _sdpa_variant() -> str:
+    """CLIPX_PACKED_SDPA normalized: unknown values mean 'auto' rather
+    than silently selecting an arbitrary kernel."""
+    import os
+
+    v = os.environ.get("CLIPX_PACKED_SDPA", "auto")
+    return v if v in _SDPA_VARIANTS else "auto"
+
+
+def _fused_qkv(p: Params):
+    """[wq | wk | wv] and the matching bias, packed along the out dim
+    (the layout every fused qkv kernel consumes)."""
+    return (jnp.concatenate([p["wq"], p["wk"], p["wv"]], axis=-1),
+            jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1))
+
+
 def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
               attn_impl: str = "xla") -> jax.Array:
     """Self-attention. x: (B, S, W)."""
@@ -72,27 +91,21 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
         from clipx.ops.packed_sdpa import (fused_attn_block, fused_sdpa_long,
                                            packed_sdpa, packed_sdpa_qkv,
                                            packed_sdpa_rows)
-        import os
 
-        variant = os.environ.get("CLIPX_PACKED_SDPA", "auto")
+        variant = _sdpa_variant()
         if use_packed and b % 2 == 0 and variant in ("auto", "block"):
             # whole attention sublayer in ONE kernel (qkv proj -> SDPA
             # -> out proj, weights VMEM-resident): the separate GEMMs
             # measured ~29% MFU on v5e — HBM round-trips and stalls
             # around the pallas call, not matmul width, were the cost
-            wqkv = jnp.concatenate(
-                [p["wq"], p["wk"], p["wv"]], axis=-1)
-            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
+            wqkv, bqkv = _fused_qkv(p)
             return fused_attn_block(x, wqkv, bqkv, p["wo"], p["bo"],
                                     heads=heads)
         if use_packed and b % 2 == 0 and variant == "qkv":
             # fused projection feeding the packed kernel (measured
             # slower than pairs end-to-end; kept for A/B)
-            wqkv = jnp.concatenate(
-                [p["wq"], p["wk"], p["wv"]], axis=-1)
-            bqkv = jnp.concatenate([p["bq"], p["bk"], p["bv"]], axis=-1)
-            qkv = dense(x, wqkv, bqkv)
-            o = packed_sdpa_qkv(qkv, heads=heads)
+            wqkv, bqkv = _fused_qkv(p)
+            o = packed_sdpa_qkv(dense(x, wqkv, bqkv), heads=heads)
             return dense(o, p["wo"], p["bo"])
         if not use_packed:
             s_pad = -(-s // 128) * 128
@@ -104,24 +117,22 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
                 # XLA's one wide GEMM); kept opt-in for A/B
                 from clipx.ops.packed_sdpa import fused_sdpa_long_qkv
 
-                wqkv = jnp.concatenate(
-                    [p["wq"], p["wk"], p["wv"]], axis=-1)
-                bqkv = jnp.concatenate(
-                    [p["bq"], p["bk"], p["bv"]], axis=-1)
-                qkv = dense(x, wqkv, bqkv)
-                return fused_sdpa_long_qkv(qkv, p["wo"], p["bo"],
-                                           heads=heads)
+                wqkv, bqkv = _fused_qkv(p)
+                return fused_sdpa_long_qkv(dense(x, wqkv, bqkv),
+                                           p["wo"], p["bo"], heads=heads)
         q = dense(x, p["wq"], p["bq"])
         k = dense(x, p["wk"], p["bk"])
         v = dense(x, p["wv"], p["bv"])
         if not use_packed:
             o = fused_sdpa_long(q, k, v, heads=heads)
-        elif b % 2 == 0 and variant == "rows":
+        elif b % 2 == 0 and (variant == "rows" or heads % 2):
             # batch-pair variant: same MXU packing as pairs with zero
-            # scratch copies (measured equal end-to-end); covers odd
-            # head counts
+            # scratch copies (measured equal end-to-end); also the only
+            # packed kernel that accepts odd head counts
             o = packed_sdpa_rows(q, k, v, heads=heads)
         else:
+            # heads is even here: use_packed with odd heads implies an
+            # even batch, which routes through the rows kernel above
             o = packed_sdpa(q, k, v, heads=heads)
         return dense(o, p["wo"], p["bo"])
 
@@ -168,13 +179,11 @@ def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
                    eps: float, use_quick_gelu: bool,
                    attn_impl: str = "xla") -> jax.Array:
     """Pre-LN transformer block (the CLIP/GPT-2 layout)."""
-    import os
-
     b, s, w = x.shape
     d = w // heads
     if (not causal and s <= 64 and d == 64 and b % 2 == 0
             and attn_impl != "pallas" and _on_tpu()
-            and os.environ.get("CLIPX_PACKED_SDPA", "auto") == "sublayer"):
+            and _sdpa_variant() == "sublayer"):
         # opt-in: whole pre-LN sublayer (LN -> attn -> +residual) in one
         # kernel. Measured a wash vs fused_attn_block at ViT-B/32 b256
         # (XLA already fuses the LN/residual elementwise around the
@@ -182,8 +191,7 @@ def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
         from clipx.ops.packed_sdpa import fused_attn_sublayer
 
         a = p["attn"]
-        wqkv = jnp.concatenate([a["wq"], a["wk"], a["wv"]], axis=-1)
-        bqkv = jnp.concatenate([a["bq"], a["bk"], a["bv"]], axis=-1)
+        wqkv, bqkv = _fused_qkv(a)
         x = fused_attn_sublayer(x, p["ln_1"]["scale"], p["ln_1"]["bias"],
                                 wqkv, bqkv, a["wo"], a["bo"], heads=heads,
                                 eps=eps)

@@ -56,7 +56,12 @@ class SearchService:
         self.index = common.apply_search_mode(
             read_index(args.index), getattr(args, "search_mode", "auto"))
         self._encoder = None
-        self._lock = threading.Lock()
+        # separate locks: the encoder build holds _enc_lock for a full
+        # model load + compile (tens of seconds on a tunneled TPU) and
+        # must never block counters//similar//metrics, which only need
+        # the cheap _stats_lock
+        self._enc_lock = threading.Lock()
+        self._stats_lock = threading.Lock()
         self.counters = {"search": 0, "similar": 0, "encode_text": 0,
                          "search_vector": 0, "errors": 0, "reloads": 0}
         self._latency_sum = 0.0
@@ -65,13 +70,13 @@ class SearchService:
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
-        with self._lock:
+        with self._enc_lock:
             if self._encoder is None:
                 self._encoder = common.make_encoder(self.args)
             return self._encoder
 
     def count(self, key: str) -> None:
-        with self._lock:
+        with self._stats_lock:
             self.counters[key] = self.counters.get(key, 0) + 1
 
     def reload(self) -> dict:
@@ -90,7 +95,7 @@ class SearchService:
         return {"ntotal": new_index.ntotal, "previous_ntotal": old.ntotal}
 
     def metrics(self) -> dict:
-        with self._lock:
+        with self._stats_lock:
             avg = (self._latency_sum / self._latency_n
                    if self._latency_n else None)
             return {
@@ -121,7 +126,7 @@ class SearchService:
         t0 = time.perf_counter()
         D, I = self.index.search(features, k + offset)
         dt = time.perf_counter() - t0
-        with self._lock:
+        with self._stats_lock:
             self._latency_sum += dt
             self._latency_n += 1
         results = []

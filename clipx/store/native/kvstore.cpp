@@ -148,8 +148,23 @@ struct Segment {
             ::memcpy(&d.count, base + pos, 8);
             ::memcpy(&index_off, base + pos + 8, 8);
             pos += 16;
-            if (index_off + d.count * 8 > size) return false;
+            // overflow-safe bounds: count is untrusted on-disk data
+            if (index_off > size || d.count > (size - index_off) / 8) {
+                return false;
+            }
             d.index = base + index_off;
+            // validate the offsets array up front (touches only the
+            // 8-byte-per-record index region, not the records): every
+            // record header must lie inside the file, monotonically —
+            // a truncated or bit-rotted segment fails open instead of
+            // walking memcpy past the mmap
+            uint64_t prev = 0;
+            for (uint64_t i = 0; i < d.count; ++i) {
+                uint64_t off;
+                ::memcpy(&off, d.index + 8 * i, 8);
+                if (off < 12 || off + 8 > size || off < prev) return false;
+                prev = off;
+            }
             dbs.emplace(std::move(name), d);
         }
         return true;
@@ -162,6 +177,14 @@ SegEntry seg_entry(const Segment& s, const SegDb& d, uint64_t i) {
     SegEntry e;
     ::memcpy(&e.klen, s.base + off, 4);
     ::memcpy(&e.vlen, s.base + off + 4, 4);
+    // lengths are untrusted: clamp a record extending past the mmap to
+    // an empty entry rather than reading out of bounds (offsets were
+    // range-checked at load; only klen/vlen can still lie)
+    if (e.klen > s.size || e.vlen > s.size ||
+        off + 8 + e.klen + e.vlen > s.size) {
+        e.klen = 0;
+        e.vlen = 0;
+    }
     e.key = s.base + off + 8;
     e.val = e.key + e.klen;
     return e;
@@ -408,9 +431,11 @@ ReplayResult replay_wal(Env* env, const std::string& path,
 
 // (Re)load the current generation from disk: manifest -> segment mmap ->
 // WAL replay -> append fd. Caller holds env->mu; trim_tail only when the
-// caller holds the exclusive flock (open). Retries around generation
-// bumps / GC races from other processes.
-bool reload_locked(Env* env, bool trim_tail) {
+// caller holds the exclusive flock (open). `exclusive` means the caller
+// holds the flock, so nothing can be mid-compaction: load failures are
+// then genuine corruption and fail fast instead of being retried as
+// races.
+bool reload_locked(Env* env, bool trim_tail, bool exclusive) {
     for (int attempt = 0; attempt < 8; ++attempt) {
         uint64_t gen = read_manifest(env->dir);
         auto seg = std::make_shared<Segment>();
@@ -418,6 +443,10 @@ bool reload_locked(Env* env, bool trim_tail) {
         struct stat st;
         if (::stat(seg_path(env, gen).c_str(), &st) == 0) {
             if (!seg->load(seg_path(env, gen))) {
+                if (exclusive) {
+                    env->error = "bad segment file " + seg_path(env, gen);
+                    return false;
+                }
                 // mid-GC or mid-compaction by another process: retry
                 continue;
             }
@@ -469,7 +498,8 @@ bool catch_up_locked(Env* env) {
     for (int attempt = 0; attempt < 8; ++attempt) {
         uint64_t gen = read_manifest(env->dir);
         if (gen != env->gen) {
-            return reload_locked(env, /*trim_tail=*/false);
+            return reload_locked(env, /*trim_tail=*/false,
+                                 /*exclusive=*/false);
         }
         ReplayResult r = replay_wal(env, wal_path(env, env->gen),
                                     env->log_offset, /*trim_tail=*/false);
@@ -637,7 +667,10 @@ bool compact_locked(Env* env) {
 
     std::string old_seg = seg_path(env, env->gen);
     std::string old_wal = wal_path(env, env->gen);
-    if (!reload_locked(env, /*trim_tail=*/false)) return false;
+    if (!reload_locked(env, /*trim_tail=*/false,
+                       /*exclusive=*/true)) {
+        return false;
+    }
     // other processes on the old generation reload at their next
     // commit/refresh (manifest check); files unlinked now, their handles
     // reopen from the new generation
@@ -719,7 +752,8 @@ void* cxkv_open(const char* path) {
         ::close(env->lock_fd);
         return nullptr;
     }
-    bool ok = reload_locked(env.get(), /*trim_tail=*/true);
+    bool ok = reload_locked(env.get(), /*trim_tail=*/true,
+                            /*exclusive=*/true);
     if (ok) gc_stale_files_locked(env.get());
     ::flock(env->lock_fd, LOCK_UN);
     if (!ok) {

@@ -245,3 +245,50 @@ def test_overlay_accounting_stable_under_churn(tmp_path):
         assert txn.stat()["entries"] == 50
         assert txn.get(b"k007") == b"x" * 100
     env.close()
+
+
+def _make_segmented_env(path):
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    with env.begin(db=db, write=True) as txn:
+        for i in range(100):
+            txn.put(f"k{i:03d}".encode(), b"v" * 64)
+    env.compact()
+    env.close()
+    return [f for f in os.listdir(path) if f.startswith("seg-")][0]
+
+
+def test_truncated_segment_fails_open_cleanly(tmp_path):
+    """A truncated segment must fail open with an error, not walk the
+    mmap out of bounds (round-2 review finding)."""
+    path = str(tmp_path / "env")
+    seg = _make_segmented_env(path)
+    full = os.path.join(path, seg)
+    os.truncate(full, os.path.getsize(full) // 2)
+    try:
+        env = kv.open_env(path)
+        env.close()
+        assert False, "open of a truncated segment should fail"
+    except kv.Error:
+        pass
+
+
+def test_corrupt_segment_offsets_fail_open_cleanly(tmp_path):
+    path = str(tmp_path / "env")
+    seg = _make_segmented_env(path)
+    full = os.path.join(path, seg)
+    with open(full, "r+b") as f:
+        f.seek(os.path.getsize(full) // 2)
+        f.write(b"\xff" * 64)  # clobber index/records mid-file
+    try:
+        env = kv.open_env(path)
+        # if the clobber landed in record bytes (not the index), open
+        # can succeed; reads must still never crash
+        db = env.open_db(b"db")
+        with env.begin(db=db) as txn:
+            for i in range(100):
+                txn.get(f"k{i:03d}".encode())
+            list(txn.cursor())
+        env.close()
+    except kv.Error:
+        pass  # detected at open — also acceptable

@@ -39,8 +39,8 @@ def synthetic_images(size: int, n: int = 6) -> np.ndarray:
     for i in range(n):
         r = 127 + 127 * np.sin(2 * np.pi * (xx * (i + 1) + rng.rand()))
         g = 255 * yy
-        b = 255 * ((xx * 8).astype(int) + (yy * 8).astype(int)) % 2
-        out[i] = np.stack([r, g, b * np.ones_like(r)], -1).astype(np.uint8)
+        b = 255 * (((xx * 8).astype(int) + (yy * 8).astype(int)) % 2)
+        out[i] = np.stack([r, g, b.astype(np.float32)], -1).astype(np.uint8)
     return out
 
 
