@@ -40,8 +40,11 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--search-mode", choices=("exact", "quant", "auto"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
                         help="quant: int8 HBM scan + exact f32 rescore "
-                             "(~2x faster at 1M vectors, same ranking); "
-                             "auto enables it from 100k vectors")
+                             "(~2x faster at 1M vectors; ranking "
+                             "identical except inside near-duplicate "
+                             "clusters tighter than int8 noise — see "
+                             "clipx/search/engine.py); auto enables it "
+                             "from 100k vectors")
 
 
 # corpus size from which the int8 scan + exact-rescore path wins

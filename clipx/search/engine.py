@@ -107,7 +107,13 @@ def _search_kernel(corpus: jax.Array, valid: jax.Array, queries: jax.Array,
 # and rescored, so the returned ranking is computed in full precision.
 # A true top-k entry is missed only if its int8 score falls below the
 # (margin*k)-th — with per-score error ~0.2% of ||q||, effectively never
-# (validated against the exact oracle in tests and at 1M in bench).
+# for distinct images (validated against the exact oracle in tests and
+# at 1M in bench). The one scoped exception: a cluster of more than
+# margin*k near-duplicates whose exact scores differ by less than the
+# quantization noise (~1e-3 cosine; burst shots of the same scene) can
+# swap members inside the cluster — returned scores stay within that
+# noise of the true top-k (pinned in test_quality_gate), which is also
+# the regime where the ranking carries no semantic information.
 
 RESCORE_MARGIN = 4
 

@@ -80,3 +80,44 @@ def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):
     pil_min, cv2_min = float(m.group(1)), float(m.group(2))
     assert cv2_min >= 0.9999, out  # same decode + same resize kernel
     assert pil_min >= 0.90, out    # different antialias kernel, bounded
+
+
+def test_int8_rescore_on_near_duplicate_cluster():
+    """Adversarial case for candidate selection: burst-shot photo
+    libraries put hundreds of near-identical embeddings in one
+    contiguous byte-sorted block (same folder). When a cluster larger
+    than margin*k sits within quantization noise (<~1e-3 cosine gaps),
+    the int8 stage cannot isolate the exact top-k INSIDE the cluster —
+    the scoped, documented guarantee (clipx/search/engine.py) is: the
+    self-match survives, every hit comes from the right cluster, and
+    returned scores stay within quantization noise of the true top-k."""
+    from clipx.search.engine import VectorIndex
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(512).astype(np.float32)
+    base /= np.linalg.norm(base)
+    # 500 near-duplicates (> margin*k = 256) in one contiguous block,
+    # score gaps ~1e-4 — below int8 noise, above f32 resolution
+    dups = base[None] + rng.randn(500, 512).astype(np.float32) * 1e-3
+    rest = rng.randn(7500, 512).astype(np.float32)
+    corpus = np.concatenate([dups, rest])
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+
+    exact = VectorIndex.from_vectors(corpus)
+    quant = VectorIndex.from_vectors(corpus, quantized=True)
+    q = corpus[123][None]  # one of the duplicates queries the cluster
+    De, Ie = exact.search(q, k=50)
+    Dq, Iq = quant.search(q, k=50)
+    assert Iq[0, 0] == 123  # exact self-match always survives
+    assert (Iq[0] < 500).all() and (Ie[0] < 500).all()  # right cluster
+    # scores within quantization noise of the true top-k, descending
+    np.testing.assert_allclose(Dq[0], De[0], rtol=0, atol=5e-4)
+    assert (np.diff(Dq[0]) <= 1e-7).all()
+    # and with distinct images (gaps >> int8 noise) ranking is identical
+    spread = rest[:2000] / np.linalg.norm(rest[:2000], axis=1,
+                                          keepdims=True)
+    e2 = VectorIndex.from_vectors(spread)
+    q2 = VectorIndex.from_vectors(spread, quantized=True)
+    Dg, Ig = e2.search(spread[:3], k=20)
+    Dh, Ih = q2.search(spread[:3], k=20)
+    np.testing.assert_array_equal(Ih, Ig)
