@@ -51,6 +51,37 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
 QUANT_AUTO_THRESHOLD = 100_000
 
 
+def load_index(args):
+    """Load the vector index per the CLI flags: single-device, or the
+    corpus-sharded variant across every visible chip (--sharded /
+    $CLIPX_SHARDED; BASELINE.json config 5), with --search-mode applied
+    to whichever branch wins. Shared by the query REPL and clipx.serve."""
+    from clipx.search.engine import read_index
+
+    index = read_index(args.index)
+    mode = getattr(args, "sharded", "off")
+    search_mode = getattr(args, "search_mode", "auto")
+    import jax
+
+    if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
+        from clipx.parallel.mips import ShardedVectorIndex
+
+        if index.ntotal > 0:
+            sharded = ShardedVectorIndex(index.vectors())
+            sharded.nprobe = 32
+            # --search-mode applies to both branches: the int8-scan +
+            # exact-rescore win must not silently disappear on a pod
+            return apply_search_mode(sharded, search_mode)
+    return apply_search_mode(index, search_mode)
+
+
+def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
+    parser.add_argument("--sharded", choices=("auto", "on", "off"),
+                        default=os.environ.get("CLIPX_SHARDED", "auto"),
+                        help=f"{what} over all visible devices "
+                             "(auto: only when >1 device is visible)")
+
+
 def apply_search_mode(index, mode: str):
     """Configure a VectorIndex's scan mode per the --search-mode flag."""
     if hasattr(index, "quantized"):

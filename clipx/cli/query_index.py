@@ -39,7 +39,6 @@ import numpy as np
 
 from clipx.cli import common
 from clipx.cli.viewer import ImageViewer
-from clipx.search.engine import read_index
 from clipx.store.kv import open_env
 
 HELP_TEXT = (
@@ -62,31 +61,12 @@ HELP_TEXT = (
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="query-index.py")
     common.add_model_flags(p)
-    p.add_argument("--sharded", choices=("auto", "on", "off"),
-                   default=os.environ.get("CLIPX_SHARDED", "auto"),
-                   help="row-shard the corpus over all devices "
-                        "(auto: only when >1 device is visible)")
+    common.add_sharded_flag(p, "row-shard the corpus")
     return p
 
 
-def _load_index(args):
-    """Single-device index, or the corpus-sharded variant across every
-    visible chip (BASELINE.json config 5)."""
-    index = read_index(args.index)
-    mode = getattr(args, "sharded", "off")
-    search_mode = getattr(args, "search_mode", "auto")
-    import jax
-
-    if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
-        from clipx.parallel.mips import ShardedVectorIndex
-
-        if index.ntotal > 0:
-            sharded = ShardedVectorIndex(index.vectors())
-            sharded.nprobe = 32
-            # --search-mode applies to both branches: the int8-scan +
-            # exact-rescore win must not silently disappear on a pod
-            return common.apply_search_mode(sharded, search_mode)
-    return common.apply_search_mode(index, search_mode)
+# kept as an alias: tests and round-1 docs refer to the loader here
+_load_index = common.load_index
 
 
 class QueryREPL:

@@ -40,7 +40,6 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from clipx.cli import common
-from clipx.search.engine import read_index
 from clipx.store.kv import open_env
 
 
@@ -53,8 +52,9 @@ class SearchService:
                             max_dbs=4)
         self.idx_db = self.env.open_db(common.IDX_DB)
         self.fn_db = self.env.open_db(common.FN_DB)
-        self.index = common.apply_search_mode(
-            read_index(args.index), getattr(args, "search_mode", "auto"))
+        # same loader as the query REPL: honors --sharded (corpus
+        # row-sharded over every visible chip) and --search-mode
+        self.index = common.load_index(args)
         self._encoder = None
         # separate locks: the encoder build holds _enc_lock for a full
         # model load + compile (tens of seconds on a tunneled TPU) and
@@ -85,9 +85,7 @@ class SearchService:
         gives bad results until restart' (reference:README.md:46-48):
         rebuild with build-index.py, then POST /reload; in-flight
         searches keep the old device index until the swap."""
-        new_index = common.apply_search_mode(
-            read_index(self.args.index),
-            getattr(self.args, "search_mode", "auto"))
+        new_index = common.load_index(self.args)
         self.env.refresh()
         old = self.index
         self.index = new_index  # atomic reference swap
@@ -252,6 +250,7 @@ class Handler(BaseHTTPRequestHandler):
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="clipx-serve")
     common.add_model_flags(p)
+    common.add_sharded_flag(p, "row-shard the corpus")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     return p

@@ -261,3 +261,17 @@ def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
         assert sim["results"][0]["id"] == 5
     finally:
         server.shutdown()
+
+
+def test_serve_sharded_index(served):
+    """On the 8-device test mesh the default --sharded auto serves from
+    the corpus-sharded index (the pod path), same results contract."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from clipx.parallel.mips import ShardedVectorIndex
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test"])
+    service = serve.SearchService(args)
+    assert isinstance(service.index, ShardedVectorIndex)
