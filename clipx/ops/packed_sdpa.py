@@ -186,15 +186,15 @@ def packed_sdpa_qkv(qkv: jax.Array, *, heads: int,
 
 def _attn_block_kernel(x_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
                        acc, *, seq_len: int, heads: int, head_dim: int,
-                       scale: float, width: int):
+                       scale: float, width: int, rows: int):
     """The ENTIRE attention block in one kernel: qkv projection -> SDPA
-    -> out projection, per program over two batch rows. Weights sit in
-    VMEM (constant block index: fetched once, reused by every program),
-    so the only HBM traffic per layer is x in and o out."""
-    x = x_ref[...].reshape(2 * _SP, width)          # batch-pair rows
+    -> out projection, per program over ``rows`` batch rows. Weights sit
+    in VMEM (constant block index: fetched once, reused by every
+    program), so the only HBM traffic per layer is x in and o out."""
+    x = x_ref[...].reshape(rows * _SP, width)       # batch-packed rows
     _attn_block_core(x, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, acc,
                      seq_len=seq_len, heads=heads, head_dim=head_dim,
-                     scale=scale, width=width, residual=None)
+                     scale=scale, width=width, residual=None, rows=rows)
 
 
 def _attn_sublayer_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
@@ -214,20 +214,21 @@ def _attn_sublayer_kernel(x_ref, ln_scale_ref, ln_bias_ref, wqkv_ref,
     _attn_block_core(y.astype(raw.dtype), wqkv_ref, bqkv_ref, wo_ref,
                      bo_ref, o_ref, acc, seq_len=seq_len, heads=heads,
                      head_dim=head_dim, scale=scale, width=width,
-                     residual=raw)
+                     residual=raw, rows=2)
 
 
 def _attn_block_core(x, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, acc, *,
                      seq_len: int, heads: int, head_dim: int, scale: float,
-                     width: int, residual):
+                     width: int, residual, rows: int = 2):
     qkv = jax.lax.dot_general(
         x, wqkv_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     qkv = (qkv + bqkv_ref[...].astype(jnp.float32)).astype(x.dtype)
 
-    col_s = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) % _SP
-    row_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 0) // _SP
-    col_b = jax.lax.broadcasted_iota(jnp.int32, (2 * _SP, 2 * _SP), 1) // _SP
+    n = rows * _SP
+    col_s = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) % _SP
+    row_b = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // _SP
+    col_b = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // _SP
     mask = jnp.logical_and(row_b == col_b, col_s < seq_len)
 
     for h in range(heads):
@@ -253,7 +254,7 @@ def _attn_block_core(x, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref, acc, *,
     if residual is not None:
         # same order/dtype as the unfused `x + mha_block(...)`
         out = residual.astype(o_ref.dtype) + out
-    o_ref[...] = out.reshape(2, _SP, width)
+    o_ref[...] = out.reshape(rows, _SP, width)
 
 
 @functools.partial(jax.jit, static_argnames=("heads", "eps", "interpret"))
@@ -307,20 +308,25 @@ def fused_attn_sublayer(x: jax.Array, ln_scale: jax.Array,
     return out[:, :s, :]
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "interpret"))
+@functools.partial(jax.jit, static_argnames=("heads", "rows", "interpret"))
 def fused_attn_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
                      wo: jax.Array, bo: jax.Array, *, heads: int,
+                     rows: int = 2,
                      interpret: bool | None = None) -> jax.Array:
     """qkv-projection + SDPA + out-projection fused into one pallas call.
 
     x: (B, S, W); wqkv: (W, 3W) = [wq | wk | wv]; wo: (W, W). S <= 64,
-    D = 64, even B. Returns (B, S, W) — everything between LayerNorm and
-    the residual add of a ViT attention sublayer."""
+    D = 64, B divisible by ``rows`` (batch rows packed per program —
+    rows=2 gives full (128, 128) MXU score tiles; rows=4 halves the
+    program count with (256, 256) tiles). Returns (B, S, W) —
+    everything between LayerNorm and the residual add of a ViT
+    attention sublayer."""
     b, s, w = x.shape
     d = w // heads
-    if d != 64 or s > _SP or b % 2:
-        raise ValueError(f"fused_attn_block needs D=64, S<=64, even B; "
-                         f"got B={b}, D={d}, S={s}")
+    if d != 64 or s > _SP or b % rows:
+        raise ValueError(f"fused_attn_block needs D=64, S<=64, "
+                         f"B % rows == 0; got B={b}, D={d}, S={s}, "
+                         f"rows={rows}")
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     pad = _SP - s
@@ -331,19 +337,20 @@ def fused_attn_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
     bqkv = bqkv.reshape(1, 3 * w).astype(jnp.float32)
     bo = bo.reshape(1, w).astype(jnp.float32)
 
-    xspec = pl.BlockSpec((2, _SP, w), lambda i: (i, 0, 0),
+    xspec = pl.BlockSpec((rows, _SP, w), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
         0 for _ in shape), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_block_kernel, seq_len=s, heads=heads,
-                          head_dim=d, scale=1.0 / (d ** 0.5), width=w),
-        grid=(b // 2,),
+                          head_dim=d, scale=1.0 / (d ** 0.5), width=w,
+                          rows=rows),
+        grid=(b // rows,),
         in_specs=[xspec, const((w, 3 * w)), const((1, 3 * w)),
                   const((w, w)), const((1, w))],
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, _SP, w), x.dtype),
-        scratch_shapes=[pltpu.VMEM((2 * _SP, w), x.dtype)],
+        scratch_shapes=[pltpu.VMEM((rows * _SP, w), x.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * _SP * w * 4 * w + 4 * b * heads * _SP * _SP * d,
             bytes_accessed=2 * b * _SP * w * 2 + 8 * w * w * 2,
