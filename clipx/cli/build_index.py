@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int,
                    default=int(os.environ.get("CLIPX_DECODE_WORKERS", "4")))
     p.add_argument("--decode-backend", choices=("cv2", "pil"), default="cv2")
+    p.add_argument("--fast-decode", action="store_true",
+                   default=bool(os.environ.get("CLIPX_FAST_DECODE")),
+                   help="reduced-resolution JPEG decode (DCT-domain, "
+                        "~3x decode throughput on full-size photos; "
+                        "pixels differ slightly from a full decode)")
     p.add_argument("--preprocess", choices=("host", "device"),
                    default=os.environ.get("CLIPX_PREPROCESS", "host"),
                    help="host: resize+crop on CPU (PIL-parity option); "
@@ -137,7 +142,8 @@ def _encode_phase(args, encoder, env, fn_db, skip_db,
             todo = _pending_paths(env, fn_db, skip_db, base_path)
         stream = iter_decoded(todo, size, backend=args.decode_backend,
                               workers=args.decode_workers,
-                              prefetch=max(args.batch_size * 2, 64))
+                              prefetch=max(args.batch_size * 2, 64),
+                              fast=getattr(args, "fast_decode", False))
         in_flight = []  # (good_items, async_handle)
 
         def drain_one():
