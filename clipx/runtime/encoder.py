@@ -120,6 +120,7 @@ class Encoder:
 
         self._batch_sh = None
         out_sh = None
+        dp_wrap = lambda fn: fn
         if mesh is not None:
             from clipx.parallel import mesh as mesh_lib
 
@@ -132,13 +133,30 @@ class Encoder:
             params = mesh_lib.shard_params(params, mesh, tp)
             self._batch_sh = NamedSharding(mesh, P("dp"))
             out_sh = self._batch_sh
-            # every bucket must split evenly over dp
-            batch_buckets = {max(dp_size, -(-b // dp_size) * dp_size)
+            # every bucket must split evenly over dp, with an even
+            # per-device share so the pallas kernels' batch-pair packing
+            # applies locally
+            grain = 2 * dp_size
+            batch_buckets = {max(grain, -(-b // grain) * grain)
                              for b in batch_buckets}
+            if tp is None:
+                # Pure DP runs under shard_map: every device executes
+                # the encode on its LOCAL batch shard, so the pallas
+                # kernels partition by construction instead of relying
+                # on XLA's custom-call partitioner (encode needs no
+                # cross-device collectives — params are replicated).
+                def dp_wrap(fn):  # noqa: F811 — intentional rebind
+                    # check_vma=False: pallas_call outputs don't carry
+                    # the varying-mesh-axes annotation the static
+                    # checker wants (same situation as parallel.mips)
+                    return jax.shard_map(
+                        fn, mesh=mesh, in_specs=(P(), P("dp")),
+                        out_specs=P("dp"), check_vma=False)
         self.params = params
         self.buckets = tuple(sorted(batch_buckets))
 
         @functools.partial(jax.jit, out_shardings=out_sh)
+        @dp_wrap
         def _encode_images(params, batch_uint8):
             pixels = normalize_batch(batch_uint8, dtype=self.dtype)
             return model_lib.encode_image(params, cfg, pixels,
@@ -146,6 +164,7 @@ class Encoder:
                                           attn_impl=attn_impl)
 
         @functools.partial(jax.jit, out_shardings=out_sh)
+        @dp_wrap
         def _encode_canvases(params, batch_uint8):
             # fully on-device preprocess: antialiased bicubic resize from
             # a square decode canvas (e.g. 256x256) to the model input,
