@@ -81,8 +81,12 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     use_packed = (s <= 64 and d == 64 and (heads % 2 == 0 or b % 2 == 0))
     # K/V must fit VMEM alongside scores for the long kernel
     use_long = (s > 64 and (-(-s // 128) * 128) * w * 2 * 2 < 8 * 2 ** 20)
+    # attn_impl="plain" opts out of the fused pallas kernels: used when
+    # params may be TP-sharded under GSPMD (the sharded train step) —
+    # the kernels consume full-width weight blocks and would force
+    # gathers or break partitioning
     if (not causal and (use_packed or use_long)
-            and attn_impl != "pallas" and _on_tpu()):
+            and attn_impl == "xla" and _on_tpu()):
         # fused pallas kernels: mask + f32 softmax + both matmuls in
         # VMEM, consuming/producing (B, S, W) directly — no XLA
         # transposes or score-tile HBM round-trips (clipx.ops.packed_sdpa;
@@ -182,7 +186,7 @@ def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     b, s, w = x.shape
     d = w // heads
     if (not causal and s <= 64 and d == 64 and b % 2 == 0
-            and attn_impl != "pallas" and _on_tpu()
+            and attn_impl == "xla" and _on_tpu()
             and _sdpa_variant() == "sublayer"):
         # opt-in: whole pre-LN sublayer (LN -> attn -> +residual) in one
         # kernel. Measured a wash vs fused_attn_block at ViT-B/32 b256

@@ -37,11 +37,14 @@ class TrainState(NamedTuple):
 
 
 def contrastive_loss(params, cfg: CLIPConfig, pixels, token_ids,
-                     *, dtype=jnp.float32, remat: bool = False):
+                     *, dtype=jnp.float32, remat: bool = False,
+                     attn_impl: str = "xla"):
     img = model_lib.encode_image(params, cfg, pixels, normalize=True,
-                                 dtype=dtype, remat=remat)
+                                 dtype=dtype, remat=remat,
+                                 attn_impl=attn_impl)
     txt = model_lib.encode_text(params, cfg, token_ids, normalize=True,
-                                dtype=dtype, remat=remat)
+                                dtype=dtype, remat=remat,
+                                attn_impl=attn_impl)
     scale = jnp.exp(jnp.clip(params["logit_scale"], a_max=jnp.log(100.0)))
     logits = scale * img @ txt.T                      # (B, B)
     labels = jnp.arange(logits.shape[0])
@@ -74,13 +77,15 @@ def create_train_state(cfg: CLIPConfig, rng: jax.Array,
 
 
 def make_train_step(cfg: CLIPConfig, tx: optax.GradientTransformation,
-                    *, dtype=jnp.float32, remat: bool = False):
+                    *, dtype=jnp.float32, remat: bool = False,
+                    attn_impl: str = "xla"):
     """A jittable (state, pixels, token_ids) -> (state, metrics) step."""
 
     def step(state: TrainState, pixels, token_ids):
         grad_fn = jax.value_and_grad(
             lambda p: contrastive_loss(p, cfg, pixels, token_ids,
-                                       dtype=dtype, remat=remat),
+                                       dtype=dtype, remat=remat,
+                                       attn_impl=attn_impl),
             has_aux=True)
         (_, metrics), grads = grad_fn(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -155,7 +160,12 @@ def make_sharded_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
             state.opt_state, opt_sh)
         return TrainState(params, opt_state, jax.device_put(state.step, rep))
 
-    step = make_train_step(cfg, tx, dtype=dtype, remat=remat)
+    # attn_impl="plain": params here are (potentially TP-)sharded under
+    # GSPMD, and the fused pallas kernels consume full-width weight
+    # blocks — keep the train step on pure-XLA attention so the
+    # partitioner owns every op
+    step = make_train_step(cfg, tx, dtype=dtype, remat=remat,
+                           attn_impl="plain")
     jitted = jax.jit(
         step,
         in_shardings=(None, batch_sh, batch_sh),
