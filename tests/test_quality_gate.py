@@ -121,3 +121,33 @@ def test_int8_rescore_on_near_duplicate_cluster():
     Dg, Ig = e2.search(spread[:3], k=20)
     Dh, Ih = q2.search(spread[:3], k=20)
     np.testing.assert_array_equal(Ih, Ig)
+
+
+def test_fast_decode_embedding_drift_bounded(tmp_path):
+    """--fast-decode changes pixels slightly (DCT-domain downscale);
+    pin the embedding-level impact so a decode regression is caught as
+    a quality number, not a user report."""
+    from PIL import Image
+
+    from clipx.data.pipeline import iter_decoded
+    from clipx.runtime.encoder import Encoder
+
+    rng = np.random.RandomState(2)
+    paths = []
+    for i in range(6):
+        base = rng.randint(0, 255, (10, 14, 3), dtype=np.uint8)
+        p = str(tmp_path / f"p{i}.jpg")
+        Image.fromarray(base).resize((1280, 960), Image.BICUBIC
+                                     ).save(p, quality=88)
+        paths.append(p)
+    full = np.stack([it.array for it in
+                     iter_decoded(paths, 32, fast=False)])
+    fast = np.stack([it.array for it in
+                     iter_decoded(paths, 32, fast=True)])
+    enc = Encoder.create("tiny-test", batch_buckets=(8,))
+    ef = enc.encode_images(full)
+    eq = enc.encode_images(fast)
+    cos = np.sum(ef * eq, axis=1)
+    # random-weight tiny model amplifies pixel noise vs real weights;
+    # still far inside the preprocess-kernel tolerance budget
+    assert cos.min() >= 0.98, cos
