@@ -47,11 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decode-workers", type=int,
                    default=int(os.environ.get("CLIPX_DECODE_WORKERS", "4")))
     p.add_argument("--decode-backend", choices=("cv2", "pil"), default="cv2")
-    p.add_argument("--fast-decode", action="store_true",
-                   default=bool(os.environ.get("CLIPX_FAST_DECODE")),
+    env_fast = os.environ.get("CLIPX_FAST_DECODE", "").lower()
+    p.add_argument("--fast-decode", action=argparse.BooleanOptionalAction,
+                   default=env_fast in ("1", "true", "yes", "on"),
                    help="reduced-resolution JPEG decode (DCT-domain, "
                         "~3x decode throughput on full-size photos; "
-                        "pixels differ slightly from a full decode)")
+                        "pixels differ slightly from a full decode). "
+                        "--no-fast-decode overrides $CLIPX_FAST_DECODE")
     p.add_argument("--preprocess", choices=("host", "device"),
                    default=os.environ.get("CLIPX_PREPROCESS", "host"),
                    help="host: resize+crop on CPU (PIL-parity option); "

@@ -56,9 +56,9 @@ def load_index(args):
     corpus-sharded variant across every visible chip (--sharded /
     $CLIPX_SHARDED; BASELINE.json config 5), with --search-mode applied
     to whichever branch wins. Shared by the query REPL and clipx.serve."""
-    from clipx.search.engine import read_index
+    from clipx.search.engine import VectorIndex, read_index_vectors
 
-    index = read_index(args.index)
+    vectors = read_index_vectors(args.index)  # host; placed exactly once
     mode = getattr(args, "sharded", "off")
     search_mode = getattr(args, "search_mode", "auto")
     import jax
@@ -66,13 +66,14 @@ def load_index(args):
     if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
         from clipx.parallel.mips import ShardedVectorIndex
 
-        if index.ntotal > 0:
-            sharded = ShardedVectorIndex(index.vectors())
+        if vectors.shape[0] > 0:
+            sharded = ShardedVectorIndex(vectors)
             sharded.nprobe = 32
             # --search-mode applies to both branches: the int8-scan +
             # exact-rescore win must not silently disappear on a pod
             return apply_search_mode(sharded, search_mode)
-    return apply_search_mode(index, search_mode)
+    return apply_search_mode(VectorIndex.from_vectors(vectors),
+                             search_mode)
 
 
 def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:

@@ -50,19 +50,19 @@ def scan_folder(base_path: str) -> List[str]:
     return out
 
 
-def _reduced_jpeg_flag(data: np.ndarray, size: int):
+def _reduced_jpeg_flag(path: str, size: int):
     """cv2 imdecode flag for DCT-domain reduced JPEG decode: libjpeg can
     decode directly at 1/2, 1/4, or 1/8 resolution for a large fraction
     of the decode cost. Picks the deepest reduction whose shorter side
     still covers the target (so the resize stays a downscale); non-JPEG
-    or unparsable headers fall back to a full decode."""
-    import io
-
+    or unparsable headers fall back to a full decode. Reads the header
+    lazily from the file (a handful of KB from the page cache), not a
+    copy of the whole compressed buffer."""
     import cv2
     from PIL import Image
 
     try:
-        with Image.open(io.BytesIO(data.tobytes())) as im:
+        with Image.open(path) as im:
             if im.format != "JPEG":
                 return cv2.IMREAD_COLOR
             w, h = im.size
@@ -83,9 +83,9 @@ def _decode_one(path: str, size: int, backend: str,
         if backend == "cv2":
             import cv2
 
-            data = np.fromfile(path, dtype=np.uint8)
-            flag = (_reduced_jpeg_flag(data, size) if fast
+            flag = (_reduced_jpeg_flag(path, size) if fast
                     else cv2.IMREAD_COLOR)
+            data = np.fromfile(path, dtype=np.uint8)
             img = cv2.imdecode(data, flag)
             if img is None:
                 raise ValueError("cv2 could not decode")

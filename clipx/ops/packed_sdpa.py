@@ -352,9 +352,12 @@ def fused_attn_block(x: jax.Array, wqkv: jax.Array, bqkv: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, _SP, w), x.dtype),
         scratch_shapes=[pltpu.VMEM((rows * _SP, w), x.dtype)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * _SP * w * 4 * w + 4 * b * heads * _SP * _SP * d,
+            # score/probs work grows with the packed tile: each of the
+            # b/rows programs does heads x (rows*SP)^2-sized matmul pairs
+            flops=2 * b * _SP * w * 4 * w
+            + 4 * b * rows * heads * _SP * _SP * d,
             bytes_accessed=2 * b * _SP * w * 2 + 8 * w * w * 2,
-            transcendentals=b * heads * _SP * _SP,
+            transcendentals=b * rows * heads * _SP * _SP,
         ),
         interpret=interpret,
     )(x, wqkv, bqkv, wo, bo)

@@ -288,7 +288,10 @@ def write_index(index: VectorIndex, path: str) -> None:
     os.replace(tmp, path)
 
 
-def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
+def read_index_vectors(path: str) -> np.ndarray:
+    """Parse the sidecar into a host (ntotal, dim) float32 array —
+    callers that build a sharded (or otherwise placed) index from it
+    avoid the single-device upload read_index would do."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -307,8 +310,12 @@ def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
         if len(raw) != ntotal * dim * 4:
             raise ValueError(f"{path!r} is truncated "
                              f"({len(raw)} of {ntotal * dim * 4} bytes)")
-        data = np.frombuffer(raw, dtype=np.float32)
-    index = VectorIndex(dim=dim, dtype=dtype)
-    if ntotal:
-        index.add(data.reshape(ntotal, dim))
+    return np.frombuffer(raw, dtype=np.float32).reshape(ntotal, dim)
+
+
+def read_index(path: str, dtype=jnp.float32) -> VectorIndex:
+    data = read_index_vectors(path)
+    index = VectorIndex(dim=data.shape[1], dtype=dtype)
+    if data.shape[0]:
+        index.add(data)
     return index

@@ -192,9 +192,10 @@ def test_packed_sdpa_rows_rejects_odd_batch():
         packed_sdpa_rows(x, x, x, heads=2, interpret=True)
 
 
-def test_fused_attn_block_matches_unfused():
+@pytest.mark.parametrize("rows", [2, 4])
+def test_fused_attn_block_matches_unfused(rows):
     """The whole-sublayer kernel (qkv proj -> SDPA -> out proj) against
-    the composed reference ops."""
+    the composed reference ops, at both row-packing widths."""
     from clipx.ops.packed_sdpa import fused_attn_block, packed_sdpa
 
     rng = np.random.RandomState(11)
@@ -216,7 +217,7 @@ def test_fused_attn_block_matches_unfused():
     out = np.asarray(fused_attn_block(
         x, jnp.asarray(np.concatenate([wq, wk, wv], axis=1)),
         jnp.asarray(np.concatenate([bq, bk, bv])), jnp.asarray(wo),
-        jnp.asarray(bo), heads=h, interpret=True))
+        jnp.asarray(bo), heads=h, rows=rows, interpret=True))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 

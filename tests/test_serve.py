@@ -274,4 +274,15 @@ def test_serve_sharded_index(served):
 
     args = serve.build_parser().parse_args(["--model", "tiny-test"])
     service = serve.SearchService(args)
-    assert isinstance(service.index, ShardedVectorIndex)
+    try:
+        assert isinstance(service.index, ShardedVectorIndex)
+        # the results contract really holds: the sharded service returns
+        # what the fixture server (also sharded-by-default here) returns
+        vec = service.stored_vector(1)
+        got = service.search(vec, k=3)
+        _, via_http = _get(served, "/similar?id=1&k=3")
+        assert ([r["id"] for r in got["results"]]
+                == [r["id"] for r in via_http["results"]])
+        assert got["results"][0]["id"] == 1
+    finally:
+        service.env.close()
