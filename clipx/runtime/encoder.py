@@ -118,6 +118,18 @@ class Encoder:
         self.attn_impl = attn_impl
         self.tokenizer = tokenizer or ClipTokenizer()
 
+        if self.dtype == jnp.bfloat16:
+            # Store matrices in the compute dtype: every 2-D+ param is
+            # cast to bf16 at its point of use anyway (dense / explicit
+            # astype), so this is bitwise-identical (A/B-verified on
+            # chip) while halving weight HBM (~175 MB on ViT-B/32,
+            # ~850 MB on ViT-L) and the per-batch cast traffic. 1-D
+            # params (LN scales, biases) stay f32 — those are consumed
+            # in f32.
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if getattr(x, "ndim", 0) >= 2 else x, params)
+
         self._batch_sh = None
         out_sh = None
         dp_wrap = lambda fn: fn
