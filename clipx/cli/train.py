@@ -98,10 +98,17 @@ class PairLoader:
             p for p in paths if p not in self._cache))
         if not missing:
             return
+        # never evict a path in the current sweep: next_batch reads None
+        # as "undecodable", so evicting a live pick would silently
+        # resample a perfectly good image (sampling skew)
+        live = set(paths)
         for item in iter_decoded(missing, self.image_size,
                                  workers=self.decode_workers):
             if len(self._cache) >= self._CACHE_CAP:
-                self._cache.pop(next(iter(self._cache)))
+                victim = next((p for p in self._cache if p not in live),
+                              None)
+                if victim is not None:
+                    self._cache.pop(victim)
             self._cache[item.path] = item.array  # None on failure
 
     def next_batch(self):

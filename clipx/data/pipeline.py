@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
 from typing import Iterable, Iterator, List, Optional
 
 import numpy as np
@@ -106,22 +106,40 @@ def _decode_one(path: str, size: int, backend: str,
 
 def iter_decoded(paths: Iterable[str], size: int = 224, *,
                  backend: str = "cv2", workers: int = 4,
-                 prefetch: int = 64, fast: bool = False
-                 ) -> Iterator[DecodeItem]:
-    """Decode ``paths`` concurrently, yielding results in input order with
-    at most ``prefetch`` decodes in flight. ``fast`` enables reduced
-    JPEG decode (measured ~3x decode throughput on full-size photos;
-    pixels differ slightly from a full decode, so it's opt-in)."""
+                 prefetch: int = 64, fast: bool = False,
+                 ordered: bool = False) -> Iterator[DecodeItem]:
+    """Decode ``paths`` concurrently with at most ``prefetch`` decodes in
+    flight. By default results yield as they complete (bounded
+    out-of-order window): one pathological file never stalls finished
+    decodes behind it — the indexer doesn't care about arrival order
+    because ids are assigned in phase 2 from sorted LMDB keys, so order
+    only affects progress dots. ``ordered=True`` restores strict input
+    order for callers that pair outputs positionally. ``fast`` enables
+    reduced JPEG decode (measured ~3x decode throughput on full-size
+    photos; pixels differ slightly from a full decode, so it's opt-in)."""
     paths = iter(paths)
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        window = []
+        if ordered:
+            window = []
+            for path in paths:
+                window.append(pool.submit(_decode_one, path, size, backend,
+                                          fast))
+                if len(window) >= prefetch:
+                    yield window.pop(0).result()
+            for fut in window:
+                yield fut.result()
+            return
+        pending = set()
         for path in paths:
-            window.append(pool.submit(_decode_one, path, size, backend,
-                                      fast))
-            if len(window) >= prefetch:
-                yield window.pop(0).result()
-        for fut in window:
-            yield fut.result()
+            pending.add(pool.submit(_decode_one, path, size, backend, fast))
+            if len(pending) >= prefetch:
+                done, pending = wait(pending, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    yield fut.result()
+        while pending:
+            done, pending = wait(pending, return_when=FIRST_COMPLETED)
+            for fut in done:
+                yield fut.result()
 
 
 def batched(items: Iterable[DecodeItem], batch_size: int

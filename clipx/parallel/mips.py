@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clipx.search.engine import (RESCORE_MARGIN, _bucket_k, _exact_topk,
-                                 _quantize_device, clamp_k)
+from clipx.search.engine import (RESCORE_MARGIN, _MAX_Q, _bucket_k,
+                                 _bucket_rows, _exact_topk, _quantize_device,
+                                 clamp_k)
 
 AXIS = "shard"
 
@@ -116,10 +117,82 @@ class ShardedVectorIndex:
         rows = max(128, -(-rows // 128) * 128)  # lane-aligned shards
         padded = np.zeros((rows * n_shards, self.dim), np.float32)
         padded[: self.ntotal] = vectors
-        spec = P(AXIS, None)
         self._corpus = jax.device_put(
-            padded.astype(dtype), NamedSharding(mesh, spec))
+            padded.astype(dtype), self._sharding())
         self._search_fns = {}
+        self._update_fns = {}
+
+    def _sharding(self):
+        return NamedSharding(self.mesh, P(AXIS, None))
+
+    # -- growth ---------------------------------------------------------------
+    def add(self, vectors: np.ndarray) -> None:
+        """Append rows in place; ids continue from ntotal (global id =
+        concatenated-row order, same contract as VectorIndex.add). Serve
+        uses this for cheap reloads: a +1% corpus delta uploads ~1% of
+        the bytes instead of re-placing the whole corpus (the H2D path
+        through the tunnel is the expensive part).
+
+        The update is a device-side ``dynamic_update_slice`` on the
+        sharded array (GSPMD routes each slice piece to its shard); the
+        update length is padded to a power-of-two bucket so repeated
+        small deltas reuse one compiled shape."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors, "
+                             f"got {vectors.shape}")
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return
+        pad_len = 128
+        while pad_len < n_new:
+            pad_len *= 2
+        # capacity must cover the PADDED update: dynamic_update_slice
+        # clamps out-of-range starts, which would silently shift the
+        # write onto valid rows
+        if self.ntotal + pad_len > self._corpus.shape[0]:
+            self._grow(self.ntotal + pad_len)
+        upd = np.zeros((pad_len, self.dim), np.float32)
+        upd[:n_new] = vectors
+        self._corpus = self._update_fn(pad_len)(
+            self._corpus, jnp.asarray(upd, self.dtype),
+            jnp.int32(self.ntotal))
+        self.ntotal += n_new
+        self._codes = None  # int8 scan copy rebuilt lazily on next search
+        self._scales = None
+
+    def _update_fn(self, pad_len: int):
+        if pad_len not in self._update_fns:
+            self._update_fns[pad_len] = jax.jit(
+                lambda c, rows, start: jax.lax.dynamic_update_slice(
+                    c, rows, (start, 0)),
+                donate_argnums=(0,), out_shardings=self._sharding())
+        return self._update_fns[pad_len]
+
+    def _grow(self, need: int) -> None:
+        """Re-pad to a geometric row bucket (like the single-device
+        index) entirely on device: the old padded array is copied into
+        the front of the larger one, so valid rows keep their global
+        ids while GSPMD reshuffles rows across shards over ICI — no
+        host round-trip of the corpus."""
+        n_shards = self.mesh.shape[AXIS]
+        rows = -(-_bucket_rows(need) // n_shards)
+        rows = max(128, -(-rows // 128) * 128)
+        new_cap = rows * n_shards
+        dim, dtype, sharding = self.dim, self.dtype, self._sharding()
+
+        @functools.partial(jax.jit, out_shardings=sharding)
+        def regrow(old):
+            # no donation: old (smaller) can't alias new, and the old
+            # buffer frees by refcount right after the call anyway
+            new = jnp.zeros((new_cap, dim), dtype)
+            return jax.lax.dynamic_update_slice(new, old, (0, 0))
+
+        self._corpus = regrow(self._corpus)
+        self._search_fns = {}   # per-shard row count changed
+        self._update_fns = {}
+        self._codes = None
+        self._scales = None
 
     def _compiled(self, k: int, merge_k: int):
         key = (k, merge_k, self.quantized)
@@ -163,6 +236,14 @@ class ShardedVectorIndex:
         if self.ntotal == 0:
             return (np.full((queries.shape[0], k), -np.inf, np.float32),
                     np.full((queries.shape[0], k), -1, np.int64))
+        # the same per-call query cap as VectorIndex.search: the two-stage
+        # top-k sorts (Q*chunks, chunk) scratch per shard, so unbounded Q
+        # has the identical OOM failure mode, just divided by n_shards
+        if queries.shape[0] > _MAX_Q:
+            parts = [self.search(queries[i: i + _MAX_Q], k)
+                     for i in range(0, queries.shape[0], _MAX_Q)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
         n_shards = self.mesh.shape[AXIS]
         rows_per_shard = self._corpus.shape[0] // n_shards
         kk = min(_bucket_k(k), rows_per_shard)

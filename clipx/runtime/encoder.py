@@ -32,6 +32,11 @@ from clipx.ops.preprocess import device_resize_normalize, normalize_batch
 from clipx.text.tokenizer import ClipTokenizer
 
 _DEFAULT_BUCKETS = (1, 8, 32, 128, 256)
+# Text batches are padded to these row counts so serve's /encode_text
+# (arbitrary-length lists, clipx/serve.py) never triggers a fresh XLA
+# compile mid-request — compiles cost minutes on this tunneled TPU. The
+# REPL's N=1 stays the smallest bucket.
+_TEXT_BUCKETS = (1, 4, 16, 64)
 
 _cache_enabled = False
 
@@ -115,6 +120,12 @@ class Encoder:
             # elsewhere. attn_impl="pallas" forces the (B,H,S,D)-layout
             # flash kernel instead.
             attn_impl = "xla"
+        if tp is not None and attn_impl == "xla":
+            # TP-sharded params under GSPMD must not hit the fused pallas
+            # kernels: those consume full-width weight blocks and would
+            # force gathers or break partitioning — same reasoning as the
+            # sharded train step (clipx/train.py make_sharded_train_step)
+            attn_impl = "plain"
         self.attn_impl = attn_impl
         self.tokenizer = tokenizer or ClipTokenizer()
 
@@ -289,13 +300,32 @@ class Encoder:
 
     def encode_texts(self, texts) -> np.ndarray:
         """str or list[str] -> (N, embed_dim) float32, L2-normalized
-        (the reference's text path, reference:query-index.py:107-108)."""
+        (the reference's text path, reference:query-index.py:107-108).
+
+        Token rows are padded to a small bucket set (like image batches)
+        so every request size reuses a compiled shape; padding rows are
+        all-zero token ids whose outputs are sliced away (EOT argmax of a
+        zero row is position 0 — harmless garbage, never returned)."""
         if isinstance(texts, str):
             texts = [texts]
         ids = self.tokenizer(texts,
                              context_length=self.cfg.text.context_length)
-        return np.asarray(self._encode_text(self.params, ids),
-                          dtype=np.float32)
+        n = ids.shape[0]
+        cap = _TEXT_BUCKETS[-1]
+        if n > cap:
+            return np.concatenate([
+                self._encode_text_bucketed(ids[i: i + cap])
+                for i in range(0, n, cap)], axis=0)
+        return self._encode_text_bucketed(ids)
+
+    def _encode_text_bucketed(self, ids: np.ndarray) -> np.ndarray:
+        n = ids.shape[0]
+        bucket = _pick_bucket(n, _TEXT_BUCKETS)
+        if bucket != n:
+            pad = np.zeros((bucket - n, ids.shape[1]), ids.dtype)
+            ids = np.concatenate([ids, pad], axis=0)
+        out = self._encode_text(self.params, ids)
+        return np.asarray(out[:n], dtype=np.float32)
 
     def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
         """Pre-compile the hot shapes so the first real batch isn't slow."""

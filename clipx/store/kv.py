@@ -98,6 +98,8 @@ def _load() -> ctypes.CDLL:
         lib.cxkv_generation.argtypes = [ctypes.c_void_p]
         lib.cxkv_overlay_bytes.restype = ctypes.c_uint64
         lib.cxkv_overlay_bytes.argtypes = [ctypes.c_void_p]
+        lib.cxkv_error.restype = ctypes.c_char_p
+        lib.cxkv_error.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -213,7 +215,10 @@ class Transaction:
             rc = self._lib.cxkv_txn_commit(self._h)
             self._h = None
             if rc != 0:
-                raise Error(f"commit failed (rc={rc})")
+                detail = (self._lib.cxkv_error(self._env._h) or b"").decode(
+                    errors="replace")
+                raise Error(f"commit failed (rc={rc})"
+                            + (f": {detail}" if detail else ""))
 
     def abort(self) -> None:
         self._close_cursors()

@@ -247,6 +247,10 @@ struct Env {
     uint64_t overlay_bytes = 0; // approximate RAM held by puts/dels
     uint64_t memtable_cap = 0;
     std::string error;
+    // set when in-memory state could not be restored after a partial
+    // compaction failure: disk is consistent, this handle is not —
+    // mutations are refused until the env is reopened
+    bool failed = false;
 };
 
 std::string wal_path(const Env* env, uint64_t gen) {
@@ -860,6 +864,7 @@ int cxkv_txn_commit(void* th) {
     txn->done = true;
     if (!txn->write || txn->ops.empty()) return 0;
     Env* env = txn->env;
+    if (env->failed) return -5;  // handle errored; reopen the env
 
     // cross-process single-writer: hold the flock only for the commit
     if (::flock(env->lock_fd, LOCK_EX) != 0) return -2;
@@ -893,7 +898,21 @@ int cxkv_txn_commit(void* th) {
         // memtable bound: spill the overlay into a new segment so RSS
         // never scales with total ingest (we already hold the flock)
         if (env->overlay_bytes >= env->memtable_cap) {
-            compact_locked(env);  // best-effort; data is already durable
+            // best-effort: the commit is already durable in the WAL. But
+            // a *partial* failure (e.g. reload after the MANIFEST flip)
+            // can leave the overlay cleared or log_fd stale while disk
+            // stays consistent — reload to restore coherent in-memory
+            // state; if even that fails, mark the handle errored so
+            // callers get a distinct rc instead of opaque -3s forever
+            if (!compact_locked(env) &&
+                !reload_locked(env, /*trim_tail=*/false,
+                               /*exclusive=*/true)) {
+                if (env->error.empty()) {
+                    env->error = "memtable spill failed and the handle "
+                                 "could not reload; reopen the env";
+                }
+                env->failed = true;
+            }
         }
     }
     ::flock(env->lock_fd, LOCK_UN);
@@ -1031,6 +1050,14 @@ uint64_t cxkv_overlay_bytes(void* handle) {
     Env* env = static_cast<Env*>(handle);
     std::lock_guard<std::mutex> g(env->mu);
     return env->overlay_bytes;
+}
+
+// last error description ("" when none). The pointer stays valid until
+// the next env operation that sets an error, or close.
+const char* cxkv_error(void* handle) {
+    Env* env = static_cast<Env*>(handle);
+    std::lock_guard<std::mutex> g(env->mu);
+    return env->error.c_str();
 }
 
 }  // extern "C"

@@ -53,6 +53,37 @@ def test_encode_texts_shapes(enc):
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
 
 
+def test_encode_texts_bucketed_one_compile(enc):
+    """Different request sizes inside one bucket must reuse one compiled
+    shape — serve's /encode_text takes arbitrary-length lists and a
+    fresh XLA compile mid-request costs minutes on the tunneled TPU."""
+    enc.encode_texts(["warm"] * 2)  # compile the 4-bucket once
+    before = enc._encode_text._cache_size()
+    a = enc.encode_texts(["two", "texts"])
+    b = enc.encode_texts(["three", "texts", "now"])
+    c = enc.encode_texts(["four", "texts", "this", "time"])
+    assert enc._encode_text._cache_size() == before  # no new compiles
+    assert a.shape == (2, 32) and b.shape == (3, 32) and c.shape == (4, 32)
+
+
+def test_encode_texts_padding_parity(enc):
+    """Bucket padding must not change the returned embeddings."""
+    texts = ["a photo of a dog", "sunset", "blue car"]
+    padded = enc.encode_texts(texts)                 # bucket 4
+    singles = np.concatenate([enc.encode_texts([t]) for t in texts])
+    np.testing.assert_allclose(padded, singles, rtol=1e-4, atol=1e-5)
+
+
+def test_encode_texts_chunks_past_cap(enc):
+    """Lists beyond the largest text bucket are chunked transparently."""
+    from clipx.runtime.encoder import _TEXT_BUCKETS
+
+    n = _TEXT_BUCKETS[-1] + 3
+    out = enc.encode_texts([f"text {i}" for i in range(n)])
+    assert out.shape == (n, 32)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-4)
+
+
 def test_async_matches_sync(enc):
     rng = np.random.RandomState(3)
     batch = rng.randint(0, 256, (5, 32, 32, 3), np.uint8)

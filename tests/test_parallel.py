@@ -62,11 +62,61 @@ def test_sharded_search_k_exceeds_total():
     assert (I[0, 5:] == -1).all()
 
 
+def test_sharded_search_high_query_count_chunked():
+    """Q beyond the per-call cap is chunked (same _MAX_Q bound as the
+    single-device index — per-shard top-k scratch scales with Q just
+    the same) and must still match single-device results."""
+    rng = np.random.RandomState(24)
+    corpus = _normed(rng, 1500)
+    queries = _normed(rng, 64)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    sharded = ShardedVectorIndex(corpus, mesh)
+    single = VectorIndex.from_vectors(corpus)
+    Ds, Is = sharded.search(queries, k=10)
+    D1, I1 = single.search(queries, k=10)
+    assert Ds.shape == (64, 10)
+    np.testing.assert_array_equal(Is, I1)
+    np.testing.assert_allclose(Ds, D1, rtol=1e-5, atol=1e-6)
+
+
 def test_sharded_search_empty():
     mesh = mesh_lib.make_mesh({"shard": 8})
     idx = ShardedVectorIndex(np.zeros((0, 16), np.float32), mesh)
     D, I = idx.search(np.zeros((1, 16), np.float32), k=3)
     assert (I == -1).all()
+
+
+def test_sharded_add_matches_fresh_build():
+    """Incremental add on the sharded index (serve's cheap /reload path)
+    must search identically to a from-scratch build of the full corpus,
+    across in-capacity updates AND a capacity-growing one."""
+    rng = np.random.RandomState(25)
+    full = _normed(rng, 1400)
+    queries = _normed(rng, 3)
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    grown = ShardedVectorIndex(full[:900], mesh)
+    grown.add(full[900:910])     # small in-capacity delta
+    grown.add(full[910:1400])    # forces capacity growth + reshard
+    assert grown.ntotal == 1400
+    fresh = ShardedVectorIndex(full, mesh)
+    Dg, Ig = grown.search(queries, k=25)
+    Df, If = fresh.search(queries, k=25)
+    np.testing.assert_array_equal(Ig, If)
+    np.testing.assert_allclose(Dg, Df, rtol=1e-5, atol=1e-6)
+    # quantized scan copy rebuilds lazily after add and stays correct
+    grown.quantized = True
+    Dq, Iq = grown.search(queries, k=25)
+    np.testing.assert_array_equal(Iq, If)
+
+
+def test_sharded_add_from_empty():
+    mesh = mesh_lib.make_mesh({"shard": 8})
+    rng = np.random.RandomState(26)
+    idx = ShardedVectorIndex(np.zeros((0, 64), np.float32), mesh)
+    vecs = _normed(rng, 50)
+    idx.add(vecs)
+    D, I = idx.search(vecs[:2], k=1)
+    np.testing.assert_array_equal(I[:, 0], [0, 1])
 
 
 # ---------------------------------------------------------------------------

@@ -30,10 +30,44 @@ def test_scan_folder_filter_and_concat(folder):
     assert not any(p.endswith((".gif",)) for p in paths)
 
 
-def test_iter_decoded_preserves_order(folder):
+def test_iter_decoded_complete(folder):
     paths = sorted(pipeline.scan_folder(folder))
     out = list(pipeline.iter_decoded(paths, size=32, workers=3, prefetch=4))
+    # default mode is out-of-order completion; every path arrives once
+    assert sorted(o.path for o in out) == paths
+
+
+def test_iter_decoded_ordered_mode(folder):
+    paths = sorted(pipeline.scan_folder(folder))
+    out = list(pipeline.iter_decoded(paths, size=32, workers=3, prefetch=4,
+                                     ordered=True))
     assert [o.path for o in out] == paths
+
+
+def test_iter_decoded_no_head_of_line_blocking(folder, monkeypatch):
+    """One pathological file must not stall finished decodes behind it
+    (the reference's loop is fully serial; our window yields
+    out-of-order completions)."""
+    import threading
+
+    paths = [p for p in sorted(pipeline.scan_folder(folder))
+             if not p.endswith("bad.jpg")]
+    slow = paths[0]
+    gate = threading.Event()
+    real = pipeline._decode_one
+
+    def gated(path, size, backend, fast=False):
+        if path == slow:
+            gate.wait(30)
+        return real(path, size, backend, fast)
+
+    monkeypatch.setattr(pipeline, "_decode_one", gated)
+    it = pipeline.iter_decoded(paths, size=32, workers=2, prefetch=4)
+    got = [next(it).path for _ in range(len(paths) - 1)]
+    # all other decodes arrived while the slow one is still blocked
+    assert slow not in got
+    gate.set()
+    assert next(it).path == slow
 
 
 def test_decode_failure_attribution(folder):
@@ -58,7 +92,7 @@ def test_batched_groups_and_passes_failures_through(folder):
     stream = pipeline.iter_decoded(paths, size=32)
     batches = list(pipeline.batched(stream, batch_size=4))
     flat = [it for b in batches for it in b]
-    assert [it.path for it in flat] == paths
+    assert sorted(it.path for it in flat) == paths
     for b in batches:
         if any(it.array is None for it in b):
             assert len(b) == 1  # failures travel alone

@@ -141,9 +141,9 @@ def test_fast_decode_embedding_drift_bounded(tmp_path):
                                      ).save(p, quality=88)
         paths.append(p)
     full = np.stack([it.array for it in
-                     iter_decoded(paths, 32, fast=False)])
+                     iter_decoded(paths, 32, fast=False, ordered=True)])
     fast = np.stack([it.array for it in
-                     iter_decoded(paths, 32, fast=True)])
+                     iter_decoded(paths, 32, fast=True, ordered=True)])
     enc = Encoder.create("tiny-test", batch_buckets=(8,))
     ef = enc.encode_images(full)
     eq = enc.encode_images(fast)
