@@ -1,4 +1,9 @@
-.PHONY: test bench native dryrun clean
+.PHONY: test bench native dryrun parity clean
+
+# Real-weight parity gate: reports exactly which artifacts are missing,
+# and runs the gate when they exist (tests/test_real_weight_parity.py).
+parity:
+	@python tools/parity_check.py
 
 test:
 	python -m pytest tests/ -q

@@ -56,9 +56,18 @@ def load_index(args):
     corpus-sharded variant across every visible chip (--sharded /
     $CLIPX_SHARDED; BASELINE.json config 5), with --search-mode applied
     to whichever branch wins. Shared by the query REPL and clipx.serve."""
-    from clipx.search.engine import VectorIndex, read_index_vectors
+    from clipx.search.engine import read_index_vectors
 
-    vectors = read_index_vectors(args.index)  # host; placed exactly once
+    # host read; placed onto devices exactly once in the builder below
+    return build_index_from_vectors(read_index_vectors(args.index), args)
+
+
+def build_index_from_vectors(vectors, args):
+    """Place pre-read host vectors as the flag-selected index type
+    (serve reads the sidecar itself so it can fingerprint the prefix
+    for incremental reloads)."""
+    from clipx.search.engine import VectorIndex
+
     mode = getattr(args, "sharded", "off")
     search_mode = getattr(args, "search_mode", "auto")
     import jax

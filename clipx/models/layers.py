@@ -101,10 +101,18 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
             # whole attention sublayer in ONE kernel (qkv proj -> SDPA
             # -> out proj, weights VMEM-resident): the separate GEMMs
             # measured ~29% MFU on v5e — HBM round-trips and stalls
-            # around the pallas call, not matmul width, were the cost
+            # around the pallas call, not matmul width, were the cost.
+            # CLIPX_ATTN_ROWS packs more batch rows per program (fewer
+            # programs, bigger MXU tiles, more wasted cross-row score
+            # FLOPs) — measured per shape, 2 is the ViT-B/32 default.
+            import os
+
+            rows = int(os.environ.get("CLIPX_ATTN_ROWS", "2"))
+            if rows < 2 or b % rows:
+                rows = 2
             wqkv, bqkv = _fused_qkv(p)
             return fused_attn_block(x, wqkv, bqkv, p["wo"], p["bo"],
-                                    heads=heads)
+                                    heads=heads, rows=rows)
         if use_packed and b % 2 == 0 and variant == "qkv":
             # fused projection feeding the packed kernel (measured
             # slower than pairs end-to-end; kept for A/B)
@@ -210,7 +218,16 @@ def transformer(x: jax.Array, stacked: Params, heads: int, *, causal: bool,
                 eps: float, use_quick_gelu: bool,
                 attn_impl: str = "xla",
                 remat: bool = False) -> jax.Array:
-    """Run the stacked blocks with lax.scan over the layer axis."""
+    """Run the stacked blocks with lax.scan over the layer axis.
+
+    CLIPX_SCAN_UNROLL=N unrolls the scan N steps so XLA can overlap
+    scheduling across block boundaries (an encode-floor candidate —
+    scan-step boundaries are part of the measured gap to the compute
+    floor, docs/ARCHITECTURE.md); 1 keeps the compile-time-flat default.
+    """
+    import os
+
+    unroll = max(1, int(os.environ.get("CLIPX_SCAN_UNROLL", "1")))
 
     def body(carry, layer_params):
         y = residual_block(carry, layer_params, heads, causal=causal,
@@ -220,7 +237,7 @@ def transformer(x: jax.Array, stacked: Params, heads: int, *, causal: bool,
 
     if remat:
         body = jax.checkpoint(body)
-    out, _ = jax.lax.scan(body, x, stacked)
+    out, _ = jax.lax.scan(body, x, stacked, unroll=unroll)
     return out
 
 

@@ -66,18 +66,45 @@ def _bucket_k(k: int) -> int:
     return b
 
 
-# Two-stage exact top-k: lax.top_k over one (Q, N) row is slow on TPU for
-# large N; reshaping into (Q*chunks, _CHUNK_W) rows, taking per-chunk
-# top-k, and merging the Q x (chunks*k) candidates is exact (every
-# element of the true top-k is the top-k of its own chunk) and measured
-# 4x faster at N=1M on v5e (2.48 ms -> 0.63 ms incl. the bf16 matmul).
+# Exact top-k over large score rows. Plain lax.top_k over one (Q, N)
+# row is slow on TPU for large N (2.48 ms at N=1M on v5e).
+#
+# Round-2 approach ("chunk"): reshape into (Q*chunks, _CHUNK_W) rows,
+# per-chunk top-k, merge the Q x (chunks*k) candidates — exact (every
+# true top-k element is in the top-k of its own chunk), 0.9 ms of the
+# 1.56 ms int8 search budget.
+#
+# Round-3 default ("seg"): two-level segment-max selection. Split the
+# row into width-_SEG_W segments and reduce each to its max (a cheap
+# VPU pass XLA fuses with the score scaling/masking). At most k
+# segments can contain elements >= the k-th largest score (each such
+# segment's max IS >= it, and there are only k elements >= it), so the
+# top-k segments by max are an exact candidate superset: gather those
+# k*_SEG_W values and take the true top-k from them. The expensive sort
+# shrinks from N elements to N/_SEG_W maxima + k*_SEG_W candidates —
+# ~60x less sort work at N=1M, k=64.
 _CHUNK_W = 8192
+_SEG_W = 64
 
 
-def _exact_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+def _exact_topk_seg(scores: jax.Array, k: int
+                    ) -> Tuple[jax.Array, jax.Array]:
     q, n = scores.shape
-    if n < 2 * _CHUNK_W or n % _CHUNK_W != 0 or k > _CHUNK_W:
-        return jax.lax.top_k(scores, k)
+    segs = n // _SEG_W
+    s3 = scores.reshape(q, segs, _SEG_W)
+    seg_max = s3.max(axis=-1)                        # (Q, S)
+    kk = min(k, segs)
+    _, seg_idx = jax.lax.top_k(seg_max, kk)         # (Q, kk) segment ids
+    cand = jnp.take_along_axis(s3, seg_idx[:, :, None], axis=1)
+    cand = cand.reshape(q, kk * _SEG_W)
+    d, ci = jax.lax.top_k(cand, k)
+    seg_of = jnp.take_along_axis(seg_idx, ci // _SEG_W, axis=1)
+    return d, seg_of * _SEG_W + ci % _SEG_W
+
+
+def _exact_topk_chunk(scores: jax.Array, k: int
+                      ) -> Tuple[jax.Array, jax.Array]:
+    q, n = scores.shape
     chunks = n // _CHUNK_W
     s2 = scores.reshape(q * chunks, _CHUNK_W)
     d, i = jax.lax.top_k(s2, k)
@@ -86,6 +113,17 @@ def _exact_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
     d = d.reshape(q, chunks * k)
     dd, sel = jax.lax.top_k(d, k)
     return dd, jnp.take_along_axis(gi, sel, axis=1)
+
+
+def _exact_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    import os
+
+    q, n = scores.shape
+    if n < 2 * _CHUNK_W or n % _CHUNK_W != 0 or k > _CHUNK_W:
+        return jax.lax.top_k(scores, k)
+    if os.environ.get("CLIPX_TOPK", "seg") == "chunk":  # A/B knob
+        return _exact_topk_chunk(scores, k)
+    return _exact_topk_seg(scores, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k",), donate_argnums=())
@@ -311,6 +349,21 @@ def read_index_vectors(path: str) -> np.ndarray:
             raise ValueError(f"{path!r} is truncated "
                              f"({len(raw)} of {ntotal * dim * 4} bytes)")
     return np.frombuffer(raw, dtype=np.float32).reshape(ntotal, dim)
+
+
+def content_hash(vectors: np.ndarray) -> bytes:
+    """Order-sensitive digest of the raw row bytes (no copy for
+    contiguous float32 input). Serve compares the new sidecar's prefix
+    against this to decide whether a reload can be an incremental
+    ``add()`` — valid exactly when the old rows (and therefore their
+    ids, the byte-sorted path ranks of reference:build-index.py:87-88)
+    are unchanged."""
+    import hashlib
+
+    v = np.ascontiguousarray(vectors, dtype=np.float32)
+    h = hashlib.blake2b(digest_size=16)
+    h.update(memoryview(v).cast("B"))
+    return h.digest()
 
 
 def read_index(path: str, dtype=jnp.float32) -> VectorIndex:

@@ -47,14 +47,26 @@ class SearchService:
     """Owns env + index + (lazy) encoder; thread-safe search calls."""
 
     def __init__(self, args):
+        from clipx.search.engine import content_hash, read_index_vectors
+
         self.args = args
         self.env = open_env(args.db, map_size=common.DEFAULT_MAP_SIZE,
                             max_dbs=4)
         self.idx_db = self.env.open_db(common.IDX_DB)
         self.fn_db = self.env.open_db(common.FN_DB)
-        # same loader as the query REPL: honors --sharded (corpus
-        # row-sharded over every visible chip) and --search-mode
-        self.index = common.load_index(args)
+        # same index selection as the query REPL: honors --sharded
+        # (corpus row-sharded over every visible chip) and --search-mode.
+        # The sidecar is read here (not via load_index) so the content
+        # fingerprint for incremental /reload comes for free.
+        vectors = read_index_vectors(args.index)
+        self._sidecar_hash = content_hash(vectors)
+        self._sidecar_n = vectors.shape[0]
+        self.index = common.build_index_from_vectors(vectors, args)
+        del vectors
+        self._reload_lock = threading.Lock()
+        # cleared only during a drop-first full rebuild (see reload)
+        self._index_ready = threading.Event()
+        self._index_ready.set()
         self._encoder = None
         # separate locks: the encoder build holds _enc_lock for a full
         # model load + compile (tens of seconds on a tunneled TPU) and
@@ -79,26 +91,74 @@ class SearchService:
         with self._stats_lock:
             self.counters[key] = self.counters.get(key, 0) + 1
 
+    def current_index(self, timeout: float = 300.0):
+        """The live index; blocks through a drop-first rebuild window."""
+        idx = self.index
+        if idx is None:
+            self._index_ready.wait(timeout)
+            idx = self.index
+            if idx is None:
+                raise RuntimeError("index is reloading")
+        return idx
+
     def reload(self) -> dict:
         """Swap in the current on-disk index + fold in store updates —
         the serving answer to the reference's 'querying during a rebuild
         gives bad results until restart' (reference:README.md:46-48):
-        rebuild with build-index.py, then POST /reload; in-flight
-        searches keep the old device index until the swap."""
-        new_index = common.load_index(self.args)
-        self.env.refresh()
-        old = self.index
-        self.index = new_index  # atomic reference swap
-        self.count("reloads")
-        return {"ntotal": new_index.ntotal, "previous_ntotal": old.ntotal}
+        rebuild with build-index.py, then POST /reload.
+
+        Cheap path: when the new sidecar is the old corpus plus appended
+        rows (prefix content-hash match — exactly the case where ids,
+        the byte-sorted path ranks, are unchanged), only the delta is
+        uploaded via ``index.add``. Otherwise a full rebuild *drops the
+        old device index first*: holding both would transiently double
+        HBM (~10 GiB at 5M x 512 on a 16 GiB chip); searches wait out
+        the brief unavailability window instead of OOMing."""
+        from clipx.search.engine import content_hash, read_index_vectors
+
+        with self._reload_lock:
+            vectors = read_index_vectors(self.args.index)
+            old = self.index
+            prev_ntotal = old.ntotal if old is not None else 0
+            search_mode = getattr(self.args, "search_mode", "auto")
+            incremental = (
+                old is not None and hasattr(old, "add")
+                and old.ntotal == self._sidecar_n
+                and vectors.shape[0] >= self._sidecar_n
+                and content_hash(vectors[: self._sidecar_n])
+                == self._sidecar_hash)
+            if incremental:
+                delta = vectors[self._sidecar_n:]
+                if delta.shape[0]:
+                    old.add(delta)
+                    # crossing the quant-auto threshold re-arms the int8 scan
+                    common.apply_search_mode(old, search_mode)
+                mode = "incremental"
+            else:
+                self._index_ready.clear()
+                self.index = None
+                del old  # free the device corpus before the new upload
+                try:
+                    self.index = common.build_index_from_vectors(
+                        vectors, self.args)
+                finally:
+                    self._index_ready.set()
+                mode = "rebuild"
+            self._sidecar_hash = content_hash(vectors)
+            self._sidecar_n = vectors.shape[0]
+            self.env.refresh()
+            self.count("reloads")
+            return {"ntotal": self.index.ntotal,
+                    "previous_ntotal": prev_ntotal, "mode": mode}
 
     def metrics(self) -> dict:
+        idx = self.index  # may be None mid-rebuild; metrics never block
         with self._stats_lock:
             avg = (self._latency_sum / self._latency_n
                    if self._latency_n else None)
             return {
                 "uptime_s": round(time.time() - self.started, 1),
-                "ntotal": self.index.ntotal,
+                "ntotal": idx.ntotal if idx is not None else None,
                 "counters": dict(self.counters),
                 "search_latency_avg_s": (round(avg, 6)
                                          if avg is not None else None),
@@ -122,7 +182,7 @@ class SearchService:
 
     def search(self, features: np.ndarray, k: int, offset: int = 0):
         t0 = time.perf_counter()
-        D, I = self.index.search(features, k + offset)
+        D, I = self.current_index().search(features, k + offset)
         dt = time.perf_counter() - t0
         with self._stats_lock:
             self._latency_sum += dt
@@ -177,9 +237,10 @@ class Handler(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         try:
             if url.path == "/healthz":
+                idx = self.service.current_index()
                 self._json(200, {"status": "ok",
-                                 "ntotal": self.service.index.ntotal,
-                                 "dim": self.service.index.dim})
+                                 "ntotal": idx.ntotal,
+                                 "dim": idx.dim})
             elif url.path == "/metrics":
                 self._json(200, self.service.metrics())
             elif url.path == "/search":
@@ -232,9 +293,9 @@ class Handler(BaseHTTPRequestHandler):
                 vec = payload.get("vector")
                 k, _ = _validated_k_offset(payload.get("k", 50), 0)
                 arr = np.asarray(vec, dtype=np.float32).reshape(1, -1)
-                if arr.shape[1] != self.service.index.dim:
-                    return self._bad(
-                        f"vector must have dim {self.service.index.dim}")
+                dim = self.service.current_index().dim
+                if arr.shape[1] != dim:
+                    return self._bad(f"vector must have dim {dim}")
                 self.service.count("search_vector")
                 self._json(200, self.service.search(arr, k))
             elif url.path == "/reload":

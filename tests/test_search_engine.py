@@ -25,6 +25,45 @@ def test_topk_matches_numpy_oracle():
         np.testing.assert_allclose(D[q], ref_scores[q][ref_order], rtol=1e-5)
 
 
+def test_exact_topk_seg_matches_lax_topk():
+    """The two-level segment-max top-k (the round-3 fast path for large
+    rows) must be exact: same values and, without ties, same indices as
+    lax.top_k. Exercises the masked -inf tail and a k above/below the
+    segment width."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipx.search.engine import _CHUNK_W, _exact_topk_seg
+
+    rng = np.random.RandomState(7)
+    n = 4 * _CHUNK_W
+    scores = rng.randn(3, n).astype(np.float32)
+    scores[:, -5000:] = -np.inf  # padded-rows mask
+    for k in (1, 16, 64, 256):
+        d, i = _exact_topk_seg(jnp.asarray(scores), k)
+        dr, ir = jax.lax.top_k(jnp.asarray(scores), k)
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(dr))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ir))
+
+
+def test_exact_topk_seg_with_ties_returns_true_values():
+    """With duplicated values the selected indices may tie-break
+    differently from lax.top_k, but the returned values must still be
+    the true top-k and each index must point at its value."""
+    import jax.numpy as jnp
+
+    from clipx.search.engine import _CHUNK_W, _exact_topk_seg
+
+    rng = np.random.RandomState(8)
+    n = 2 * _CHUNK_W
+    scores = np.repeat(rng.randn(1, n // 8).astype(np.float32), 8, axis=1)
+    d, i = _exact_topk_seg(jnp.asarray(scores), 32)
+    d, i = np.asarray(d), np.asarray(i)
+    ref = np.sort(scores[0])[::-1][:32]
+    np.testing.assert_array_equal(d[0], ref)
+    np.testing.assert_array_equal(scores[0][i[0]], d[0])
+
+
 def test_scores_descending():
     rng = np.random.RandomState(1)
     idx = VectorIndex.from_vectors(_normed(rng, 200))

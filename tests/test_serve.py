@@ -253,12 +253,27 @@ def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
         status, r = _post(port, "/reload", {})
         assert status == 200
         assert r["previous_ntotal"] == 3 and r["ntotal"] == 6
+        # p3..p5 sort after p0..p2, so ids 0-2 are unchanged and the
+        # prefix hash matches: only the 3-row delta was uploaded
+        assert r["mode"] == "incremental"
         _, h = _get(port, "/healthz")
         assert h["ntotal"] == 6
         # new ids resolve through the refreshed store
         status, sim = _get(port, "/similar?id=5&k=1")
         assert status == 200
         assert sim["results"][0]["id"] == 5
+
+        # a file sorting BEFORE the old ones shifts every id (byte-sorted
+        # path ranks) -> prefix mismatch -> drop-first full rebuild
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / "a0.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        status, r = _post(port, "/reload", {})
+        assert status == 200
+        assert r["mode"] == "rebuild" and r["ntotal"] == 7
+        status, sim = _get(port, "/similar?id=0&k=1")
+        assert status == 200
+        assert sim["results"][0]["path"].endswith("a0.jpg")
     finally:
         server.shutdown()
 
