@@ -150,12 +150,17 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
 
     p50_exact = timed(
         lambda q: _search_kernel(corpus, valid, q, kk)) * 1e3
-    from clipx.search.engine import _quantize_device, _search_kernel_int8
+    from clipx.search.engine import (_quantize_device,
+                                     _search_kernel_int8_seg)
 
     codes, scales = _quantize_device(corpus)
+    # the production int8 path: transposed scan + segment-max candidate
+    # selection + whole-segment exact rescore (CLIPX_INT8_SCAN=element
+    # selects the round-2 per-element-margin path in the CLI; bench
+    # reports the default)
     p50_quant = timed(
-        lambda q: _search_kernel_int8(codes, scales, corpus, valid, q,
-                                      kk)) * 1e3
+        lambda q: _search_kernel_int8_seg(codes, scales, corpus, valid,
+                                          q, kk)) * 1e3
     log(f"  search over {n_vectors:,}: {p50_exact:.3f} ms f32-exact, "
         f"{p50_quant:.3f} ms int8+rescore (device)")
     return {"p50_ms": p50_quant, "p50_ms_f32": p50_exact}

@@ -26,9 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clipx.search.engine import (RESCORE_MARGIN, _MAX_Q, _bucket_k,
-                                 _bucket_rows, _exact_topk, _quantize_device,
-                                 clamp_k)
+from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
+                                 _exact_topk, _quantize_device, clamp_k)
 
 AXIS = "shard"
 
@@ -66,10 +65,11 @@ def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
                             corpus_local: jax.Array, queries: jax.Array,
                             valid_total: jax.Array, k: int, merge_k: int
                             ) -> Tuple[jax.Array, jax.Array]:
-    """int8 scan + exact f32 rescore, per shard (the distributed variant
-    of engine._search_kernel_int8): approximate scores pick k * margin
-    local candidates, their exact rows rescore locally, and only exact
-    (score, global id) pairs cross the ICI."""
+    """int8 scan + exact f32 rescore, per shard — the distributed
+    variant of engine._search_kernel_int8_seg: a transposed int8 matvec
+    reduces to per-segment maxima, the top-k local segments are
+    rescored whole in exact f32, and only exact (score, global id)
+    pairs cross the ICI."""
     rows = codes_local.shape[0]
     my = jax.lax.axis_index(AXIS)
     base = my * rows
@@ -77,21 +77,25 @@ def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
                           1e-12) / 127.0
     q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
                        ).astype(jnp.int8)
-    raw = jax.lax.dot_general(q_codes, codes_local,
+    raw = jax.lax.dot_general(codes_local, q_codes,
                               (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    approx = raw.astype(jnp.float32) * (q_scale * scales_local[None, :])
-    gids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1) + base
-    approx = jnp.where(gids < valid_total, approx, -jnp.inf)
-    m = min(k * RESCORE_MARGIN, approx.shape[1])
-    _, cand = _exact_topk(approx, m)                    # (Q, m) local rows
-    rows_f32 = corpus_local[cand]                       # (Q, m, D)
-    exact = jnp.einsum("qd,qmd->qm", queries, rows_f32,
+                              preferred_element_type=jnp.int32)  # (rows, Q)
+    approx = raw.astype(jnp.float32) * scales_local[:, None]
+    lrows = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+    approx = jnp.where(lrows + base < valid_total, approx, -jnp.inf)
+    nq = queries.shape[0]
+    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)   # (segs, Q)
+    segs = segmax.shape[0]
+    s = min(k, segs)
+    _, seg_idx = jax.lax.top_k(segmax.T, s)               # (Q, s)
+    rows_f32 = corpus_local.reshape(segs, _SEG_W, -1)[seg_idx]
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows_f32,
                        preferred_element_type=jnp.float32)
-    exact = jnp.where(jnp.isfinite(jnp.take_along_axis(approx, cand, 1)),
-                      exact, -jnp.inf)
-    d, sel = jax.lax.top_k(exact, k)
-    gi = jnp.take_along_axis(cand + base, sel, axis=1)
+    gids = (base + seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(gids < valid_total, exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
+    gi = jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel, axis=1)
     return _merge_across_shards(d, gi, merge_k)
 
 

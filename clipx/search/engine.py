@@ -140,18 +140,24 @@ def _search_kernel(corpus: jax.Array, valid: jax.Array, queries: jax.Array,
 #
 # The 1M-corpus scan is HBM-bandwidth-bound (2 GB f32 per query at ~800
 # GB/s on v5e). Quantizing the scanned copy to symmetric per-row int8
-# cuts the read 4x; the int32-accumulated approximate scores select
-# k * RESCORE_MARGIN candidates whose *exact* f32 rows are then gathered
-# and rescored, so the returned ranking is computed in full precision.
-# A true top-k entry is missed only if its int8 score falls below the
-# (margin*k)-th — with per-score error ~0.2% of ||q||, effectively never
-# for distinct images (validated against the exact oracle in tests and
-# at 1M in bench). The one scoped exception: a cluster of more than
-# margin*k near-duplicates whose exact scores differ by less than the
-# quantization noise (~1e-3 cosine; burst shots of the same scene) can
-# swap members inside the cluster — returned scores stay within that
-# noise of the true top-k (pinned in test_quality_gate), which is also
-# the regime where the ranking carries no semantic information.
+# cuts the read 4x; approximate int32-accumulated scores select
+# candidates whose *exact* f32 rows are then gathered and rescored, so
+# the returned ranking is computed in full precision.
+#
+# Default candidate selection is segment-granular
+# (_search_kernel_int8_seg): the top-k segments by approximate maximum
+# are rescored whole, a k*_SEG_W-row margin (4096 rows at k=64). A true
+# top-k entry is missed only if its segment's approx max falls below
+# the k-th segment max — with per-score error ~0.2% of ||q||,
+# effectively never for distinct images (validated against the exact
+# oracle in tests and at 1M in bench). The one scoped exception: a
+# cluster of more than k*_SEG_W near-duplicates whose exact scores
+# differ by less than the quantization noise (~1e-3 cosine; burst shots
+# of the same scene) can swap members inside the cluster — returned
+# scores stay within that noise of the true top-k (pinned in
+# test_quality_gate), which is also the regime where ranking carries no
+# semantic information. The round-2 per-element path (margin
+# k*RESCORE_MARGIN candidates) is kept under CLIPX_INT8_SCAN=element.
 
 RESCORE_MARGIN = 4
 
@@ -200,6 +206,68 @@ def _search_kernel_int8(codes: jax.Array, scales: jax.Array,
                       exact, -jnp.inf)
     d, sel = jax.lax.top_k(exact, k)
     return d, jnp.take_along_axis(cand, sel, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int8_seg(codes: jax.Array, scales: jax.Array,
+                            corpus_f32: jax.Array, valid: jax.Array,
+                            queries: jax.Array, k: int
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """int8 scan with segment-granular candidate selection + exact
+    whole-segment f32 rescore — the round-3 default (1.56 -> 1.15 ms
+    p50 at 1M x 512 on v5e).
+
+    Structure (all measured, see docs/ARCHITECTURE.md round-3 notes):
+    - the matvec runs TRANSPOSED — (N, D) codes x (D, Q) -> (N, Q) — so
+      the per-segment max is a sublane-direction reduction XLA fuses
+      cleanly with the dequant scale and row mask;
+    - only (N/_SEG_W, Q) segment maxima survive the scan; per-element
+      approximate scores are never ranked. The top-k segments by max
+      are gathered and ALL their rows rescored in exact f32, so the
+      candidate margin is k*_SEG_W rows (4096 at k=64) — 16x wider
+      than the old k*RESCORE_MARGIN element margin, shrinking the
+      near-duplicate caveat documented above by the same factor;
+    - query-side quantization scale is a positive per-query scalar and
+      cannot change that query's segment ranking; it is kept only so
+      returned approx magnitudes stay meaningful to debug tooling.
+
+    A Pallas kernel fusing scan+segment-max was built and measured
+    SLOWER (2.35 ms at 1M; Mosaic's int8 matvec loses to XLA's, and
+    per-program overheads dominate at 1280 grid steps) — rejected, see
+    docs/ARCHITECTURE.md."""
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    raw = jax.lax.dot_general(codes, q_codes, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)   # (N, Q)
+    approx = raw.astype(jnp.float32) * scales[:, None]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+    approx = jnp.where(row_ids < valid, approx, -jnp.inf)
+    nq = queries.shape[0]
+    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)      # (segs, Q)
+    segs = segmax.shape[0]
+    s = min(k, segs)
+    _, seg_idx = jax.lax.top_k(segmax.T, s)                  # (Q, s)
+    corpus3 = corpus_f32.reshape(segs, _SEG_W, -1)
+    rows = corpus3[seg_idx]                                  # (Q,s,W,D)
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    gids = (seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(gids < valid, exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
+    return d, jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel,
+                                  axis=1)
+
+
+def _int8_impl() -> str:
+    """CLIPX_INT8_SCAN: 'seg' (segment-granular, default) or 'element'
+    (round-2 per-element margin path, kept for A/B)."""
+    import os
+
+    v = os.environ.get("CLIPX_INT8_SCAN", "seg")
+    return v if v in ("seg", "element") else "seg"
 
 
 class VectorIndex:
@@ -272,7 +340,9 @@ class VectorIndex:
         kk = min(_bucket_k(k), self._corpus.shape[0])
         if self.quantized:
             self._ensure_codes()
-            scores, ids = _search_kernel_int8(
+            kernel = (_search_kernel_int8_seg if _int8_impl() == "seg"
+                      else _search_kernel_int8)
+            scores, ids = kernel(
                 self._codes, self._scales, self._corpus,
                 jnp.int32(self.ntotal), jnp.asarray(queries), kk)
         else:
