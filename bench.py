@@ -30,7 +30,8 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int) -> float:
+def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int,
+                repeats: int = 2) -> float:
     """Per-op device time via two pipelined runs of different lengths.
 
     On this host the TPU sits behind a network tunnel with ~50 ms RTT and
@@ -38,7 +39,10 @@ def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int) -> float:
     the tunnel, not the chip. Instead: enqueue N executions back-to-back
     (FIFO per device), force one real sync by materializing the last
     result, and take the slope between N=n_lo and N=n_hi — constant RTT
-    and dispatch overheads cancel.
+    and dispatch overheads cancel. The slope is measured ``repeats``
+    times and the minimum taken (timeit practice): a single tunnel
+    hiccup inside one run otherwise lands entirely on that artifact
+    (observed 1.08 -> 1.72 ms on an interrupted 1M-search run).
     """
     def run(n):
         t0 = time.perf_counter()
@@ -48,8 +52,12 @@ def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int) -> float:
         materialize(out)
         return time.perf_counter() - t0
 
-    t_lo, t_hi = run(n_lo), run(n_hi)
-    return max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+    best = None
+    for _ in range(max(repeats, 1)):
+        t_lo, t_hi = run(n_lo), run(n_hi)
+        slope = max(t_hi - t_lo, 1e-9) / (n_hi - n_lo)
+        best = slope if best is None else min(best, slope)
+    return best
 
 
 def bench_encode(batch_size: int, iters: int, model: str,
@@ -212,9 +220,12 @@ def main() -> int:
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials))
+    # full trial count: halved trials under-saturated the pipelined
+    # slope timing at 5M (measured 5.3 ms vs 3.7 ms reproducible at 50
+    # trials — the short run never fills the dispatch pipeline)
     search5m = ({} if (args.skip_search or args.skip_stress)
                 else bench_search(STRESS_CORPUS, args.dim, 50,
-                                  max(args.trials // 2, 10)))
+                                  args.trials))
     dp = bench_dp_encode(args.batch_size, args.iters, args.model,
                          args.dp) if args.dp > 1 else {}
     # the big search corpora are freed before ViT-L params/activations

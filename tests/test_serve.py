@@ -4,6 +4,7 @@ with http.client over a tiny built index."""
 import json
 import os
 import threading
+import time
 from http.client import HTTPConnection
 
 import numpy as np
@@ -274,6 +275,66 @@ def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
         status, sim = _get(port, "/similar?id=0&k=1")
         assert status == 200
         assert sim["results"][0]["path"].endswith("a0.jpg")
+    finally:
+        server.shutdown()
+
+
+def test_search_during_rebuild_reload(tmp_path, monkeypatch):
+    """Searches racing a drop-first rebuild reload must all succeed —
+    they block through the brief no-index window instead of erroring
+    (the window exists so a full rebuild never holds two device corpora,
+    clipx/serve.py reload)."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(9)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    service = server.RequestHandlerClass.service
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        # force the rebuild branch (prefix mismatch) and slow it down so
+        # the search threads really hit the no-index window
+        service._sidecar_hash = b"not-the-real-hash"
+        real_build = serve.common.build_index_from_vectors
+        entered = threading.Event()
+
+        def slow_build(vectors, a):
+            entered.set()
+            time.sleep(0.5)
+            return real_build(vectors, a)
+
+        monkeypatch.setattr(serve.common, "build_index_from_vectors",
+                            slow_build)
+        errors = []
+
+        def searcher():
+            try:
+                status, data = _get(port, "/similar?id=1&k=2")
+                assert status == 200, data
+                assert data["results"][0]["id"] == 1
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        reload_thread = threading.Thread(
+            target=lambda: _post(port, "/reload", {}))
+        reload_thread.start()
+        assert entered.wait(30)
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads + [reload_thread]:
+            t.join(timeout=60)
+        assert not errors, errors
     finally:
         server.shutdown()
 
