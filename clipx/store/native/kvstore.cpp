@@ -566,6 +566,10 @@ struct MergeIter {
 // holds env->mu AND the exclusive flock (so no other process can append
 // between the catch-up and the manifest bump).
 bool compact_locked(Env* env) {
+    // fault injection for tests: simulate a compaction failure before
+    // any state is touched, so the spill path's recovery (reload to a
+    // coherent handle, commit still durable) is testable from Python
+    if (::getenv("CXKV_TEST_FAIL_COMPACT")) return false;
     if (!catch_up_locked(env)) return false;  // never drop others' data
     uint64_t new_gen = env->gen + 1;
 

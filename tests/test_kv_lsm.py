@@ -173,6 +173,47 @@ def test_memtable_spill_bounds_overlay(tmp_path, monkeypatch):
     env.close()
 
 
+def test_spill_compaction_failure_recovers_coherently(tmp_path,
+                                                      monkeypatch):
+    """A failed memtable-spill compaction must leave the handle usable:
+    the commit is already durable in the WAL, the in-memory state is
+    reloaded to coherence, and once compaction works again the overlay
+    drains. (CXKV_TEST_FAIL_COMPACT injects the failure before any
+    state is touched.)"""
+    monkeypatch.setenv("CLIPX_KV_MEMTABLE_MB", "1")
+    monkeypatch.setenv("CXKV_TEST_FAIL_COMPACT", "1")
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    val = b"v" * 4096
+    for s in range(0, 600, 50):
+        with env.begin(db=db, write=True) as txn:  # must NOT raise
+            for i in range(s, s + 50):
+                txn.put(f"k{i:04d}".encode(), val)
+    # compaction was forced to fail: no generation bump, overlay grew
+    # past the cap — but every commit is durable and readable
+    assert env.generation() == 0
+    with env.begin(db=db) as txn:
+        assert txn.stat()["entries"] == 600
+        assert txn.get(b"k0000") == val
+        assert txn.get(b"k0599") == val
+    # heal the fault: the next spilling commit compacts and drains
+    monkeypatch.delenv("CXKV_TEST_FAIL_COMPACT")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"k0600", val)
+    assert env.generation() >= 1
+    assert env.overlay_bytes() < 2 * 1024 * 1024
+    with env.begin(db=db) as txn:
+        assert txn.stat()["entries"] == 601
+    env.close()
+    # and a fresh open sees everything
+    env2 = kv.open_env(path)
+    db2 = env2.open_db(b"db")
+    with env2.begin(db=db2) as txn:
+        assert txn.stat()["entries"] == 601
+    env2.close()
+
+
 def test_orphan_files_cleaned_at_open(tmp_path):
     path = str(tmp_path / "env")
     env = kv.open_env(path)
