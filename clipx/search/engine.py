@@ -35,7 +35,11 @@ import numpy as np
 
 _MAGIC = b"CLIPXIDX1\n"
 _MIN_BUCKET = 4096
-_MAX_Q = 8  # queries per kernel call (bounds top-k sort scratch)
+# Queries per kernel call. Bounds rescore-gather and top-k scratch; 16
+# measured best at 1M on v5e (per-call cost is corpus-scan-bound and
+# ~flat 0.8-1.6 ms for Q<=16, so batching scales throughput almost
+# linearly; Q=32 regressed to 4.8 ms/call — round-3 ablation log).
+_MAX_Q = 16
 # requested k is clamped here: nobody can use billions of result rows,
 # and honoring them would allocate unbounded host memory (found by REPL
 # fuzzing with 'c 9999999999')

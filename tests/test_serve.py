@@ -339,6 +339,29 @@ def test_search_during_rebuild_reload(tmp_path, monkeypatch):
         server.shutdown()
 
 
+def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
+    """If a rebuild reload stalls indefinitely, searches fail with a
+    clear error after the wait timeout instead of hanging forever."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(11)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                    ).save(photos / "p0.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    args = serve.build_parser().parse_args(["--model", "tiny-test"])
+    service = serve.SearchService(args)
+    try:
+        service._index_ready.clear()
+        service.index = None  # simulate a stalled drop-first rebuild
+        with pytest.raises(RuntimeError, match="reloading"):
+            service.current_index(timeout=0.2)
+    finally:
+        service.env.close()
+
+
 def test_serve_sharded_index(served):
     """On the 8-device test mesh the default --sharded auto serves from
     the corpus-sharded index (the pod path), same results contract."""
