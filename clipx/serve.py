@@ -314,13 +314,30 @@ def build_parser() -> argparse.ArgumentParser:
     common.add_sharded_flag(p, "row-shard the corpus")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="build the encoder and compile the single-text "
+                        "shape in the background at startup, so the "
+                        "first /search doesn't pay the model compile "
+                        "(minutes on a cold tunnel-attached TPU)")
     return p
 
 
 def make_server(args) -> ThreadingHTTPServer:
     service = SearchService(args)
     handler = type("BoundHandler", (Handler,), {"service": service})
-    return ThreadingHTTPServer((args.host, args.port), handler)
+    server = ThreadingHTTPServer((args.host, args.port), handler)
+    if getattr(args, "warmup", False):
+        # background: /healthz and /similar answer immediately while the
+        # model loads + the N=1 text bucket compiles
+        def _warm():
+            try:
+                service.encoder().encode_texts(["warmup"])
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
+
+        threading.Thread(target=_warm, daemon=True).start()
+    return server
 
 
 def main(argv=None) -> int:

@@ -339,6 +339,19 @@ def test_search_during_rebuild_reload(tmp_path, monkeypatch):
         server.shutdown()
 
 
+def test_warmup_precompiles_text_path(served):
+    """--warmup (default) builds the encoder + compiles the single-text
+    shape in the background; the fixture server was created with it, so
+    by the time other tests ran the encoder must be loaded."""
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, m = _get(served, "/metrics")
+        if m["encoder_loaded"]:
+            return
+        time.sleep(0.5)
+    raise AssertionError("warmup never loaded the encoder")
+
+
 def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
     """If a rebuild reload stalls indefinitely, searches fail with a
     clear error after the wait timeout instead of hanging forever."""
