@@ -290,6 +290,7 @@ class VectorIndex:
         self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
         self._codes: Optional[jax.Array] = None   # int8 scan copy
         self._scales: Optional[jax.Array] = None
+        self._update_fns = {}
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -301,27 +302,68 @@ class VectorIndex:
         return idx
 
     def add(self, vectors: np.ndarray) -> None:
-        """Append rows. Ids continue from the current ntotal."""
+        """Append rows. Ids continue from the current ntotal.
+
+        In-capacity appends run as a jitted, buffer-DONATING
+        ``dynamic_update_slice`` (in place — no transient second corpus
+        copy, which would OOM a >half-HBM corpus during serve's
+        incremental reload); growth re-pads to the next row bucket
+        entirely on device (no host round-trip of the existing rows).
+        Donation invalidates the previous corpus array object — callers
+        sharing the index across threads must not dispatch concurrently
+        with add (clipx.serve holds its reader/writer guard for this).
+        """
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         if vectors.ndim != 2 or vectors.shape[1] != self.dim:
             raise ValueError(f"expected (n, {self.dim}) vectors, "
                              f"got {vectors.shape}")
-        new_total = self.ntotal + vectors.shape[0]
-        bucket = _bucket_rows(new_total)
-        if self._corpus is None or bucket > self._corpus.shape[0]:
-            grown = np.zeros((bucket, self.dim), dtype=np.float32)
-            if self._corpus is not None:
-                grown[: self.ntotal] = np.asarray(
-                    self._corpus[: self.ntotal], dtype=np.float32)
-            grown[self.ntotal: new_total] = vectors
-            self._corpus = jax.device_put(grown.astype(self.dtype))
-        else:
-            self._corpus = jax.lax.dynamic_update_slice(
-                self._corpus,
-                jnp.asarray(vectors, dtype=self.dtype),
-                (self.ntotal, 0))
-        self.ntotal = new_total
+        n_new = vectors.shape[0]
+        if n_new == 0:
+            return
+        if self._corpus is None:
+            bucket = _bucket_rows(n_new)
+            padded = np.zeros((bucket, self.dim), np.float32)
+            padded[:n_new] = vectors
+            self._corpus = jax.device_put(padded.astype(self.dtype))
+            self.ntotal = n_new
+            self._codes = None
+            return
+        pad_len = 128
+        while pad_len < n_new:
+            pad_len *= 2
+        # capacity must cover the PADDED update: dynamic_update_slice
+        # clamps out-of-range starts, which would shift the write onto
+        # valid rows
+        if self.ntotal + pad_len > self._corpus.shape[0]:
+            self._grow(self.ntotal + pad_len)
+        upd = np.zeros((pad_len, self.dim), np.float32)
+        upd[:n_new] = vectors
+        if pad_len not in self._update_fns:
+            self._update_fns[pad_len] = jax.jit(
+                lambda c, rows, start: jax.lax.dynamic_update_slice(
+                    c, rows, (start, 0)),
+                donate_argnums=(0,))
+        self._corpus = self._update_fns[pad_len](
+            self._corpus, jnp.asarray(upd, self.dtype),
+            jnp.int32(self.ntotal))
+        self.ntotal += n_new
         self._codes = None  # int8 scan copy rebuilt lazily on next search
+
+    def _grow(self, need: int) -> None:
+        dim, dtype = self.dim, self.dtype
+        new_cap = _bucket_rows(need)
+
+        @jax.jit
+        def regrow(old):
+            # no donation: old (smaller) can't alias new; it frees by
+            # refcount right after the call
+            new = jnp.zeros((new_cap, dim), dtype)
+            return jax.lax.dynamic_update_slice(new, old, (0, 0))
+
+        self._corpus = regrow(self._corpus)
+        self._update_fns = {}
+        self._codes = None
+        self._scales = None
 
     # -- search ---------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

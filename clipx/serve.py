@@ -64,9 +64,14 @@ class SearchService:
         self.index = common.build_index_from_vectors(vectors, args)
         del vectors
         self._reload_lock = threading.Lock()
-        # cleared only during a drop-first full rebuild (see reload)
+        # cleared while reload mutates device state (drop-first rebuild,
+        # or an in-place donated add) — see reload()
         self._index_ready = threading.Event()
         self._index_ready.set()
+        # reader count: searches register so reload's in-place add never
+        # donates the corpus buffer out from under a concurrent dispatch
+        self._readers = 0
+        self._readers_cv = threading.Condition()
         self._encoder = None
         # separate locks: the encoder build holds _enc_lock for a full
         # model load + compile (tens of seconds on a tunneled TPU) and
@@ -101,6 +106,39 @@ class SearchService:
                 raise RuntimeError("index is reloading")
         return idx
 
+    def _begin_read(self, timeout: float = 300.0):
+        """Register a device-dispatching reader. Readers run
+        concurrently; reload excludes them only for the brief mutation
+        window (donated in-place add / index swap). The ready-check and
+        the count increment are atomic under the condition variable, so
+        a reader can never slip in between reload clearing the gate and
+        draining the count."""
+        deadline = time.time() + timeout
+        with self._readers_cv:
+            while not self._index_ready.is_set():
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise RuntimeError("index is reloading")
+                self._readers_cv.wait(min(remaining, 1.0))
+            self._readers += 1
+
+    def _end_read(self):
+        with self._readers_cv:
+            self._readers -= 1
+            self._readers_cv.notify_all()
+
+    def _exclude_readers(self, timeout: float = 300.0):
+        """Called with _index_ready cleared: wait for in-flight reader
+        dispatches to finish so a donated buffer update can't invalidate
+        an array a search is about to use."""
+        deadline = time.time() + timeout
+        with self._readers_cv:
+            while self._readers > 0:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    raise RuntimeError("readers did not drain for reload")
+                self._readers_cv.wait(remaining)
+
     def reload(self) -> dict:
         """Swap in the current on-disk index + fold in store updates —
         the serving answer to the reference's 'querying during a rebuild
@@ -130,9 +168,20 @@ class SearchService:
             if incremental:
                 delta = vectors[self._sidecar_n:]
                 if delta.shape[0]:
-                    old.add(delta)
-                    # crossing the quant-auto threshold re-arms the int8 scan
-                    common.apply_search_mode(old, search_mode)
+                    # the add DONATES the corpus buffer (no transient
+                    # second copy); exclude reader dispatches for the
+                    # brief mutation window so none races the donation
+                    self._index_ready.clear()
+                    try:
+                        self._exclude_readers()
+                        old.add(delta)
+                        # crossing the quant-auto threshold re-arms the
+                        # int8 scan
+                        common.apply_search_mode(old, search_mode)
+                    finally:
+                        self._index_ready.set()
+                        with self._readers_cv:
+                            self._readers_cv.notify_all()
                 mode = "incremental"
             else:
                 self._index_ready.clear()
@@ -143,6 +192,8 @@ class SearchService:
                         vectors, self.args)
                 finally:
                     self._index_ready.set()
+                    with self._readers_cv:
+                        self._readers_cv.notify_all()
                 mode = "rebuild"
             self._sidecar_hash = content_hash(vectors)
             self._sidecar_n = vectors.shape[0]
@@ -182,7 +233,11 @@ class SearchService:
 
     def search(self, features: np.ndarray, k: int, offset: int = 0):
         t0 = time.perf_counter()
-        D, I = self.current_index().search(features, k + offset)
+        self._begin_read()
+        try:
+            D, I = self.current_index().search(features, k + offset)
+        finally:
+            self._end_read()
         dt = time.perf_counter() - t0
         with self._stats_lock:
             self._latency_sum += dt

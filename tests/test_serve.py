@@ -339,6 +339,75 @@ def test_search_during_rebuild_reload(tmp_path, monkeypatch):
         server.shutdown()
 
 
+def test_search_during_incremental_reload(tmp_path, monkeypatch):
+    """Searches racing an INCREMENTAL reload must all succeed: the
+    in-place add donates the corpus buffer, so serve drains reader
+    dispatches for the mutation window — without that, a concurrent
+    search can dispatch against the donated (deleted) array."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(10)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0", "--no-warmup"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    service = server.RequestHandlerClass.service
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        for i in range(3, 6):  # append-sorting names -> incremental path
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                            ).save(photos / f"p{i}.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+        cls = type(service.index)
+        real_add = cls.add
+        entered = threading.Event()
+
+        def slow_add(self_idx, vectors):
+            entered.set()
+            time.sleep(0.5)
+            return real_add(self_idx, vectors)
+
+        monkeypatch.setattr(cls, "add", slow_add)
+        errors, results = [], []
+
+        def searcher():
+            try:
+                status, data = _get(port, "/similar?id=1&k=2")
+                assert status == 200, data
+                assert data["results"][0]["id"] == 1
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+
+        def reloader():
+            results.append(_post(port, "/reload", {}))
+
+        rt = threading.Thread(target=reloader)
+        rt.start()
+        assert entered.wait(30)
+        threads = [threading.Thread(target=searcher) for _ in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads + [rt]:
+            t.join(timeout=60)
+        assert not errors, errors
+        status, r = results[0]
+        assert status == 200 and r["mode"] == "incremental", r
+        # post-reload, the new rows resolve
+        status, sim = _get(port, "/similar?id=5&k=1")
+        assert status == 200 and sim["results"][0]["id"] == 5
+    finally:
+        server.shutdown()
+
+
 def test_warmup_precompiles_text_path(served):
     """--warmup (default) builds the encoder + compiles the single-text
     shape in the background; the fixture server was created with it, so
