@@ -21,6 +21,11 @@ skipped here (the REPL's rank-0 skip is a display quirk preserved in the
 CLI, reference:query-index.py:114-116; an API returns the true ranking
 and lets clients decide).
 
+Concurrent single-row searches are coalesced into one batched device
+call by a dispatcher thread (per-call search cost is ~flat up to Q=16,
+so this multiplies throughput under load at ~zero idle cost; disable or
+resize with CLIPX_SERVE_COALESCE, counters under /metrics "coalesce").
+
     python -m clipx.serve --port 8765 --model ViT-B/32 \
         --checkpoint vit_b32.npz
 """
@@ -41,6 +46,18 @@ import numpy as np
 
 from clipx.cli import common
 from clipx.store.kv import open_env
+
+
+class _PendingQuery:
+    """One enqueued single-row search awaiting the coalescing dispatcher."""
+
+    __slots__ = ("features", "rows", "done", "D", "I", "error")
+
+    def __init__(self, features: np.ndarray, rows: int):
+        self.features = features
+        self.rows = rows
+        self.done = threading.Event()
+        self.D = self.I = self.error = None
 
 
 class SearchService:
@@ -84,6 +101,76 @@ class SearchService:
         self._latency_sum = 0.0
         self._latency_n = 0
         self.started = time.time()
+        # Coalesce concurrent single-row searches into one device call:
+        # per-call search cost at 1M x 512 is ~flat up to Q=16 (the
+        # query-batching ablation, docs/ARCHITECTURE.md), so batching
+        # concurrent HTTP queries multiplies serving throughput under
+        # load at ~zero idle cost — the dispatcher dequeues immediately
+        # when only one request is waiting. CLIPX_SERVE_COALESCE sets
+        # the batch cap (default 16, the measured knee); 0/1 disables.
+        cap = int(os.environ.get("CLIPX_SERVE_COALESCE", "16"))
+        self._mb_cap = cap if cap >= 2 else 0
+        self._mb_queue = []
+        self._mb_cv = threading.Condition()
+        self._mb_stop = False
+        self._mb_batches = 0
+        self._mb_queries = 0
+        self._mb_thread = None
+        if self._mb_cap:
+            self._mb_thread = threading.Thread(
+                target=self._mb_loop, daemon=True,
+                name="clipx-serve-coalesce")
+            self._mb_thread.start()
+
+    def close(self) -> None:
+        """Stop the coalescing dispatcher (drains queued queries first)."""
+        if self._mb_thread is not None:
+            with self._mb_cv:
+                self._mb_stop = True
+                self._mb_cv.notify_all()
+            self._mb_thread.join(timeout=10)
+            self._mb_thread = None
+
+    def _mb_loop(self) -> None:
+        while True:
+            with self._mb_cv:
+                while not self._mb_queue and not self._mb_stop:
+                    self._mb_cv.wait()
+                if not self._mb_queue:  # stop requested and drained
+                    return
+                batch = self._mb_queue[: self._mb_cap]
+                del self._mb_queue[: self._mb_cap]
+            try:
+                feats = np.concatenate([p.features for p in batch], axis=0)
+                rows = max(p.rows for p in batch)
+                self._begin_read()
+                try:
+                    D, I = self.current_index().search(feats, rows)
+                finally:
+                    self._end_read()
+            except Exception as exc:  # noqa: BLE001 — fail the whole batch
+                for p in batch:
+                    p.error = exc
+                    p.done.set()
+                continue
+            with self._stats_lock:
+                self._mb_batches += 1
+                self._mb_queries += len(batch)
+            for qi, p in enumerate(batch):
+                p.D, p.I = D[qi: qi + 1], I[qi: qi + 1]
+                p.done.set()
+
+    def _coalesced_search(self, features: np.ndarray, rows: int):
+        item = _PendingQuery(
+            np.ascontiguousarray(features, dtype=np.float32), rows)
+        with self._mb_cv:
+            self._mb_queue.append(item)
+            self._mb_cv.notify_all()
+        if not item.done.wait(timeout=600.0):
+            raise RuntimeError("coalesced search timed out")
+        if item.error is not None:
+            raise item.error
+        return item.D, item.I
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
@@ -214,6 +301,9 @@ class SearchService:
                 "search_latency_avg_s": (round(avg, 6)
                                          if avg is not None else None),
                 "encoder_loaded": self._encoder is not None,
+                "coalesce": {"batches": self._mb_batches,
+                             "queries": self._mb_queries,
+                             "cap": self._mb_cap},
             }
 
     def lookup_path(self, i: int) -> Optional[str]:
@@ -233,11 +323,17 @@ class SearchService:
 
     def search(self, features: np.ndarray, k: int, offset: int = 0):
         t0 = time.perf_counter()
-        self._begin_read()
-        try:
-            D, I = self.current_index().search(features, k + offset)
-        finally:
-            self._end_read()
+        features = np.atleast_2d(np.asarray(features))
+        if self._mb_cap and features.shape[0] == 1:
+            # single-row queries (every HTTP search) ride the coalescer;
+            # multi-row callers already amortize and dispatch inline
+            D, I = self._coalesced_search(features, k + offset)
+        else:
+            self._begin_read()
+            try:
+                D, I = self.current_index().search(features, k + offset)
+            finally:
+                self._end_read()
         dt = time.perf_counter() - t0
         with self._stats_lock:
             self._latency_sum += dt
@@ -378,10 +474,17 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog of 5 drops connections under
+    # a concurrent burst (the kernel RSTs the overflow) — exactly the
+    # load the query coalescer is built for; 128 rides out bursts.
+    request_queue_size = 128
+
+
 def make_server(args) -> ThreadingHTTPServer:
     service = SearchService(args)
     handler = type("BoundHandler", (Handler,), {"service": service})
-    server = ThreadingHTTPServer((args.host, args.port), handler)
+    server = _Server((args.host, args.port), handler)
     if getattr(args, "warmup", False):
         # background: /healthz and /similar answer immediately while the
         # model loads + the N=1 text bucket compiles

@@ -467,3 +467,151 @@ def test_serve_sharded_index(served):
         assert got["results"][0]["id"] == 1
     finally:
         service.env.close()
+
+
+# -- query coalescing ---------------------------------------------------------
+
+def _standalone_service(tmp_path, monkeypatch, n_images=5, seed=7):
+    """A SearchService over a freshly built tiny index (direct API, no
+    HTTP) for exercising the coalescing dispatcher deterministically."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(seed)
+    for i in range(n_images):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    args = serve.build_parser().parse_args(["--model", "tiny-test"])
+    return serve.SearchService(args)
+
+
+def _unit_queries(n, dim, seed=0):
+    rng = np.random.RandomState(seed)
+    q = rng.randn(n, dim).astype(np.float32)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def test_coalesced_search_batches_concurrent_queries(tmp_path, monkeypatch):
+    """Concurrent single-row searches ride ONE device call: block the
+    dispatcher mid-dispatch, pile up 8 queries, release — the backlog
+    must coalesce into a single batched index.search with each request
+    still getting its own k rows and the exact per-query ranking."""
+    service = _standalone_service(tmp_path, monkeypatch)
+    try:
+        idx = service.index
+        orig = idx.search  # bound method; instance attr below shadows it
+        calls = []
+        entered, release = threading.Event(), threading.Event()
+
+        def gated(feats, k):
+            calls.append(feats.shape[0])
+            if len(calls) == 1:
+                entered.set()
+                assert release.wait(30)
+            return orig(feats, k)
+
+        idx.search = gated
+        qs = _unit_queries(9, idx.dim)
+        results = [None] * 9
+        ks = [3] + [2 + (i % 3) for i in range(1, 9)]
+
+        def do(i):
+            results[i] = service.search(qs[i: i + 1], ks[i])
+
+        threads = [threading.Thread(target=do, args=(0,))]
+        threads[0].start()
+        assert entered.wait(30)  # dispatcher now blocked inside query 0
+        for i in range(1, 9):
+            threads.append(threading.Thread(target=do, args=(i,)))
+            threads[-1].start()
+        deadline = time.time() + 30
+        while True:  # wait until all 8 queue behind the blocked dispatch
+            with service._mb_cv:
+                if len(service._mb_queue) == 8:
+                    break
+            assert time.time() < deadline, "queries never queued"
+            time.sleep(0.01)
+        release.set()
+        for t in threads:
+            t.join(30)
+        assert calls == [1, 8]  # the backlog coalesced into one call
+        for i in range(9):
+            rows = results[i]["results"]
+            assert len(rows) == min(ks[i], idx.ntotal)
+            D, I = orig(qs[i: i + 1], ks[i])
+            assert [r["id"] for r in rows] == \
+                [int(x) for x in I[0][: len(rows)]]
+        m = service.metrics()
+        assert m["coalesce"]["queries"] == 9
+        assert m["coalesce"]["batches"] == 2
+    finally:
+        service.close()
+        service.env.close()
+
+
+def test_coalesced_search_error_propagates(tmp_path, monkeypatch):
+    """A device failure fails every query in the batch with the real
+    exception, and the dispatcher keeps serving afterwards."""
+    service = _standalone_service(tmp_path, monkeypatch, n_images=3)
+    try:
+        q = _unit_queries(1, service.index.dim)
+
+        def bad(feats, k):
+            raise RuntimeError("device fell over")
+
+        service.index.search = bad
+        with pytest.raises(RuntimeError, match="device fell over"):
+            service.search(q, 2)
+        del service.index.__dict__["search"]  # restore the class method
+        out = service.search(q, 2)
+        assert len(out["results"]) == 2
+    finally:
+        service.close()
+        service.env.close()
+
+
+def test_coalesce_disabled_dispatches_inline(tmp_path, monkeypatch):
+    """CLIPX_SERVE_COALESCE=0 keeps the old behavior: the request thread
+    itself dispatches (no dispatcher thread at all)."""
+    monkeypatch.setenv("CLIPX_SERVE_COALESCE", "0")
+    service = _standalone_service(tmp_path, monkeypatch, n_images=3)
+    try:
+        assert service._mb_thread is None
+        seen = {}
+        orig = service.index.search
+
+        def spy(feats, k):
+            seen["tid"] = threading.get_ident()
+            return orig(feats, k)
+
+        service.index.search = spy
+        out = service.search(_unit_queries(1, service.index.dim), 2)
+        assert len(out["results"]) == 2
+        assert seen["tid"] == threading.get_ident()
+    finally:
+        service.close()
+        service.env.close()
+
+
+def test_multirow_search_bypasses_coalescing(tmp_path, monkeypatch):
+    """Q>1 callers already amortize; they dispatch inline even with
+    coalescing enabled."""
+    service = _standalone_service(tmp_path, monkeypatch, n_images=4)
+    try:
+        assert service._mb_thread is not None
+        seen = {}
+        orig = service.index.search
+
+        def spy(feats, k):
+            seen["tid"] = threading.get_ident()
+            return orig(feats, k)
+
+        service.index.search = spy
+        service.search(_unit_queries(2, service.index.dim), 2)
+        assert seen["tid"] == threading.get_ident()
+    finally:
+        service.close()
+        service.env.close()
