@@ -23,7 +23,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_mesh_train_and_search():
+def _run_pair():
+    """One attempt: spawn both workers on a fresh port, return
+    (procs, outs)."""
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
@@ -40,6 +42,19 @@ def test_two_process_mesh_train_and_search():
                 q.kill()
             raise
         outs.append(out)
+    return procs, outs
+
+
+def test_two_process_mesh_train_and_search():
+    procs, outs = _run_pair()
+    if any(p.returncode != 0 for p in procs) and any(
+            "gloo" in out.lower() for out in outs):
+        # Gloo's loopback rendezvous is flaky under heavy host
+        # contention (observed: a transport preamble-size abort while a
+        # parallel CPU job saturated every core). One retry on a fresh
+        # port distinguishes that from a real collective mismatch,
+        # which fails deterministically.
+        procs, outs = _run_pair()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     results = [line for out in outs for line in out.splitlines()
