@@ -101,22 +101,40 @@ class SearchService:
         self._latency_sum = 0.0
         self._latency_n = 0
         self.started = time.time()
-        # Coalesce concurrent single-row searches into one device call:
-        # per-call search cost at 1M x 512 is ~flat up to Q=16 (the
-        # query-batching ablation, docs/ARCHITECTURE.md), so batching
-        # concurrent HTTP queries multiplies serving throughput under
-        # load at ~zero idle cost — the dispatcher dequeues immediately
-        # when only one request is waiting. CLIPX_SERVE_COALESCE sets
-        # the batch cap (default 16, the measured knee); 0/1 disables.
+        # Coalesce concurrent single-row searches into batched device
+        # calls: per-call search cost at 1M x 512 is ~flat up to Q=16
+        # (the query-batching ablation, docs/ARCHITECTURE.md), so
+        # batching concurrent HTTP queries multiplies serving
+        # throughput under load at ~zero idle cost — the dispatcher
+        # dequeues immediately when only one request is waiting.
+        # CLIPX_SERVE_COALESCE sets the batch cap (default 16, the
+        # measured knee); 0/1 disables. Batches are PIPELINED: up to
+        # CLIPX_SERVE_INFLIGHT (default 4) batches run concurrently,
+        # because on a tunnel-attached chip a batch's host sync costs a
+        # full RTT — a serial dispatcher was measured 3x SLOWER than no
+        # coalescing at all (67 vs 188 qps at 16 clients), while
+        # overlapped batches keep the RTT pipeline full and the device
+        # sees big batches. When all in-flight slots are busy the
+        # dispatcher blocks, the queue grows, and batches naturally
+        # fill toward the cap — load-adaptive batching for free.
         cap = int(os.environ.get("CLIPX_SERVE_COALESCE", "16"))
         self._mb_cap = cap if cap >= 2 else 0
+        self._mb_inflight = max(1, int(
+            os.environ.get("CLIPX_SERVE_INFLIGHT", "4")))
         self._mb_queue = []
         self._mb_cv = threading.Condition()
         self._mb_stop = False
         self._mb_batches = 0
         self._mb_queries = 0
         self._mb_thread = None
+        self._mb_pool = None
+        self._mb_slots = None
         if self._mb_cap:
+            from concurrent.futures import ThreadPoolExecutor
+            self._mb_pool = ThreadPoolExecutor(
+                max_workers=self._mb_inflight,
+                thread_name_prefix="clipx-serve-batch")
+            self._mb_slots = threading.Semaphore(self._mb_inflight)
             self._mb_thread = threading.Thread(
                 target=self._mb_loop, daemon=True,
                 name="clipx-serve-coalesce")
@@ -130,6 +148,9 @@ class SearchService:
                 self._mb_cv.notify_all()
             self._mb_thread.join(timeout=10)
             self._mb_thread = None
+        if self._mb_pool is not None:
+            self._mb_pool.shutdown(wait=True)
+            self._mb_pool = None
 
     def _mb_loop(self) -> None:
         while True:
@@ -138,8 +159,22 @@ class SearchService:
                     self._mb_cv.wait()
                 if not self._mb_queue:  # stop requested and drained
                     return
+            # Acquire the in-flight slot BEFORE dequeuing: while every
+            # slot is busy the queue keeps accumulating, so the batch
+            # sliced after the acquire is as full as the backlog allows
+            # (load-adaptive batching). Dequeue-then-block would trap
+            # early queries in this local while later ones overtake.
+            self._mb_slots.acquire()
+            with self._mb_cv:
                 batch = self._mb_queue[: self._mb_cap]
                 del self._mb_queue[: self._mb_cap]
+            if not batch:       # raced with another drain
+                self._mb_slots.release()
+                continue
+            self._mb_pool.submit(self._mb_run, batch)
+
+    def _mb_run(self, batch) -> None:
+        try:
             try:
                 feats = np.concatenate([p.features for p in batch], axis=0)
                 rows = max(p.rows for p in batch)
@@ -152,13 +187,15 @@ class SearchService:
                 for p in batch:
                     p.error = exc
                     p.done.set()
-                continue
+                return
             with self._stats_lock:
                 self._mb_batches += 1
                 self._mb_queries += len(batch)
             for qi, p in enumerate(batch):
                 p.D, p.I = D[qi: qi + 1], I[qi: qi + 1]
                 p.done.set()
+        finally:
+            self._mb_slots.release()
 
     def _coalesced_search(self, features: np.ndarray, rows: int):
         item = _PendingQuery(
@@ -303,7 +340,9 @@ class SearchService:
                 "encoder_loaded": self._encoder is not None,
                 "coalesce": {"batches": self._mb_batches,
                              "queries": self._mb_queries,
-                             "cap": self._mb_cap},
+                             "cap": self._mb_cap,
+                             "inflight": (self._mb_inflight
+                                          if self._mb_cap else 0)},
             }
 
     def lookup_path(self, i: int) -> Optional[str]:

@@ -29,7 +29,9 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
+import time
 from typing import Iterator, Optional, Tuple
 
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native")
@@ -164,6 +166,7 @@ class Transaction:
         self._env = env
         self._lib = env._lib
         self._default_db = env._main_db if db is None else db
+        env._txn_enter()
         self._h = self._lib.cxkv_txn_begin(env._h, 1 if write else 0)
         self._write = write
         self._cursors = []
@@ -214,6 +217,7 @@ class Transaction:
         if self._h:
             rc = self._lib.cxkv_txn_commit(self._h)
             self._h = None
+            self._env._txn_exit()
             if rc != 0:
                 detail = (self._lib.cxkv_error(self._env._h) or b"").decode(
                     errors="replace")
@@ -225,6 +229,7 @@ class Transaction:
         if self._h:
             self._lib.cxkv_txn_abort(self._h)
             self._h = None
+            self._env._txn_exit()
 
     # -- context manager ------------------------------------------------------
     def __enter__(self) -> "Transaction":
@@ -256,6 +261,11 @@ class Environment:
         if not self._h:
             raise Error(f"cannot open environment at {path!r}")
         self.path = path
+        # live-transaction accounting so close() can wait for in-flight
+        # readers instead of unmapping segments under them (observed as
+        # a segfault when a serving thread raced env.close())
+        self._txn_cv = threading.Condition()
+        self._txn_live = 0
         # the unnamed "main" database, like lmdb's default db
         self._main_db = self._lib.cxkv_db(self._h, b"")
 
@@ -292,10 +302,39 @@ class Environment:
         sorted-segment generation instead of accumulating."""
         return int(self._lib.cxkv_overlay_bytes(self._h))
 
-    def close(self) -> None:
-        if self._h:
-            self._lib.cxkv_close(self._h)
-            self._h = None
+    def _txn_enter(self) -> None:
+        with self._txn_cv:
+            if not self._h:
+                raise Error("environment is closed")
+            self._txn_live += 1
+
+    def _txn_exit(self) -> None:
+        with self._txn_cv:
+            self._txn_live -= 1
+            if self._txn_live == 0:
+                self._txn_cv.notify_all()
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Close the environment. Waits up to ``timeout`` seconds for
+        in-flight transactions (other threads mid-read) to finish —
+        closing under a live reader would unmap the segment it is
+        reading (LMDB documents the same hazard as undefined behavior;
+        here it is a bounded wait plus a loud warning instead)."""
+        with self._txn_cv:
+            if not self._h:
+                return
+            deadline = time.monotonic() + timeout
+            while self._txn_live > 0:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    sys.stderr.write(
+                        f"clipx.store: closing {self.path!r} with "
+                        f"{self._txn_live} transaction(s) still live "
+                        f"after {timeout:.0f}s wait\n")
+                    break
+                self._txn_cv.wait(remaining)
+            h, self._h = self._h, None
+        self._lib.cxkv_close(h)
 
     def __enter__(self) -> "Environment":
         return self

@@ -450,3 +450,41 @@ def test_commit_after_foreign_torn_tail(tmp_path):
         assert txn.get(b"a") == b"1"
         assert txn.get(b"b") == b"2"
     env.close()
+
+
+def test_close_waits_for_live_transactions(tmp_path):
+    """env.close() must not unmap segments under a reader in another
+    thread (observed as a segfault when serving raced a close): it
+    blocks until in-flight transactions finish, then closes; new
+    transactions on the closed env raise instead of crashing."""
+    import time
+
+    path = str(tmp_path / "vectors.lmdb")
+    env = kv.open_env(path)
+    db = env.open_db(b"fn_db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"k", b"v")
+
+    in_txn, finish = threading.Event(), threading.Event()
+    got = {}
+
+    def reader():
+        txn = env.begin(db=db)
+        got["val"] = txn.get(b"k")
+        in_txn.set()
+        finish.wait(30)
+        time.sleep(0.3)       # close() must outwait this window
+        got["val2"] = txn.get(b"k")
+        txn.abort()
+
+    t = threading.Thread(target=reader)
+    t.start()
+    assert in_txn.wait(10)
+    t0 = time.monotonic()
+    finish.set()
+    env.close()               # blocks until the reader's abort
+    assert time.monotonic() - t0 >= 0.25
+    t.join(10)
+    assert got["val"] == b"v" and got["val2"] == b"v"
+    with pytest.raises(kv.Error, match="closed"):
+        env.begin(db=db)

@@ -498,7 +498,10 @@ def test_coalesced_search_batches_concurrent_queries(tmp_path, monkeypatch):
     """Concurrent single-row searches ride ONE device call: block the
     dispatcher mid-dispatch, pile up 8 queries, release — the backlog
     must coalesce into a single batched index.search with each request
-    still getting its own k rows and the exact per-query ranking."""
+    still getting its own k rows and the exact per-query ranking.
+    INFLIGHT=1 pins the serial dispatcher so the blocked first call
+    deterministically dams the queue."""
+    monkeypatch.setenv("CLIPX_SERVE_INFLIGHT", "1")
     service = _standalone_service(tmp_path, monkeypatch)
     try:
         idx = service.index
@@ -591,6 +594,51 @@ def test_coalesce_disabled_dispatches_inline(tmp_path, monkeypatch):
         out = service.search(_unit_queries(1, service.index.dim), 2)
         assert len(out["results"]) == 2
         assert seen["tid"] == threading.get_ident()
+    finally:
+        service.close()
+        service.env.close()
+
+
+def test_coalesced_batches_pipeline(tmp_path, monkeypatch):
+    """With INFLIGHT>1 a second batch dispatches while the first is
+    still in flight — the property that keeps tunnel-RTT hosts at full
+    throughput (a serial dispatcher measured 3x slower than inline)."""
+    monkeypatch.setenv("CLIPX_SERVE_INFLIGHT", "2")
+    service = _standalone_service(tmp_path, monkeypatch)
+    try:
+        idx = service.index
+        orig = idx.search
+        first_in, release = threading.Event(), threading.Event()
+        second_in = threading.Event()
+        calls = []
+
+        def gated(feats, k):
+            calls.append(feats.shape[0])
+            if len(calls) == 1:
+                first_in.set()
+                assert release.wait(30)
+            else:
+                second_in.set()
+            return orig(feats, k)
+
+        idx.search = gated
+        qs = _unit_queries(2, idx.dim)
+        results = [None, None]
+
+        def do(i):
+            results[i] = service.search(qs[i: i + 1], 2)
+
+        t0 = threading.Thread(target=do, args=(0,))
+        t0.start()
+        assert first_in.wait(30)      # batch 1 is now blocked in flight
+        t1 = threading.Thread(target=do, args=(1,))
+        t1.start()
+        # batch 2 must dispatch WHILE batch 1 is still blocked
+        assert second_in.wait(30), "second batch never overlapped"
+        release.set()
+        t0.join(30)
+        t1.join(30)
+        assert all(len(r["results"]) == 2 for r in results)
     finally:
         service.close()
         service.env.close()
