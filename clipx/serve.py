@@ -48,16 +48,115 @@ from clipx.cli import common
 from clipx.store.kv import open_env
 
 
-class _PendingQuery:
-    """One enqueued single-row search awaiting the coalescing dispatcher."""
+class _Pending:
+    """One enqueued item awaiting a coalescing dispatcher."""
 
-    __slots__ = ("features", "rows", "done", "D", "I", "error")
+    __slots__ = ("item", "done", "result", "error")
 
-    def __init__(self, features: np.ndarray, rows: int):
-        self.features = features
-        self.rows = rows
+    def __init__(self, item):
+        self.item = item
         self.done = threading.Event()
-        self.D = self.I = self.error = None
+        self.result = self.error = None
+
+
+class _Coalescer:
+    """Batch concurrent single-item device calls into one batched call.
+
+    ``run_batch(items) -> [result, ...]`` does the actual device work.
+    Batches are PIPELINED through a bounded pool of ``inflight`` workers:
+    on a tunnel-attached chip a batch's host sync costs a full RTT, so a
+    serial dispatcher measured 3x SLOWER than no coalescing at all (67
+    vs 188 qps at 16 clients), while overlapped batches keep the RTT
+    pipeline full AND present big batches to the device. The dispatcher
+    acquires its in-flight slot BEFORE dequeuing, so while every slot
+    is busy the queue accumulates and batches fill toward ``cap`` —
+    load-adaptive batching for free.
+    """
+
+    def __init__(self, run_batch, cap: int, inflight: int,
+                 name: str = "coalesce"):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._run = run_batch
+        self.cap = cap
+        self.inflight = inflight
+        self._queue = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._stats_lock = threading.Lock()
+        self.batches = 0
+        self.queries = 0
+        self._pool = ThreadPoolExecutor(
+            max_workers=inflight, thread_name_prefix=f"clipx-{name}")
+        self._slots = threading.Semaphore(inflight)
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name=f"clipx-{name}-dispatch")
+        self._thread.start()
+
+    def submit(self, item):
+        """Enqueue one item; block until its batch lands; return its
+        result (or raise the batch's error)."""
+        p = _Pending(item)
+        with self._cv:
+            self._queue.append(p)
+            self._cv.notify_all()
+        if not p.done.wait(timeout=600.0):
+            raise RuntimeError("coalesced call timed out")
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def close(self) -> None:
+        """Stop the dispatcher (drains queued items first)."""
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=10)
+        self._pool.shutdown(wait=True)
+
+    def stats(self) -> dict:
+        with self._stats_lock:
+            return {"batches": self.batches, "queries": self.queries,
+                    "cap": self.cap, "inflight": self.inflight}
+
+    def _loop(self) -> None:
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if not self._queue:  # stop requested and drained
+                    return
+            # Acquire the in-flight slot BEFORE dequeuing: while every
+            # slot is busy the queue keeps accumulating, so the batch
+            # sliced after the acquire is as full as the backlog allows.
+            # Dequeue-then-block would trap early queries in a local
+            # while later ones overtake.
+            self._slots.acquire()
+            with self._cv:
+                batch = self._queue[: self.cap]
+                del self._queue[: self.cap]
+            if not batch:       # raced with another drain
+                self._slots.release()
+                continue
+            self._pool.submit(self._run_one, batch)
+
+    def _run_one(self, batch) -> None:
+        try:
+            try:
+                results = self._run([p.item for p in batch])
+            except Exception as exc:  # noqa: BLE001 — fail the whole batch
+                for p in batch:
+                    p.error = exc
+                    p.done.set()
+                return
+            with self._stats_lock:
+                self.batches += 1
+                self.queries += len(batch)
+            for p, r in zip(batch, results):
+                p.result = r
+                p.done.set()
+        finally:
+            self._slots.release()
 
 
 class SearchService:
@@ -101,113 +200,54 @@ class SearchService:
         self._latency_sum = 0.0
         self._latency_n = 0
         self.started = time.time()
-        # Coalesce concurrent single-row searches into batched device
-        # calls: per-call search cost at 1M x 512 is ~flat up to Q=16
-        # (the query-batching ablation, docs/ARCHITECTURE.md), so
-        # batching concurrent HTTP queries multiplies serving
-        # throughput under load at ~zero idle cost — the dispatcher
-        # dequeues immediately when only one request is waiting.
+        # Coalesce concurrent single-item device calls into batched
+        # ones: per-call search cost at 1M x 512 is ~flat up to Q=16
+        # (the query-batching ablation, docs/ARCHITECTURE.md), and text
+        # encode is bucketed, so batching concurrent HTTP requests
+        # multiplies serving throughput under load at ~zero idle cost.
         # CLIPX_SERVE_COALESCE sets the batch cap (default 16, the
-        # measured knee); 0/1 disables. Batches are PIPELINED: up to
-        # CLIPX_SERVE_INFLIGHT (default 4) batches run concurrently,
-        # because on a tunnel-attached chip a batch's host sync costs a
-        # full RTT — a serial dispatcher was measured 3x SLOWER than no
-        # coalescing at all (67 vs 188 qps at 16 clients), while
-        # overlapped batches keep the RTT pipeline full and the device
-        # sees big batches. When all in-flight slots are busy the
-        # dispatcher blocks, the queue grows, and batches naturally
-        # fill toward the cap — load-adaptive batching for free.
+        # measured knee); 0/1 disables both coalescers. See _Coalescer
+        # for why batches are pipelined (CLIPX_SERVE_INFLIGHT).
         cap = int(os.environ.get("CLIPX_SERVE_COALESCE", "16"))
-        self._mb_cap = cap if cap >= 2 else 0
-        self._mb_inflight = max(1, int(
-            os.environ.get("CLIPX_SERVE_INFLIGHT", "4")))
-        self._mb_queue = []
-        self._mb_cv = threading.Condition()
-        self._mb_stop = False
-        self._mb_batches = 0
-        self._mb_queries = 0
-        self._mb_thread = None
-        self._mb_pool = None
-        self._mb_slots = None
-        if self._mb_cap:
-            from concurrent.futures import ThreadPoolExecutor
-            self._mb_pool = ThreadPoolExecutor(
-                max_workers=self._mb_inflight,
-                thread_name_prefix="clipx-serve-batch")
-            self._mb_slots = threading.Semaphore(self._mb_inflight)
-            self._mb_thread = threading.Thread(
-                target=self._mb_loop, daemon=True,
-                name="clipx-serve-coalesce")
-            self._mb_thread.start()
+        cap = cap if cap >= 2 else 0
+        inflight = max(1, int(os.environ.get("CLIPX_SERVE_INFLIGHT", "4")))
+        self._search_co = self._text_co = None
+        if cap:
+            self._search_co = _Coalescer(
+                self._search_batch, cap, inflight, name="search")
+            self._text_co = _Coalescer(
+                self._encode_batch, cap, inflight, name="text")
 
     def close(self) -> None:
-        """Stop the coalescing dispatcher (drains queued queries first)."""
-        if self._mb_thread is not None:
-            with self._mb_cv:
-                self._mb_stop = True
-                self._mb_cv.notify_all()
-            self._mb_thread.join(timeout=10)
-            self._mb_thread = None
-        if self._mb_pool is not None:
-            self._mb_pool.shutdown(wait=True)
-            self._mb_pool = None
+        """Stop the coalescing dispatchers (each drains its queue)."""
+        for co in (self._search_co, self._text_co):
+            if co is not None:
+                co.close()
+        self._search_co = self._text_co = None
 
-    def _mb_loop(self) -> None:
-        while True:
-            with self._mb_cv:
-                while not self._mb_queue and not self._mb_stop:
-                    self._mb_cv.wait()
-                if not self._mb_queue:  # stop requested and drained
-                    return
-            # Acquire the in-flight slot BEFORE dequeuing: while every
-            # slot is busy the queue keeps accumulating, so the batch
-            # sliced after the acquire is as full as the backlog allows
-            # (load-adaptive batching). Dequeue-then-block would trap
-            # early queries in this local while later ones overtake.
-            self._mb_slots.acquire()
-            with self._mb_cv:
-                batch = self._mb_queue[: self._mb_cap]
-                del self._mb_queue[: self._mb_cap]
-            if not batch:       # raced with another drain
-                self._mb_slots.release()
-                continue
-            self._mb_pool.submit(self._mb_run, batch)
-
-    def _mb_run(self, batch) -> None:
+    def _search_batch(self, items):
+        """Coalescer backend: items are (features_row, rows) pairs."""
+        feats = np.concatenate([f for f, _ in items], axis=0)
+        rows = max(r for _, r in items)
+        self._begin_read()
         try:
-            try:
-                feats = np.concatenate([p.features for p in batch], axis=0)
-                rows = max(p.rows for p in batch)
-                self._begin_read()
-                try:
-                    D, I = self.current_index().search(feats, rows)
-                finally:
-                    self._end_read()
-            except Exception as exc:  # noqa: BLE001 — fail the whole batch
-                for p in batch:
-                    p.error = exc
-                    p.done.set()
-                return
-            with self._stats_lock:
-                self._mb_batches += 1
-                self._mb_queries += len(batch)
-            for qi, p in enumerate(batch):
-                p.D, p.I = D[qi: qi + 1], I[qi: qi + 1]
-                p.done.set()
+            D, I = self.current_index().search(feats, rows)
         finally:
-            self._mb_slots.release()
+            self._end_read()
+        return [(D[i: i + 1], I[i: i + 1]) for i in range(len(items))]
 
-    def _coalesced_search(self, features: np.ndarray, rows: int):
-        item = _PendingQuery(
-            np.ascontiguousarray(features, dtype=np.float32), rows)
-        with self._mb_cv:
-            self._mb_queue.append(item)
-            self._mb_cv.notify_all()
-        if not item.done.wait(timeout=600.0):
-            raise RuntimeError("coalesced search timed out")
-        if item.error is not None:
-            raise item.error
-        return item.D, item.I
+    def _encode_batch(self, texts):
+        """Coalescer backend: items are raw query strings."""
+        emb = self.encoder().encode_texts(list(texts))
+        return [emb[i: i + 1] for i in range(len(texts))]
+
+    def encode_texts(self, texts) -> np.ndarray:
+        """Text -> embedding rows. Single texts (every /search request)
+        ride the text coalescer so concurrent requests share one bucketed
+        device call; multi-text callers already amortize and go inline."""
+        if self._text_co is not None and len(texts) == 1:
+            return self._text_co.submit(str(texts[0]))
+        return self.encoder().encode_texts([str(t) for t in texts])
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
@@ -338,11 +378,14 @@ class SearchService:
                 "search_latency_avg_s": (round(avg, 6)
                                          if avg is not None else None),
                 "encoder_loaded": self._encoder is not None,
-                "coalesce": {"batches": self._mb_batches,
-                             "queries": self._mb_queries,
-                             "cap": self._mb_cap,
-                             "inflight": (self._mb_inflight
-                                          if self._mb_cap else 0)},
+                "coalesce": (self._search_co.stats()
+                             if self._search_co is not None
+                             else {"batches": 0, "queries": 0,
+                                   "cap": 0, "inflight": 0}),
+                "text_coalesce": (self._text_co.stats()
+                                  if self._text_co is not None
+                                  else {"batches": 0, "queries": 0,
+                                        "cap": 0, "inflight": 0}),
             }
 
     def lookup_path(self, i: int) -> Optional[str]:
@@ -363,10 +406,12 @@ class SearchService:
     def search(self, features: np.ndarray, k: int, offset: int = 0):
         t0 = time.perf_counter()
         features = np.atleast_2d(np.asarray(features))
-        if self._mb_cap and features.shape[0] == 1:
+        if self._search_co is not None and features.shape[0] == 1:
             # single-row queries (every HTTP search) ride the coalescer;
             # multi-row callers already amortize and dispatch inline
-            D, I = self._coalesced_search(features, k + offset)
+            D, I = self._search_co.submit(
+                (np.ascontiguousarray(features, dtype=np.float32),
+                 k + offset))
         else:
             self._begin_read()
             try:
@@ -440,7 +485,7 @@ class Handler(BaseHTTPRequestHandler):
                 k, offset = _validated_k_offset(q.get("k", "50"),
                                                 q.get("offset", "0"))
                 self.service.count("search")
-                feats = self.service.encoder().encode_texts([text])
+                feats = self.service.encode_texts([text])
                 self._json(200, self.service.search(feats, k, offset))
             elif url.path == "/similar":
                 image_id = int(q.get("id", "-1"))
@@ -476,8 +521,7 @@ class Handler(BaseHTTPRequestHandler):
                 if not isinstance(texts, list) or not texts:
                     return self._bad("texts must be a non-empty list")
                 self.service.count("encode_text")
-                emb = self.service.encoder().encode_texts(
-                    [str(t) for t in texts])
+                emb = self.service.encode_texts(texts)
                 self._json(200, {"embeddings": emb.tolist()})
             elif url.path == "/search_vector":
                 vec = payload.get("vector")

@@ -532,8 +532,8 @@ def test_coalesced_search_batches_concurrent_queries(tmp_path, monkeypatch):
             threads[-1].start()
         deadline = time.time() + 30
         while True:  # wait until all 8 queue behind the blocked dispatch
-            with service._mb_cv:
-                if len(service._mb_queue) == 8:
+            with service._search_co._cv:
+                if len(service._search_co._queue) == 8:
                     break
             assert time.time() < deadline, "queries never queued"
             time.sleep(0.01)
@@ -582,7 +582,7 @@ def test_coalesce_disabled_dispatches_inline(tmp_path, monkeypatch):
     monkeypatch.setenv("CLIPX_SERVE_COALESCE", "0")
     service = _standalone_service(tmp_path, monkeypatch, n_images=3)
     try:
-        assert service._mb_thread is None
+        assert service._search_co is None
         seen = {}
         orig = service.index.search
 
@@ -649,7 +649,7 @@ def test_multirow_search_bypasses_coalescing(tmp_path, monkeypatch):
     coalescing enabled."""
     service = _standalone_service(tmp_path, monkeypatch, n_images=4)
     try:
-        assert service._mb_thread is not None
+        assert service._search_co is not None
         seen = {}
         orig = service.index.search
 
@@ -660,6 +660,75 @@ def test_multirow_search_bypasses_coalescing(tmp_path, monkeypatch):
         service.index.search = spy
         service.search(_unit_queries(2, service.index.dim), 2)
         assert seen["tid"] == threading.get_ident()
+    finally:
+        service.close()
+        service.env.close()
+
+
+def test_coalesced_text_encode_batches_concurrent_queries(
+        tmp_path, monkeypatch):
+    """Concurrent single-text encodes coalesce into one encoder call,
+    each caller getting exactly its own row; a multi-text call goes
+    inline. INFLIGHT=1 pins the serial dispatcher so the blocked first
+    encode deterministically dams the queue."""
+    monkeypatch.setenv("CLIPX_SERVE_INFLIGHT", "1")
+    service = _standalone_service(tmp_path, monkeypatch, n_images=3)
+    try:
+        enc = service.encoder()  # build once, outside the spy
+        orig = enc.encode_texts
+        calls = []
+        entered, release = threading.Event(), threading.Event()
+
+        def gated(texts):
+            calls.append(len(texts))
+            if len(calls) == 1:
+                entered.set()
+                assert release.wait(30)
+            return orig(texts)
+
+        enc.encode_texts = gated
+        texts = [f"a {w} photo" for w in
+                 ("red", "green", "blue", "gray", "pink")]
+        results = [None] * len(texts)
+
+        def do(i):
+            results[i] = service.encode_texts([texts[i]])
+
+        threads = [threading.Thread(target=do, args=(0,))]
+        threads[0].start()
+        assert entered.wait(30)  # dispatcher blocked inside text 0
+        for i in range(1, len(texts)):
+            threads.append(threading.Thread(target=do, args=(i,)))
+            threads[-1].start()
+        deadline = time.time() + 30
+        while True:  # wait until the rest queue behind the block
+            with service._text_co._cv:
+                if len(service._text_co._queue) == len(texts) - 1:
+                    break
+            assert time.time() < deadline, "texts never queued"
+            time.sleep(0.01)
+        release.set()
+        for t in threads:
+            t.join(30)
+        assert calls == [1, len(texts) - 1]  # backlog rode one call
+        for i, t in enumerate(texts):
+            expect = orig([t])
+            assert results[i].shape == expect.shape
+            np.testing.assert_allclose(results[i], expect,
+                                       rtol=1e-5, atol=1e-6)
+        # multi-text requests dispatch inline on the caller's thread
+        seen = {}
+
+        def spy(ts):
+            seen["tid"] = threading.get_ident()
+            return orig(ts)
+
+        enc.encode_texts = spy
+        service.encode_texts(texts[:2])
+        assert seen["tid"] == threading.get_ident()
+        m = service.metrics()
+        assert m["text_coalesce"]["queries"] == len(texts)
+        assert m["text_coalesce"]["batches"] == 2
     finally:
         service.close()
         service.env.close()
