@@ -22,6 +22,8 @@ class VisionConfig:
     # output dim of the learned projection into the shared space
     embed_dim: int = 512
 
+    tower = "vit"  # class attribute, not a field — used for dispatch
+
     @property
     def grid(self) -> int:
         return self.image_size // self.patch_size
@@ -30,6 +32,39 @@ class VisionConfig:
     def seq_len(self) -> int:
         # CLS token + patch tokens
         return self.grid * self.grid + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetVisionConfig:
+    """OpenAI CLIP's ModifiedResNet image tower (the RN50/RN101/RN50x*
+    checkpoints ``clip.load`` accepts alongside the ViTs). Differences
+    from a torchvision ResNet, preserved here: 3-conv anti-aliased stem,
+    avgpool(stride)-then-conv "blur" downsampling inside bottlenecks,
+    and a single-query attention pool instead of global average pool."""
+
+    image_size: int = 224
+    # bottleneck counts of the four stages
+    layers: Tuple[int, int, int, int] = (3, 4, 6, 3)
+    # stem output channels; stage i runs at width * 2**i (expansion 4x)
+    width: int = 64
+    embed_dim: int = 1024
+
+    tower = "resnet"
+
+    @property
+    def heads(self) -> int:
+        # attention-pool heads, matching the torch construction
+        return self.width * 32 // 64
+
+    @property
+    def pool_dim(self) -> int:
+        # channels entering the attention pool (stage-4 output)
+        return self.width * 32
+
+    @property
+    def grid(self) -> int:
+        # total stride 32: stem /4, stages 2-4 /2 each
+        return self.image_size // 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,6 +125,40 @@ def vit_l14_336() -> CLIPConfig:
     )
 
 
+def _rn(name: str, layers, width: int, image: int, embed: int,
+        t_width: int) -> CLIPConfig:
+    """The five ResNet checkpoints OpenAI CLIP ships (``clip.load``'s
+    model list next to the ViTs the reference uses). Text-tower heads
+    follow the torch rule transformer_width // 64."""
+    return CLIPConfig(
+        name=name,
+        vision=ResNetVisionConfig(image_size=image, layers=tuple(layers),
+                                  width=width, embed_dim=embed),
+        text=TextConfig(width=t_width, layers=12, heads=t_width // 64,
+                        embed_dim=embed),
+    )
+
+
+def rn50() -> CLIPConfig:
+    return _rn("RN50", (3, 4, 6, 3), 64, 224, 1024, 512)
+
+
+def rn101() -> CLIPConfig:
+    return _rn("RN101", (3, 4, 23, 3), 64, 224, 512, 512)
+
+
+def rn50x4() -> CLIPConfig:
+    return _rn("RN50x4", (4, 6, 10, 6), 80, 288, 640, 640)
+
+
+def rn50x16() -> CLIPConfig:
+    return _rn("RN50x16", (6, 8, 18, 8), 96, 384, 768, 768)
+
+
+def rn50x64() -> CLIPConfig:
+    return _rn("RN50x64", (3, 15, 36, 10), 128, 448, 1024, 1024)
+
+
 def tiny_test() -> CLIPConfig:
     """Minimal config for fast CPU unit tests (not a real model)."""
     return CLIPConfig(
@@ -101,11 +170,28 @@ def tiny_test() -> CLIPConfig:
     )
 
 
+def tiny_rn_test() -> CLIPConfig:
+    """Minimal ResNet-tower config for fast CPU unit tests."""
+    return CLIPConfig(
+        name="tiny-rn-test",
+        vision=ResNetVisionConfig(image_size=32, layers=(1, 1, 1, 1),
+                                  width=8, embed_dim=32),
+        text=TextConfig(context_length=77, vocab_size=49408, width=32,
+                        layers=2, heads=2, embed_dim=32),
+    )
+
+
 PRESETS = {
     "ViT-B/32": vit_b32,
     "ViT-B/16": vit_b16,
     "ViT-L/14@336px": vit_l14_336,
+    "RN50": rn50,
+    "RN101": rn101,
+    "RN50x4": rn50x4,
+    "RN50x16": rn50x16,
+    "RN50x64": rn50x64,
     "tiny-test": tiny_test,
+    "tiny-rn-test": tiny_rn_test,
 }
 
 

@@ -35,24 +35,35 @@ Params = Dict[str, Any]
 # init
 # ---------------------------------------------------------------------------
 
-def init_params(cfg: CLIPConfig, rng: jax.Array) -> Params:
-    kv, kt = jax.random.split(rng)
-    v, t = cfg.vision, cfg.text
-    kv = jax.random.split(kv, 5)
-    kt = jax.random.split(kt, 4)
+def _init_vit_visual(cfg: CLIPConfig, rng: jax.Array) -> Params:
+    v = cfg.vision
+    kv = jax.random.split(rng, 5)
     patch_dim = v.patch_size * v.patch_size * 3
     return {
-        "visual": {
-            "patch_embed": {
-                "kernel": jax.random.normal(kv[0], (patch_dim, v.width)) * (v.width ** -0.5),
-            },
-            "class_embedding": jax.random.normal(kv[1], (v.width,)) * (v.width ** -0.5),
-            "pos_embedding": jax.random.normal(kv[2], (v.seq_len, v.width)) * (v.width ** -0.5),
-            "ln_pre": _ln_init(v.width),
-            "blocks": init_block_stack(kv[3], v.layers, v.width),
-            "ln_post": _ln_init(v.width),
-            "proj": jax.random.normal(kv[4], (v.width, v.embed_dim)) * (v.width ** -0.5),
+        "patch_embed": {
+            "kernel": jax.random.normal(kv[0], (patch_dim, v.width)) * (v.width ** -0.5),
         },
+        "class_embedding": jax.random.normal(kv[1], (v.width,)) * (v.width ** -0.5),
+        "pos_embedding": jax.random.normal(kv[2], (v.seq_len, v.width)) * (v.width ** -0.5),
+        "ln_pre": _ln_init(v.width),
+        "blocks": init_block_stack(kv[3], v.layers, v.width),
+        "ln_post": _ln_init(v.width),
+        "proj": jax.random.normal(kv[4], (v.width, v.embed_dim)) * (v.width ** -0.5),
+    }
+
+
+def init_params(cfg: CLIPConfig, rng: jax.Array) -> Params:
+    kv, kt = jax.random.split(rng)
+    t = cfg.text
+    if getattr(cfg.vision, "tower", "vit") == "resnet":
+        from clipx.models import resnet
+
+        visual = resnet.init_visual(cfg, kv)
+    else:
+        visual = _init_vit_visual(cfg, kv)
+    kt = jax.random.split(kt, 4)
+    return {
+        "visual": visual,
         "text": {
             "token_embedding": jax.random.normal(kt[0], (t.vocab_size, t.width)) * 0.02,
             "pos_embedding": jax.random.normal(kt[1], (t.context_length, t.width)) * 0.01,
@@ -90,7 +101,15 @@ def encode_image(params: Params, cfg: CLIPConfig, pixels: jax.Array,
 
     Returns (B, embed_dim) float32. ``normalize=True`` additionally
     L2-normalizes, mirroring reference:build-index.py:50.
+
+    Dispatches on the vision config's tower: ViT here, ModifiedResNet
+    (RN50 family) in clipx.models.resnet.
     """
+    if getattr(cfg.vision, "tower", "vit") == "resnet":
+        from clipx.models import resnet
+
+        return resnet.encode_image(params, cfg, pixels,
+                                   normalize=normalize, dtype=dtype)
     v = cfg.vision
     p = params["visual"]
     x = _patchify(pixels.astype(dtype), v.patch_size)

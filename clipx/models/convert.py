@@ -53,8 +53,107 @@ def _conv_to_patch_kernel(w: np.ndarray) -> np.ndarray:
 # OpenAI layout
 # ---------------------------------------------------------------------------
 
+def _is_resnet_sd(sd: Arrays) -> bool:
+    return any(k.startswith("visual.layer1.") for k in sd)
+
+
+def _conv_hwio(w: np.ndarray) -> np.ndarray:
+    """torch conv (out, in, kh, kw) -> HWIO (kh, kw, in, out)."""
+    return w.transpose(2, 3, 1, 0)
+
+
+def _fold_bn(sd: Arrays, prefix: str):
+    from clipx.models.resnet import fold_bn
+
+    return fold_bn(_np(sd, f"{prefix}.weight"), _np(sd, f"{prefix}.bias"),
+                   _np(sd, f"{prefix}.running_mean"),
+                   _np(sd, f"{prefix}.running_var"))
+
+
+def _rn_block(sd: Arrays, prefix: str) -> Params:
+    p = {
+        "conv1": _conv_hwio(_np(sd, f"{prefix}.conv1.weight")),
+        "bn1": _fold_bn(sd, f"{prefix}.bn1"),
+        "conv2": _conv_hwio(_np(sd, f"{prefix}.conv2.weight")),
+        "bn2": _fold_bn(sd, f"{prefix}.bn2"),
+        "conv3": _conv_hwio(_np(sd, f"{prefix}.conv3.weight")),
+        "bn3": _fold_bn(sd, f"{prefix}.bn3"),
+    }
+    if f"{prefix}.downsample.0.weight" in sd:
+        # torch layout: Sequential(avgpool, conv1x1, bn)
+        p["down_conv"] = _conv_hwio(_np(sd, f"{prefix}.downsample.0.weight"))
+        p["down_bn"] = _fold_bn(sd, f"{prefix}.downsample.1")
+    return p
+
+
+def _rn_visual(sd: Arrays, v) -> Params:
+    out: Params = {"stem": {
+        "conv1": _conv_hwio(_np(sd, "visual.conv1.weight")),
+        "bn1": _fold_bn(sd, "visual.bn1"),
+        "conv2": _conv_hwio(_np(sd, "visual.conv2.weight")),
+        "bn2": _fold_bn(sd, "visual.bn2"),
+        "conv3": _conv_hwio(_np(sd, "visual.conv3.weight")),
+        "bn3": _fold_bn(sd, "visual.bn3"),
+    }}
+    for i, n_blocks in enumerate(v.layers):
+        stage: Params = {
+            "first": _rn_block(sd, f"visual.layer{i + 1}.0")}
+        if n_blocks > 1:
+            rest = [_rn_block(sd, f"visual.layer{i + 1}.{j}")
+                    for j in range(1, n_blocks)]
+            stage["rest"] = {
+                key: ({k2: _stack([r[key][k2] for r in rest])
+                       for k2 in rest[0][key]}
+                      if isinstance(rest[0][key], dict)
+                      else _stack([r[key] for r in rest]))
+                for key in rest[0]}
+        out[f"stage{i + 1}"] = stage
+    out["attnpool"] = {
+        "pos_embedding": _np(sd, "visual.attnpool.positional_embedding"),
+        "wq": _np(sd, "visual.attnpool.q_proj.weight").T,
+        "bq": _np(sd, "visual.attnpool.q_proj.bias"),
+        "wk": _np(sd, "visual.attnpool.k_proj.weight").T,
+        "bk": _np(sd, "visual.attnpool.k_proj.bias"),
+        "wv": _np(sd, "visual.attnpool.v_proj.weight").T,
+        "bv": _np(sd, "visual.attnpool.v_proj.bias"),
+        "wc": _np(sd, "visual.attnpool.c_proj.weight").T,
+        "bc": _np(sd, "visual.attnpool.c_proj.bias"),
+    }
+    return out
+
+
+def _config_from_openai_resnet(sd: Arrays) -> CLIPConfig:
+    from clipx.config import ResNetVisionConfig
+
+    width = int(np.asarray(sd["visual.conv1.weight"]).shape[0]) * 2
+    layers = tuple(
+        1 + max(int(m.group(1)) for k in sd
+                if (m := re.match(rf"visual\.layer{s}\.(\d+)\.", k)))
+        for s in range(1, 5))
+    pos = int(np.asarray(
+        sd["visual.attnpool.positional_embedding"]).shape[0])
+    image_size = 32 * int(round((pos - 1) ** 0.5))
+    embed_dim = int(np.asarray(sd["visual.attnpool.c_proj.weight"]).shape[0])
+    t_layers = 1 + max(int(m.group(1)) for k in sd
+                       if (m := re.match(r"transformer\.resblocks\.(\d+)\.", k)))
+    t_width = int(np.asarray(sd["ln_final.weight"]).shape[0])
+    vocab = int(np.asarray(sd["token_embedding.weight"]).shape[0])
+    ctx = int(np.asarray(sd["positional_embedding"]).shape[0])
+    return CLIPConfig(
+        name=f"openai-rn-w{width}",
+        vision=ResNetVisionConfig(image_size=image_size, layers=layers,
+                                  width=width, embed_dim=embed_dim),
+        text=TextConfig(context_length=ctx, vocab_size=vocab, width=t_width,
+                        layers=t_layers, heads=t_width // 64,
+                        embed_dim=embed_dim),
+    )
+
+
 def config_from_openai_state_dict(sd: Arrays) -> CLIPConfig:
-    """Infer the architecture from an OpenAI CLIP ViT state dict."""
+    """Infer the architecture from an OpenAI CLIP state dict (ViT or
+    ModifiedResNet)."""
+    if _is_resnet_sd(sd):
+        return _config_from_openai_resnet(sd)
     conv = sd["visual.conv1.weight"]
     width = int(conv.shape[0])
     patch = int(conv.shape[-1])
@@ -113,8 +212,10 @@ def _openai_blocks(sd: Arrays, prefix: str, layers: int, width: int) -> Params:
 
 def from_openai_state_dict(sd: Arrays, cfg: CLIPConfig) -> Params:
     v, t = cfg.vision, cfg.text
-    return {
-        "visual": {
+    if getattr(v, "tower", "vit") == "resnet":
+        visual = _rn_visual(sd, v)
+    else:
+        visual = {
             "patch_embed": {"kernel": _conv_to_patch_kernel(_np(sd, "visual.conv1.weight"))},
             "class_embedding": _np(sd, "visual.class_embedding"),
             "pos_embedding": _np(sd, "visual.positional_embedding"),
@@ -124,7 +225,9 @@ def from_openai_state_dict(sd: Arrays, cfg: CLIPConfig) -> Params:
             "ln_post": {"scale": _np(sd, "visual.ln_post.weight"),
                         "bias": _np(sd, "visual.ln_post.bias")},
             "proj": _np(sd, "visual.proj"),
-        },
+        }
+    return {
+        "visual": visual,
         "text": {
             "token_embedding": _np(sd, "token_embedding.weight"),
             "pos_embedding": _np(sd, "positional_embedding"),
@@ -199,6 +302,7 @@ def from_hf_state_dict(sd: Arrays, cfg: CLIPConfig) -> Params:
 
 def detect_format(sd: Arrays) -> str:
     if "visual.conv1.weight" in sd:
+        # covers both ViT and ModifiedResNet OpenAI layouts
         return "openai"
     if "vision_model.embeddings.patch_embedding.weight" in sd:
         return "hf"

@@ -105,7 +105,18 @@ def batch_sharding(mesh: Mesh, dp: str = "dp") -> NamedSharding:
 
 
 def shard_params(params, mesh: Mesh, tp: Optional[str] = "tp"):
-    """Place a host param pytree onto the mesh with TP shardings."""
+    """Place a host param pytree onto the mesh with TP shardings.
+
+    With ``tp=None`` every leaf is replicated, which works for ANY param
+    tree (the ResNet towers take this path — their convs have no TP
+    rules; DP needs replication only). The TP spec tree matches the ViT
+    layout produced by clipx.models.clip.init_params."""
+    if tp is not None and tp not in mesh.axis_names:
+        tp = None
+    if tp is None:
+        rep = NamedSharding(mesh, P())
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, rep), params)
     shardings = param_shardings(mesh, tp)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, shardings)

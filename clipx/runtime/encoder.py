@@ -120,6 +120,11 @@ class Encoder:
             # elsewhere. attn_impl="pallas" forces the (B,H,S,D)-layout
             # flash kernel instead.
             attn_impl = "xla"
+        if tp is not None and getattr(cfg.vision, "tower", "vit") == "resnet":
+            raise ValueError(
+                "tensor parallelism is not defined for the ResNet towers "
+                "(no TP sharding rules for convs; RN50 fits one chip "
+                "comfortably) — use a dp-only mesh")
         if tp is not None and attn_impl == "xla":
             # TP-sharded params under GSPMD must not hit the fused pallas
             # kernels: those consume full-width weight blocks and would

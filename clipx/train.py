@@ -144,12 +144,22 @@ def make_sharded_train_step(cfg: CLIPConfig, tx, mesh: Mesh, *,
                             dp: str = "dp", tp: Optional[str] = "tp",
                             dtype=jnp.float32, remat: bool = False):
     """pjit the train step over ``mesh`` with dp batch sharding and tp
-    param sharding. Returns (jitted_step, shard_state_fn, batch_sharding)."""
-    p_sh = mesh_lib.param_shardings(mesh, tp)
+    param sharding. Returns (jitted_step, shard_state_fn, batch_sharding).
+
+    ResNet towers have no TP sharding rules (and don't need them — RN50
+    fits a chip), so their params are replicated: dp still shards the
+    batch, and fine-tuning trains the folded-BN affines with frozen
+    statistics (the standard frozen-BN regime)."""
+    if getattr(cfg.vision, "tower", "vit") == "resnet":
+        tp = None
     rep = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(dp))
 
     def shard_state(state: TrainState) -> TrainState:
+        # tp=None replicates whatever tree the state holds (works for
+        # the RN towers too); the TP spec tree matches the ViT layout.
+        p_sh = (mesh_lib.param_shardings(mesh, tp) if tp is not None
+                else jax.tree_util.tree_map(lambda _: rep, state.params))
         params = jax.tree_util.tree_map(jax.device_put, state.params, p_sh)
         # Place the EXISTING optimizer state (restored adam moments and
         # schedule step must survive --resume; rebuilding via tx.init here

@@ -51,9 +51,13 @@ def main(argv=None) -> int:
         cfg = convert.config_from_openai_state_dict(sd)
     else:
         ap.error("--model is required for HuggingFace-format checkpoints")
-    print(f"layout: {fmt}; architecture: vision "
-          f"{cfg.vision.layers}x{cfg.vision.width} patch "
-          f"{cfg.vision.patch_size} @ {cfg.vision.image_size}px, text "
+    if getattr(cfg.vision, "tower", "vit") == "resnet":
+        vis = (f"resnet {cfg.vision.layers} width {cfg.vision.width} "
+               f"@ {cfg.vision.image_size}px")
+    else:
+        vis = (f"vit {cfg.vision.layers}x{cfg.vision.width} patch "
+               f"{cfg.vision.patch_size} @ {cfg.vision.image_size}px")
+    print(f"layout: {fmt}; architecture: vision {vis}, text "
           f"{cfg.text.layers}x{cfg.text.width}, embed {cfg.embed_dim}")
     params = convert.from_state_dict(sd, cfg)
     convert.save_params(args.out, params)
