@@ -28,8 +28,9 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--model",
                         default=os.environ.get("CLIPX_MODEL", "ViT-B/32"),
                         help="model preset (ViT-B/32, ViT-B/16, "
-                             "ViT-L/14@336px, RN50, RN101, RN50x4, "
-                             "RN50x16, RN50x64, tiny-test, tiny-rn-test)")
+                             "ViT-L/14, ViT-L/14@336px, RN50, RN101, "
+                             "RN50x4, RN50x16, RN50x64, tiny-test, "
+                             "tiny-rn-test)")
     parser.add_argument("--checkpoint",
                         default=os.environ.get("CLIPX_CHECKPOINT"),
                         help="converted .npz params or torch .pt state "

@@ -115,6 +115,15 @@ def vit_b16() -> CLIPConfig:
     )
 
 
+def vit_l14() -> CLIPConfig:
+    return CLIPConfig(
+        name="ViT-L/14",
+        vision=VisionConfig(image_size=224, patch_size=14, width=1024,
+                            layers=24, heads=16, embed_dim=768),
+        text=TextConfig(width=768, layers=12, heads=12, embed_dim=768),
+    )
+
+
 def vit_l14_336() -> CLIPConfig:
     """ViT-L/14@336 — the long-sequence (577 tokens) stress config."""
     return CLIPConfig(
@@ -184,6 +193,7 @@ def tiny_rn_test() -> CLIPConfig:
 PRESETS = {
     "ViT-B/32": vit_b32,
     "ViT-B/16": vit_b16,
+    "ViT-L/14": vit_l14,
     "ViT-L/14@336px": vit_l14_336,
     "RN50": rn50,
     "RN101": rn101,

@@ -139,3 +139,16 @@ def test_checkpoint_without_merges_warns(tmp_path, capsys):
     args = SimpleNamespace(model="tiny-test", checkpoint=path)
     common.make_encoder(args)
     assert "TEXT QUERIES WILL NOT MATCH" in capsys.readouterr().err
+
+
+def test_vit_preset_family_construct():
+    """All ViT presets (incl. the plain ViT-L/14 the OpenAI release
+    ships next to @336px) build consistent configs."""
+    from clipx import config as config_lib
+
+    for name, seq in (("ViT-B/32", 50), ("ViT-B/16", 197),
+                      ("ViT-L/14", 257), ("ViT-L/14@336px", 577)):
+        cfg = config_lib.get_config(name)
+        assert cfg.vision.tower == "vit"
+        assert cfg.vision.seq_len == seq
+        assert cfg.text.embed_dim == cfg.vision.embed_dim
