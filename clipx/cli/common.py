@@ -39,14 +39,19 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                                                        DEFAULT_DB_PATH))
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
                                                           DEFAULT_INDEX_PATH))
-    parser.add_argument("--search-mode", choices=("exact", "quant", "auto"),
+    parser.add_argument("--search-mode",
+                        choices=("exact", "quant", "auto", "ivf"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
                         help="quant: int8 HBM scan + exact f32 rescore "
                              "(~2x faster at 1M vectors; ranking "
                              "identical except inside near-duplicate "
                              "clusters tighter than int8 noise — see "
                              "clipx/search/engine.py); auto enables it "
-                             "from 100k vectors")
+                             "from 100k vectors. ivf: approximate "
+                             "clustered search where the 'p' knob / "
+                             "nprobe trades recall for scan fraction "
+                             "like the reference's faiss IVF "
+                             "(clipx/search/ivf.py)")
 
 
 # corpus size from which the int8 scan + exact-rescore path wins
@@ -74,6 +79,18 @@ def build_index_from_vectors(vectors, args):
     search_mode = getattr(args, "search_mode", "auto")
     import jax
 
+    if search_mode == "ivf":
+        import sys
+
+        from clipx.search.ivf import IVFIndex
+
+        if mode == "on":
+            print("(--search-mode ivf is single-device; ignoring "
+                  "--sharded)", file=sys.stderr, flush=True)
+        return IVFIndex.from_vectors(
+            vectors,
+            quantized=vectors.shape[0] >= QUANT_AUTO_THRESHOLD,
+            cache_path=getattr(args, "index", DEFAULT_INDEX_PATH) + ".ivf")
     if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
         from clipx.parallel.mips import ShardedVectorIndex
 
@@ -95,11 +112,15 @@ def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
 
 
 def apply_search_mode(index, mode: str):
-    """Configure a VectorIndex's scan mode per the --search-mode flag."""
+    """Configure an index's scan mode per the --search-mode flag."""
     if hasattr(index, "quantized"):
-        index.quantized = (mode == "quant" or
-                           (mode == "auto"
-                            and index.ntotal >= QUANT_AUTO_THRESHOLD))
+        if mode == "ivf":
+            # IVF quantizes its probed scan past the same threshold
+            index.quantized = index.ntotal >= QUANT_AUTO_THRESHOLD
+        else:
+            index.quantized = (mode == "quant" or
+                               (mode == "auto"
+                                and index.ntotal >= QUANT_AUTO_THRESHOLD))
     return index
 
 

@@ -172,7 +172,9 @@ class QueryREPL:
             print("Invalid probe value.")
             return
         if 0 < probe < 101:
-            self.index.nprobe = probe  # kept knob; exact search ignores it
+            # functional under --search-mode ivf (clipx/search/ivf.py);
+            # the default exact engine ignores it
+            self.index.nprobe = probe
             print(f"Set to probe {probe} subsets.")
             return
         print("Invalid probe value.")

@@ -15,9 +15,11 @@ XLA static-shape discipline (SURVEY.md section 7 "hard parts"):
   REPL pagination (k + offset + 1, reference:query-index.py:111) reuses
   the compiled kernel.
 
-``nprobe`` exists as a no-op compatibility knob: the ``p`` REPL command
-(reference:query-index.py:48-54) tunes approximation that no longer
-exists.
+``nprobe`` exists here as a no-op compatibility knob: the ``p`` REPL
+command (reference:query-index.py:48-54) tunes approximation this exact
+engine doesn't have. The opt-in approximate mode where the knob IS
+functional (faiss-IVF semantics, cluster-pruned scan) lives in
+clipx.search.ivf (``--search-mode ivf``).
 
 Multi-chip: see clipx.parallel.mips for the corpus-sharded variant.
 """

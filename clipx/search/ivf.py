@@ -1,0 +1,450 @@
+"""IVF-style approximate search — the functional ``nprobe`` knob.
+
+The reference builds ``faiss.IndexIVFFlat(quantizer, 512, 100, IP)``
+(reference:build-index.py:79-81): k-means into nlist=100 cells, queries
+probe the ``nprobe`` closest cells (default 32, REPL ``p`` command sets
+1..100, reference:query-index.py:30,48-54) and score their members
+exactly. ``clipx``'s default engine is *exact* search, so ``nprobe`` is
+a no-op there; this module is the opt-in approximate mode
+(``--search-mode ivf``) where the knob does what it does in the
+reference — trade recall for scan fraction.
+
+TPU-native design — no ragged cell lists, no data-dependent shapes:
+
+- **Cluster-pure segments.** Spherical k-means assigns every row to a
+  cluster; rows are REORDERED so cluster members are contiguous and
+  each cluster pads to a 64-row boundary, so no segment straddles two
+  clusters — the corpus is viewed as (S, 64, D) segments, the same
+  geometry the exact engine's top-k uses. A row→external-id map (-1 on
+  the dead padding rows, <3% waste at default cluster sizes) recovers
+  reference ids.
+- **Segment centroids as the coarse quantizer.** Each segment's mean
+  vector stands in for faiss's cell centroid, at much finer granularity
+  (a 1M-row corpus has ~16k segments vs the reference's 100 cells), so
+  equal scanned fraction buys strictly better recall.
+- **Probe = static-shape gather.** ``nprobe``/100 of the segments (top
+  by centroid·query) are gathered and scored; the probe count is
+  bucketed to powers of two so turning the knob reuses compiled
+  kernels. Scoring within probed segments is exact f32 (IVFFlat
+  semantics); with ``quantized`` the probed segments are scanned in
+  int8 and the top-k segments rescored in exact f32, mirroring the
+  engine's quant mode.
+- **Exact tail for adds.** Appended rows (serve's incremental reload)
+  go to a small flat exact index merged into every search; k-means is
+  not retrained per add.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clipx.search import engine
+from clipx.search.engine import _SEG_W, clamp_k
+
+# Assignment matmul row-chunk: bounds the (chunk, C) score buffer.
+_ASSIGN_CHUNK = 65536
+# Max rows sampled for k-means training (faiss subsamples similarly).
+# Bounds the (rows, C) assignment-score transient inside the training
+# loop to 128k x 4096 x 4 B = 2 GB.
+_TRAIN_CAP = 131072
+# Per-kernel-call byte budget for the probed-segment gather; queries
+# are chunked so Q * P * 64 * D * itemsize stays under this.
+_GATHER_BUDGET = 1 << 30
+
+
+def _num_clusters(n: int) -> int:
+    """~256 rows (4 segments) per cluster, clamped to a sane range."""
+    return int(np.clip(n // 256, 16, 4096))
+
+
+@functools.partial(jax.jit, static_argnames=("C", "iters"))
+def _kmeans_kernel(x: jax.Array, key: jax.Array, C: int, iters: int
+                   ) -> jax.Array:
+    """Spherical k-means (unit-norm centroids — CLIP embeddings are
+    normalized, so cosine cells are the right geometry). Returns
+    (C, D) f32 centroids."""
+    n = x.shape[0]
+    idx = jax.random.choice(key, n, (C,), replace=False)
+    cent = x[idx]
+
+    def norm(c):
+        return c / jnp.maximum(
+            jnp.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    cent = norm(cent)
+
+    def step(_, cent):
+        a = jnp.argmax(jnp.dot(x, cent.T,
+                               preferred_element_type=jnp.float32), axis=1)
+        sums = jax.ops.segment_sum(x, a, num_segments=C)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), a,
+                                     num_segments=C)
+        new = sums / jnp.maximum(counts[:, None], 1.0)
+        # empty cells keep their previous centroid
+        new = jnp.where(counts[:, None] > 0, new, cent)
+        return norm(new)
+
+    return jax.lax.fori_loop(0, iters, step, cent)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _assign_chunk(x: jax.Array, cent: jax.Array) -> jax.Array:
+    return jnp.argmax(jnp.dot(x, cent.T,
+                              preferred_element_type=jnp.float32),
+                      axis=1).astype(jnp.int32)
+
+
+def train_clusters(vectors: np.ndarray, *, iters: int = 8,
+                   seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """K-means the corpus. Returns (assign, centroids): per-row cluster
+    ids and the (C, D) unit-norm cluster centers."""
+    n = vectors.shape[0]
+    C = min(_num_clusters(n), n)
+    x = jnp.asarray(vectors, jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    if n > _TRAIN_CAP:
+        sample = jax.random.choice(key, n, (_TRAIN_CAP,), replace=False)
+        train_x = x[sample]
+    else:
+        train_x = x
+    cent = _kmeans_kernel(train_x, key, C, iters)
+    parts = [np.asarray(_assign_chunk(x[i: i + _ASSIGN_CHUNK], cent))
+             for i in range(0, n, _ASSIGN_CHUNK)]
+    assign = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
+    return assign, np.asarray(cent, np.float32)
+
+
+def cluster_layout(assign: np.ndarray) -> np.ndarray:
+    """Pack cluster members into 64-row segments that never straddle a
+    cluster boundary: each cluster's rows (sorted by external id) are
+    padded to a multiple of _SEG_W with -1 slots. Returns ``row_ext``,
+    the internal-row -> external-id map with -1 marking dead padding
+    rows (the per-row validity mask the kernels consume). Pure segments
+    are what make the segment-centroid quantizer sharp — a straddling
+    segment's mean would blend two clusters and underestimate both.
+    Wasted rows are < _SEG_W per cluster (~3% at the default ~256-row
+    clusters)."""
+    order = np.argsort(assign, kind="stable")
+    sorted_assign = assign[order]
+    pieces = []
+    start = 0
+    for end in np.append(
+            np.flatnonzero(np.diff(sorted_assign)) + 1, len(order)):
+        members = order[start:end]
+        pad = (-len(members)) % _SEG_W
+        pieces.append(members)
+        if pad:
+            pieces.append(np.full(pad, -1, dtype=np.int64))
+        start = end
+    if not pieces:
+        return np.zeros((0,), np.int64)
+    return np.concatenate(pieces).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# search kernels
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("P", "k"))
+def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
+                    valid2: jax.Array, queries: jax.Array,
+                    P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """corpus3: (S, 64, D) cluster-packed rows; seg_cent: (S, D);
+    valid2: (S, 64) bool marking live rows (clusters pad to segment
+    boundaries with dead rows). Probes the top-P segments by centroid
+    score and scores their rows in exact f32 (IVFFlat semantics).
+    Returns (Q, k) scores and INTERNAL row ids (dead rows -> -inf)."""
+    nq = queries.shape[0]
+    cs = jnp.dot(queries, seg_cent.T,
+                 preferred_element_type=jnp.float32)          # (Q, S)
+    _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    rows = corpus3[seg_idx]                                   # (Q,P,W,D)
+    exact = jnp.einsum("qd,qpwd->qpw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    gids = (seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(valid2[seg_idx], exact, -jnp.inf)
+    kk = min(k, P * _SEG_W)
+    d, sel = jax.lax.top_k(exact.reshape(nq, P * _SEG_W), kk)
+    return d, jnp.take_along_axis(gids.reshape(nq, P * _SEG_W), sel,
+                                  axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "k"))
+def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
+                     corpus3: jax.Array, seg_cent: jax.Array,
+                     valid2: jax.Array, queries: jax.Array,
+                     P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """int8 probed scan + exact f32 rescore of the top-k segments —
+    the quant-mode composition applied only to the probed fraction.
+    codes3: (S, 64, D) int8; scales2: (S, 64) per-row scales."""
+    nq = queries.shape[0]
+    cs = jnp.dot(queries, seg_cent.T,
+                 preferred_element_type=jnp.float32)
+    _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
+    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
+                     preferred_element_type=jnp.int32)
+    approx = raw.astype(jnp.float32) * scales2[seg_idx]
+    approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
+    segmax = approx.max(axis=2)                               # (Q, P)
+    s = min(k, P)
+    _, local = jax.lax.top_k(segmax, s)                       # (Q, s)
+    chosen = jnp.take_along_axis(seg_idx, local, axis=1)      # (Q, s)
+    rows = corpus3[chosen]                                    # (Q,s,W,D) f32
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    g2 = (chosen[:, :, None] * _SEG_W
+          + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(valid2[chosen], exact, -jnp.inf)
+    kk = min(k, s * _SEG_W)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), kk)
+    return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
+
+
+@jax.jit
+def _segment_stats(corpus3: jax.Array, counts: jax.Array) -> jax.Array:
+    """Per-segment mean over VALID rows (padding rows are zero and
+    excluded via the per-segment count)."""
+    sums = corpus3.astype(jnp.float32).sum(axis=1)
+    return sums / jnp.maximum(counts[:, None], 1.0)
+
+
+def _bucket_probe(p: int) -> int:
+    b = 1
+    while b < p:
+        b *= 2
+    return b
+
+
+class IVFIndex:
+    """Approximate inner-product index with a functional ``nprobe``.
+
+    ``nprobe``/100 of the corpus segments are probed (the reference's
+    nlist is 100, so ``p N`` means "scan ~N% of the corpus" there too);
+    ``nprobe=100`` probes everything and returns exactly the flat
+    engine's ranking. faiss-shaped API: search returns (D, I) with
+    external row ids, -1 past ntotal."""
+
+    def __init__(self, dim: int, quantized: bool = False):
+        self.dim = dim
+        self.quantized = quantized
+        self.ntotal = 0
+        self._nprobe = 32  # reference:query-index.py:30
+        self._corpus3: Optional[jax.Array] = None   # (S, 64, D) f32
+        self._seg_cent: Optional[jax.Array] = None  # (S, D) f32
+        self._valid2: Optional[jax.Array] = None    # (S, 64) bool
+        self._row_ext: Optional[np.ndarray] = None  # (S*64,) → ext id, -1 dead
+        self._codes3: Optional[jax.Array] = None
+        self._scales2: Optional[jax.Array] = None
+        self._base_n = 0
+        self._tail: Optional[engine.VectorIndex] = None
+
+    # nprobe is clamped like the reference REPL clamps it (1..100)
+    @property
+    def nprobe(self) -> int:
+        return self._nprobe
+
+    @nprobe.setter
+    def nprobe(self, v: int) -> None:
+        self._nprobe = int(np.clip(int(v), 1, 100))
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def from_vectors(cls, vectors: np.ndarray, *, quantized: bool = False,
+                     cache_path: Optional[str] = None,
+                     seed: int = 0) -> "IVFIndex":
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        idx = cls(dim=vectors.shape[1], quantized=quantized)
+        n = vectors.shape[0]
+        if n == 0:
+            return idx
+        layout = None
+        if cache_path and os.path.exists(cache_path):
+            layout = _load_cache(cache_path, vectors)
+        if layout is None:
+            assign, _cent = train_clusters(vectors, seed=seed)
+            layout = cluster_layout(assign)
+            if cache_path:
+                _save_cache(cache_path, vectors, layout)
+        idx._install(vectors, layout)
+        return idx
+
+    def _install(self, vectors: np.ndarray, row_ext: np.ndarray) -> None:
+        """row_ext: internal-row -> external-id map (-1 = dead padding
+        row), length a multiple of _SEG_W (see cluster_layout)."""
+        n = vectors.shape[0]
+        segs = len(row_ext) // _SEG_W
+        live = row_ext >= 0
+        padded = np.zeros((segs * _SEG_W, self.dim), np.float32)
+        padded[live] = vectors[row_ext[live]]
+        corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim))
+        valid2 = live.reshape(segs, _SEG_W)
+        counts = valid2.sum(axis=1).astype(np.float32)
+        self._corpus3 = corpus3
+        self._seg_cent = _segment_stats(corpus3, jnp.asarray(counts))
+        self._valid2 = jnp.asarray(valid2)
+        self._row_ext = row_ext.astype(np.int64)
+        pos = np.flatnonzero(live)
+        self._pos_of_ext = np.empty(n, np.int64)
+        self._pos_of_ext[row_ext[pos]] = pos
+        self._base_n = n
+        self.ntotal = n + (self._tail.ntotal if self._tail else 0)
+        self._codes3 = None
+        self._scales2 = None
+
+    def add(self, vectors: np.ndarray) -> None:
+        """Append rows to the exact tail (ids continue from ntotal).
+        The clustered base is not retrained — rebuild via from_vectors
+        when the tail grows past taste (serve's full reload path)."""
+        vectors = np.ascontiguousarray(vectors, dtype=np.float32)
+        if vectors.ndim != 2 or vectors.shape[1] != self.dim:
+            raise ValueError(f"expected (n, {self.dim}) vectors, "
+                             f"got {vectors.shape}")
+        if vectors.shape[0] == 0:
+            return
+        if self._tail is None:
+            self._tail = engine.VectorIndex(self.dim)
+        self._tail.add(vectors)
+        self.ntotal = self._base_n + self._tail.ntotal
+
+    @property
+    def tail_fraction(self) -> float:
+        t = self._tail.ntotal if self._tail else 0
+        return t / max(1, self.ntotal)
+
+    def _ensure_codes(self) -> None:
+        if self._codes3 is not None:
+            return
+        flat = self._corpus3.reshape(-1, self.dim)
+        codes, scales = engine._quantize_device(flat)
+        segs = self._corpus3.shape[0]
+        self._codes3 = codes.reshape(segs, _SEG_W, self.dim)
+        self._scales2 = scales.reshape(segs, _SEG_W)
+
+    # -- search -------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        k = clamp_k(k)
+        queries = np.ascontiguousarray(np.atleast_2d(queries),
+                                       dtype=np.float32)
+        nq = queries.shape[0]
+        if self.ntotal == 0 or self._corpus3 is None:
+            if self._tail is not None and self._tail.ntotal:
+                return self._tail.search(queries, k)
+            return (np.full((nq, k), -np.inf, np.float32),
+                    np.full((nq, k), -1, np.int64))
+        segs = self._corpus3.shape[0]
+        P = _bucket_probe(max(1, int(np.ceil(self._nprobe / 100.0 * segs))))
+        P = min(P, segs)
+        itemsize = 1 if self.quantized else 4
+        qcap = max(1, _GATHER_BUDGET // max(1, P * _SEG_W * self.dim
+                                           * itemsize))
+        qcap = min(qcap, engine._MAX_Q)
+        if nq > qcap:
+            parts = [self.search(queries[i: i + qcap], k)
+                     for i in range(0, nq, qcap)]
+            return (np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]))
+        kk = min(engine._bucket_k(k), P * _SEG_W)
+        if self.quantized:
+            self._ensure_codes()
+            d, ids = _ivf_kernel_int8(
+                self._codes3, self._scales2, self._corpus3, self._seg_cent,
+                self._valid2, jnp.asarray(queries), P, kk)
+        else:
+            d, ids = _ivf_kernel_f32(
+                self._corpus3, self._seg_cent, self._valid2,
+                jnp.asarray(queries), P, kk)
+        d = np.asarray(d, np.float32)
+        ids = np.asarray(ids, np.int64)
+        # dead rows already map to -1 in row_ext; -inf slots follow suit
+        ids_ext = np.where(np.isfinite(d), self._row_ext[ids], -1)
+        if self._tail is not None and self._tail.ntotal:
+            td, ti = self._tail.search(queries, k)
+            ti = np.where(ti >= 0, ti + self._base_n, -1)
+            d = np.concatenate([d, td], axis=1)
+            ids_ext = np.concatenate([ids_ext, ti], axis=1)
+            order = np.argsort(-d, axis=1, kind="stable")
+            d = np.take_along_axis(d, order, axis=1)
+            ids_ext = np.take_along_axis(ids_ext, order, axis=1)
+        d = d[:, :k]
+        ids_ext = ids_ext[:, :k]
+        if d.shape[1] < k:
+            pad = k - d.shape[1]
+            d = np.pad(d, ((0, 0), (0, pad)), constant_values=-np.inf)
+            ids_ext = np.pad(ids_ext, ((0, 0), (0, pad)),
+                             constant_values=-1)
+        return d, ids_ext
+
+    # -- reconstruction -----------------------------------------------------
+    def reconstruct(self, row: int) -> np.ndarray:
+        if not (0 <= row < self.ntotal):
+            raise IndexError(row)
+        if row < self._base_n:
+            pos = int(self._pos_of_ext[row])
+            flat = self._corpus3.reshape(-1, self.dim)
+            return np.asarray(flat[pos], dtype=np.float32)
+        return self._tail.reconstruct(row - self._base_n)
+
+    def vectors(self) -> np.ndarray:
+        """Rows in EXTERNAL id order (the sidecar order — serve's
+        incremental-reload fingerprint depends on it)."""
+        if self._corpus3 is None:
+            base = np.zeros((0, self.dim), np.float32)
+        else:
+            flat = np.asarray(self._corpus3.reshape(-1, self.dim),
+                              dtype=np.float32)
+            base = flat[self._pos_of_ext]
+        if self._tail is not None and self._tail.ntotal:
+            return np.concatenate([base, self._tail.vectors()])
+        return base
+
+
+# ---------------------------------------------------------------------------
+# clustering cache — avoids re-running k-means on every CLI start
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 1
+
+
+def _fingerprint(vectors: np.ndarray) -> bytes:
+    return engine.content_hash(vectors)
+
+
+def _save_cache(path: str, vectors: np.ndarray,
+                layout: np.ndarray) -> None:
+    tmp = path + ".tmp"
+    np.savez(tmp, version=_CACHE_VERSION,
+             fp=np.frombuffer(_fingerprint(vectors), dtype=np.uint8),
+             layout=layout.astype(np.int32))
+    # np.savez appends .npz to the name it opens
+    os.replace(tmp + ".npz", path)
+
+
+def _load_cache(path: str, vectors: np.ndarray) -> Optional[np.ndarray]:
+    try:
+        with np.load(path) as z:
+            if int(z["version"]) != _CACHE_VERSION:
+                return None
+            if z["fp"].tobytes() != _fingerprint(vectors):
+                return None
+            layout = z["layout"].astype(np.int64)
+    except Exception:
+        return None
+    n = vectors.shape[0]
+    live = layout[layout >= 0]
+    if (len(layout) % _SEG_W or len(live) != n
+            or (np.sort(live) != np.arange(n)).any()):
+        return None
+    return layout

@@ -1,0 +1,239 @@
+"""IVF approximate-search tests (clipx/search/ivf.py).
+
+The contract mirrored from the reference's faiss IndexIVFFlat
+(reference:build-index.py:79-81, reference:query-index.py:30,48-54):
+``nprobe`` trades recall for scan fraction, nprobe=100 probes
+everything. Exactness properties are asserted against the flat engine
+as oracle.
+"""
+
+import numpy as np
+import pytest
+
+from clipx.search import ivf
+from clipx.search.engine import VectorIndex
+from clipx.search.ivf import IVFIndex
+
+
+def _clustered_corpus(n, dim, n_clusters, seed=0, spread=0.05):
+    """Synthetic clustered unit vectors — the regime IVF assumes."""
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = rng.randint(n_clusters, size=n)
+    x = centers[which] + spread * rng.randn(n, dim).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return _clustered_corpus(4096, 64, 24)
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    rng = np.random.RandomState(7)
+    q = corpus[rng.choice(corpus.shape[0], 8, replace=False)]
+    q = q + 0.01 * rng.randn(*q.shape).astype(np.float32)
+    return (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+
+def test_full_probe_matches_exact(corpus, queries):
+    """nprobe=100 probes every segment -> identical ranking to the flat
+    exact engine (scores computed by the same f32 einsum)."""
+    exact = VectorIndex.from_vectors(corpus)
+    idx = IVFIndex.from_vectors(corpus)
+    idx.nprobe = 100
+    De, Ie = exact.search(queries, 10)
+    Da, Ia = idx.search(queries, 10)
+    np.testing.assert_array_equal(Ie, Ia)
+    np.testing.assert_allclose(De, Da, rtol=1e-5, atol=1e-6)
+
+
+def test_recall_at_default_nprobe(corpus, queries):
+    exact = VectorIndex.from_vectors(corpus)
+    idx = IVFIndex.from_vectors(corpus)  # nprobe=32 default
+    assert idx.nprobe == 32
+    _, Ie = exact.search(queries, 10)
+    _, Ia = idx.search(queries, 10)
+    hits = sum(len(set(a) & set(e)) for a, e in zip(Ia, Ie))
+    assert hits / Ie.size >= 0.95
+
+
+def test_nprobe_knob_monotonic_recall(corpus, queries):
+    """More probes can only add candidate segments -> recall must not
+    drop (measured on clustered data with a margin for ties)."""
+    exact = VectorIndex.from_vectors(corpus)
+    _, Ie = exact.search(queries, 10)
+    idx = IVFIndex.from_vectors(corpus)
+    recalls = []
+    for p in (2, 25, 100):
+        idx.nprobe = p
+        _, Ia = idx.search(queries, 10)
+        recalls.append(sum(len(set(a) & set(e))
+                           for a, e in zip(Ia, Ie)) / Ie.size)
+    assert recalls[-1] == 1.0
+    assert recalls[0] <= recalls[1] + 1e-9 <= recalls[2] + 2e-9
+
+
+def test_nprobe_clamped_like_reference():
+    idx = IVFIndex(dim=8)
+    idx.nprobe = 0
+    assert idx.nprobe == 1
+    idx.nprobe = 1000
+    assert idx.nprobe == 100
+
+
+def test_quantized_probe_rescores_exactly(corpus, queries):
+    """int8 probed scan keeps exact f32 scores for the returned rows."""
+    idx = IVFIndex.from_vectors(corpus, quantized=True)
+    idx.nprobe = 100
+    D, I = idx.search(queries, 5)
+    for qi in range(queries.shape[0]):
+        for d, i in zip(D[qi], I[qi]):
+            assert i >= 0
+            np.testing.assert_allclose(
+                d, float(corpus[i] @ queries[qi]), rtol=1e-5, atol=1e-5)
+
+
+def test_external_ids_survive_permutation(corpus):
+    """Returned ids are external row ids (the byte-sorted ranks), not
+    internal clustered positions: querying a corpus row at nprobe=100
+    must return that row's own id first."""
+    idx = IVFIndex.from_vectors(corpus)
+    idx.nprobe = 100
+    for ext in (0, 17, corpus.shape[0] - 1):
+        D, I = idx.search(corpus[ext][None], 1)
+        assert I[0, 0] == ext
+        np.testing.assert_allclose(D[0, 0], float(corpus[ext] @ corpus[ext]),
+                                   rtol=1e-5)
+
+
+def test_add_tail_merges(corpus, queries):
+    idx = IVFIndex.from_vectors(corpus)
+    idx.nprobe = 100
+    n0 = idx.ntotal
+    rng = np.random.RandomState(3)
+    extra = rng.randn(5, corpus.shape[1]).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.add(extra)
+    assert idx.ntotal == n0 + 5
+    assert 0 < idx.tail_fraction < 1
+    # a tail row queried against itself must surface with its new id
+    D, I = idx.search(extra[2][None], 1)
+    assert I[0, 0] == n0 + 2
+    # reconstruction spans base + tail
+    np.testing.assert_allclose(idx.reconstruct(n0 + 2), extra[2],
+                               rtol=1e-6)
+    np.testing.assert_allclose(idx.reconstruct(11), corpus[11], rtol=1e-6)
+    # vectors() keeps external order for serve's fingerprint
+    v = idx.vectors()
+    assert v.shape[0] == n0 + 5
+    np.testing.assert_allclose(v[:n0], corpus, rtol=1e-6)
+    np.testing.assert_allclose(v[n0:], extra, rtol=1e-6)
+
+
+def test_empty_and_tiny_corpora():
+    idx = IVFIndex(dim=16)
+    D, I = idx.search(np.zeros((2, 16), np.float32), 4)
+    assert (I == -1).all() and np.isneginf(D).all()
+    tiny = _clustered_corpus(10, 16, 2, seed=1)
+    idx = IVFIndex.from_vectors(tiny)
+    idx.nprobe = 100
+    D, I = idx.search(tiny[3][None], 20)  # k > ntotal
+    assert I[0, 0] == 3
+    assert (I[0, 10:] == -1).all()
+    assert set(I[0, :10]) == set(range(10))
+
+
+def test_cache_roundtrip_and_invalidation(tmp_path, corpus):
+    cache = str(tmp_path / "images.index.ivf")
+    idx1 = IVFIndex.from_vectors(corpus, cache_path=cache)
+    assert ivf._load_cache(cache, corpus) is not None
+    idx2 = IVFIndex.from_vectors(corpus, cache_path=cache)
+    idx1.nprobe = idx2.nprobe = 17
+    q = corpus[:3]
+    np.testing.assert_array_equal(idx1.search(q, 5)[1],
+                                  idx2.search(q, 5)[1])
+    # content change invalidates the cache
+    other = corpus.copy()
+    other[0] *= -1.0
+    assert ivf._load_cache(cache, other) is None
+    # corrupt file degrades to retraining, not a crash
+    with open(cache, "wb") as f:
+        f.write(b"garbage")
+    idx3 = IVFIndex.from_vectors(corpus, cache_path=cache)
+    assert idx3.ntotal == corpus.shape[0]
+
+
+def test_query_chunking_matches_single(corpus):
+    """Q above the gather budget chunks internally with identical
+    results."""
+    idx = IVFIndex.from_vectors(corpus)
+    idx.nprobe = 50
+    rng = np.random.RandomState(9)
+    q = rng.randn(37, corpus.shape[1]).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    D, I = idx.search(q, 8)
+    for j in range(q.shape[0]):
+        Dj, Ij = idx.search(q[j][None], 8)
+        np.testing.assert_array_equal(I[j], Ij[0])
+
+
+def test_cli_search_mode_ivf(tmp_path, monkeypatch):
+    """common.build_index_from_vectors honors --search-mode ivf and the
+    REPL 'p' command drives the live nprobe."""
+    import argparse
+
+    from clipx.cli import common
+
+    monkeypatch.chdir(tmp_path)
+    corpus = _clustered_corpus(600, 32, 6, seed=2)
+    args = argparse.Namespace(search_mode="ivf", sharded="off",
+                              index=str(tmp_path / "images.index"))
+    idx = common.build_index_from_vectors(corpus, args)
+    assert isinstance(idx, IVFIndex)
+    assert not idx.quantized  # under the auto threshold
+    assert (tmp_path / "images.index.ivf").exists()
+    idx.nprobe = 100
+    D, I = idx.search(corpus[5][None], 3)
+    assert I[0, 0] == 5
+
+
+def test_kmeans_layout_segments_are_cluster_pure():
+    """Cluster packing pads each cluster to a segment boundary, so no
+    64-row segment ever mixes two k-means clusters (locality is what
+    buys recall)."""
+    x = _clustered_corpus(1024, 32, 4, seed=4, spread=0.01)
+    assign, cent = ivf.train_clusters(x, seed=0)
+    assert assign.shape == (1024,)
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-4)
+    layout = ivf.cluster_layout(assign)
+    assert len(layout) % 64 == 0
+    live = layout[layout >= 0]
+    assert sorted(live.tolist()) == list(range(1024))
+    for seg in layout.reshape(-1, 64):
+        members = seg[seg >= 0]
+        assert len(set(assign[members])) <= 1
+    # purity in vector terms: within-segment mean cosine near 1
+    for seg in layout.reshape(-1, 64):
+        members = seg[seg >= 0]
+        if len(members) > 1:
+            v = x[members]
+            assert np.einsum("wd,vd->wv", v, v).mean() > 0.95
+
+
+def test_apply_search_mode_preserves_ivf_quantization(corpus):
+    """serve's incremental reload re-applies the search mode after
+    add(); for ivf indexes that must track the auto threshold, not
+    the quant/exact branches (clipx/cli/common.py)."""
+    from clipx.cli import common
+
+    idx = IVFIndex.from_vectors(corpus, quantized=True)
+    common.apply_search_mode(idx, "ivf")
+    assert idx.quantized == (idx.ntotal >= common.QUANT_AUTO_THRESHOLD)
+    idx.quantized = True
+    idx.add(corpus[:3])
+    common.apply_search_mode(idx, "ivf")
+    assert isinstance(idx.quantized, bool)
