@@ -174,6 +174,65 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
     return {"p50_ms": p50_quant, "p50_ms_f32": p50_exact}
 
 
+def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
+              probes=(8, 32)) -> dict:
+    """IVF probed-scan latency (--search-mode ivf, clipx/search/ivf.py):
+    the production int8 kernel over a device-generated cluster-ordered
+    corpus. Kernel-level like bench_search — layout construction is
+    bypassed (kernel time is independent of how the layout was derived;
+    recall is CPU-tested in test_ivf), which also avoids a 2 GB host
+    round-trip through the tunnel."""
+    import jax
+    import jax.numpy as jnp
+
+    from clipx.search.engine import _SEG_W, _bucket_k, _quantize_device
+    from clipx.search.ivf import (_bucket_probe, _ivf_kernel_int8,
+                                  _segment_stats)
+
+    S = n_vectors // _SEG_W
+    C = 4096  # generation clusters (the builder's default at this scale)
+    log(f"building clustered {S * _SEG_W:,} x {dim} corpus on device ...")
+
+    @jax.jit
+    def make(key):
+        kc, kn = jax.random.split(key)
+        centers = jax.random.normal(kc, (C, dim), jnp.float32)
+        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+        seg_c = (jnp.arange(S) * C) // S
+        x = (centers[seg_c][:, None, :]
+             + 0.15 * jax.random.normal(kn, (S, _SEG_W, dim)))
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    corpus3 = make(jax.random.PRNGKey(2))
+    seg_cent = _segment_stats(corpus3, jnp.full((S,), float(_SEG_W)))
+    valid2 = jnp.ones((S, _SEG_W), bool)
+    codes, scales = _quantize_device(corpus3.reshape(-1, dim))
+    codes3 = codes.reshape(S, _SEG_W, dim)
+    scales2 = scales.reshape(S, _SEG_W)
+    kk = _bucket_k(k)
+    queries = [corpus3[i, 0][None] for i in range(32)]
+
+    out = {}
+    for nprobe in probes:
+        P = min(_bucket_probe(max(1, -(-nprobe * S // 100))), S)
+
+        def fn(q, P=P):
+            return _ivf_kernel_int8(codes3, scales2, corpus3, seg_cent,
+                                    valid2, q, P, kk)
+
+        np.asarray(fn(queries[0])[0])  # compile
+        state = {"i": 0}
+
+        def one():
+            state["i"] += 1
+            return fn(queries[state["i"] % 32])[0]
+
+        ms = _slope_time(one, np.asarray, max(trials // 8, 2), trials) * 1e3
+        log(f"  ivf nprobe={nprobe} (P={P} of {S} segments): {ms:.3f} ms")
+        out[f"ivf_p50_ms_nprobe{nprobe}"] = ms
+    return out
+
+
 def bench_dp_encode(batch_size: int, iters: int, model: str,
                     dp: int) -> dict:
     """Data-parallel encode scaling: batch sharded over a dp-axis mesh
@@ -208,6 +267,8 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
+    ap.add_argument("--skip-ivf", action="store_true",
+                    help="skip the --search-mode ivf probed-scan timings")
     ap.add_argument("--skip-stress", action="store_true",
                     help="skip the ViT-L/14@336 + 5M-corpus stress "
                          "measurements")
@@ -220,6 +281,8 @@ def main() -> int:
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials))
+    ivf = ({} if args.skip_search or args.skip_ivf
+           else bench_ivf(args.corpus, args.dim, 50, args.trials))
     # full trial count: halved trials under-saturated the pipelined
     # slope timing at 5M (measured 5.3 ms vs 3.7 ms reproducible at 50
     # trials — the short run never fills the dispatch pipeline)
@@ -249,6 +312,8 @@ def main() -> int:
         "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
+    for key, v in ivf.items():
+        result[f"query_{key}_1M"] = round(v, 3)
     if search5m:
         result["query_p50_ms_5M"] = round(search5m["p50_ms"], 3)
         result["query_p50_ms_5M_f32_exact"] = round(search5m["p50_ms_f32"], 3)

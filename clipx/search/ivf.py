@@ -221,10 +221,19 @@ def _segment_stats(corpus3: jax.Array, counts: jax.Array) -> jax.Array:
 
 
 def _bucket_probe(p: int) -> int:
+    """Probe-count bucket >= p. Steps of 2^n and 1.5*2^n: plain
+    power-of-two buckets overshoot by up to 2x, and probed bytes are
+    the whole cost of this kernel (measured at 1M x 512: nprobe=32 ->
+    raw P=5000 -> pow2 bucket 8192 probed 52% of the corpus instead of
+    32%). The mixed steps cap overshoot at ~33% while keeping the
+    compiled-shape count small."""
     b = 1
-    while b < p:
+    while True:
+        if b >= p:
+            return b
+        if b + b // 2 >= p:
+            return b + b // 2
         b *= 2
-    return b
 
 
 class IVFIndex:
