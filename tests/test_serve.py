@@ -732,3 +732,71 @@ def test_coalesced_text_encode_batches_concurrent_queries(
     finally:
         service.close()
         service.env.close()
+
+
+def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
+    """--search-mode ivf end-to-end behind HTTP: probed search answers,
+    an append-only rebuild reloads incrementally (IVFIndex.add grows the
+    exact tail, reference:query-index.py:29-30's nprobe semantics keep
+    working), and a prefix-invalidating rebuild retrains via the full
+    drop-first path."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(11)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0", "--search-mode", "ivf"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    service = server.RequestHandlerClass.service
+    from clipx.search.ivf import IVFIndex
+    assert isinstance(service.index, IVFIndex)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        _, h = _get(port, "/healthz")
+        assert h["ntotal"] == 4
+        # a stored vector finds itself first through the probed scan
+        vec = service.index.reconstruct(2).tolist()
+        status, r = _post(port, "/search_vector", {"vector": vec, "k": 2})
+        assert status == 200
+        assert r["results"][0]["id"] == 2
+
+        # append-only growth: IVF reloads incrementally via the tail
+        for i in range(4, 6):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                            ).save(photos / f"p{i}.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        status, r = _post(port, "/reload", {})
+        assert status == 200
+        assert r["mode"] == "incremental" and r["ntotal"] == 6
+        assert service.index is not None and service.index.tail_fraction > 0
+        vec = service.index.reconstruct(5).tolist()
+        status, r = _post(port, "/search_vector", {"vector": vec, "k": 2})
+        assert status == 200
+        assert r["results"][0]["id"] == 5
+        status, sim = _get(port, "/similar?id=4&k=1")
+        assert status == 200
+        assert sim["results"][0]["id"] == 4
+
+        # id-shifting rebuild (file sorts first) -> full retrain path
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / "a0.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        status, r = _post(port, "/reload", {})
+        assert status == 200
+        assert r["mode"] == "rebuild" and r["ntotal"] == 7
+        assert isinstance(service.index, IVFIndex)
+        assert service.index.tail_fraction == 0
+        status, sim = _get(port, "/similar?id=0&k=1")
+        assert status == 200
+        assert sim["results"][0]["path"].endswith("a0.jpg")
+    finally:
+        server.shutdown()
