@@ -245,6 +245,11 @@ class IVFIndex:
     engine's ranking. faiss-shaped API: search returns (D, I) with
     external row ids, -1 past ntotal."""
 
+    # the probe knob actually binds here (flat indexes carry .nprobe
+    # only as a faiss-compat no-op) — serve keys per-request overrides
+    # off this flag
+    supports_nprobe = True
+
     def __init__(self, dim: int, quantized: bool = False):
         self.dim = dim
         self.quantized = quantized
@@ -342,8 +347,12 @@ class IVFIndex:
         self._scales2 = scales.reshape(segs, _SEG_W)
 
     # -- search -------------------------------------------------------------
-    def search(self, queries: np.ndarray, k: int
+    def search(self, queries: np.ndarray, k: int, *,
+               nprobe: Optional[int] = None
                ) -> Tuple[np.ndarray, np.ndarray]:
+        """``nprobe`` overrides the index-global knob for THIS call only
+        (serve threads it per HTTP request, so concurrent clients with
+        different recall targets never race a shared setter)."""
         k = clamp_k(k)
         queries = np.ascontiguousarray(np.atleast_2d(queries),
                                        dtype=np.float32)
@@ -354,14 +363,16 @@ class IVFIndex:
             return (np.full((nq, k), -np.inf, np.float32),
                     np.full((nq, k), -1, np.int64))
         segs = self._corpus3.shape[0]
-        P = _bucket_probe(max(1, int(np.ceil(self._nprobe / 100.0 * segs))))
+        eff = (self._nprobe if nprobe is None
+               else int(np.clip(int(nprobe), 1, 100)))
+        P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
         P = min(P, segs)
         itemsize = 1 if self.quantized else 4
         qcap = max(1, _GATHER_BUDGET // max(1, P * _SEG_W * self.dim
                                            * itemsize))
         qcap = min(qcap, engine._MAX_Q)
         if nq > qcap:
-            parts = [self.search(queries[i: i + qcap], k)
+            parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))

@@ -403,19 +403,35 @@ class SearchService:
             return None
         return np.frombuffer(raw, dtype=np.float32).reshape(1, -1)
 
-    def search(self, features: np.ndarray, k: int, offset: int = 0):
+    def search(self, features: np.ndarray, k: int, offset: int = 0,
+               nprobe: int = None):
         t0 = time.perf_counter()
         features = np.atleast_2d(np.asarray(features))
-        if self._search_co is not None and features.shape[0] == 1:
+        # an explicit per-request nprobe only binds under
+        # --search-mode ivf; otherwise it's accepted and ignored, like
+        # the REPL's `p N` in exact mode (reference:query-index.py:76-79).
+        # (flat indexes also HAVE a no-op .nprobe attr, so the marker is
+        # an explicit class flag, not hasattr)
+        ivf_override = (nprobe is not None
+                        and getattr(self.current_index(),
+                                    "supports_nprobe", False))
+        if (self._search_co is not None and features.shape[0] == 1
+                and not ivf_override):
             # single-row queries (every HTTP search) ride the coalescer;
             # multi-row callers already amortize and dispatch inline
+            # (nprobe-overriding requests skip it: they can't share a
+            # device call with default-probe neighbors)
             D, I = self._search_co.submit(
                 (np.ascontiguousarray(features, dtype=np.float32),
                  k + offset))
         else:
             self._begin_read()
             try:
-                D, I = self.current_index().search(features, k + offset)
+                idx = self.current_index()
+                if ivf_override:
+                    D, I = idx.search(features, k + offset, nprobe=nprobe)
+                else:
+                    D, I = idx.search(features, k + offset)
             finally:
                 self._end_read()
         dt = time.perf_counter() - t0
@@ -444,6 +460,17 @@ def _validated_k_offset(k, offset) -> tuple:
     if k < 1 or k > 1000 or offset < 0:
         raise ValueError("k must be 1..1000, offset >= 0")
     return k, offset
+
+
+def _validated_nprobe(nprobe):
+    """Optional per-request probe knob (the REPL's `p N`,
+    reference:query-index.py:76-79): 1..100 or absent."""
+    if nprobe is None:
+        return None
+    nprobe = int(nprobe)
+    if nprobe < 1 or nprobe > 100:
+        raise ValueError("nprobe must be 1..100")
+    return nprobe
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -484,9 +511,11 @@ class Handler(BaseHTTPRequestHandler):
                     return self._bad("missing q parameter")
                 k, offset = _validated_k_offset(q.get("k", "50"),
                                                 q.get("offset", "0"))
+                nprobe = _validated_nprobe(q.get("nprobe"))
                 self.service.count("search")
                 feats = self.service.encode_texts([text])
-                self._json(200, self.service.search(feats, k, offset))
+                self._json(200, self.service.search(feats, k, offset,
+                                                    nprobe=nprobe))
             elif url.path == "/similar":
                 image_id = int(q.get("id", "-1"))
                 vec = self.service.stored_vector(image_id)
@@ -494,8 +523,10 @@ class Handler(BaseHTTPRequestHandler):
                     return self._bad(f"id {image_id} not found", 404)
                 k, offset = _validated_k_offset(q.get("k", "50"),
                                                 q.get("offset", "0"))
+                nprobe = _validated_nprobe(q.get("nprobe"))
                 self.service.count("similar")
-                self._json(200, self.service.search(vec, k, offset))
+                self._json(200, self.service.search(vec, k, offset,
+                                                    nprobe=nprobe))
             else:
                 self._bad("unknown endpoint", 404)
         except ValueError as exc:
@@ -526,12 +557,13 @@ class Handler(BaseHTTPRequestHandler):
             elif url.path == "/search_vector":
                 vec = payload.get("vector")
                 k, _ = _validated_k_offset(payload.get("k", 50), 0)
+                nprobe = _validated_nprobe(payload.get("nprobe"))
                 arr = np.asarray(vec, dtype=np.float32).reshape(1, -1)
                 dim = self.service.current_index().dim
                 if arr.shape[1] != dim:
                     return self._bad(f"vector must have dim {dim}")
                 self.service.count("search_vector")
-                self._json(200, self.service.search(arr, k))
+                self._json(200, self.service.search(arr, k, nprobe=nprobe))
             elif url.path == "/reload":
                 self._json(200, self.service.reload())
             else:

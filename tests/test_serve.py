@@ -147,6 +147,18 @@ def test_pagination_offset(served):
     assert page2["results"][0]["rank"] == 2
 
 
+def test_nprobe_ignored_without_ivf(served):
+    """nprobe on a flat index is accepted and ignored — the REPL's `p N`
+    no-op contract in exact mode (reference:query-index.py:76-79)."""
+    status, r = _get(served, "/similar?id=1&k=2&nprobe=7")
+    assert status == 200
+    status, r2 = _get(served, "/similar?id=1&k=2")
+    assert status == 200
+    assert r["results"] == r2["results"]
+    status, _ = _get(served, "/similar?id=1&k=2&nprobe=999")
+    assert status == 400  # still validated even when it won't bind
+
+
 def test_search_vector_bad_k(served):
     """/search_vector validates k like /search (1..1000)."""
     vec = [0.0] * 32
@@ -768,6 +780,21 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
         status, r = _post(port, "/search_vector", {"vector": vec, "k": 2})
         assert status == 200
         assert r["results"][0]["id"] == 2
+        # per-request nprobe binds this call only: the index-global knob
+        # must not move, and full-probe results stay exact
+        status, r = _post(port, "/search_vector",
+                          {"vector": vec, "k": 2, "nprobe": 100})
+        assert status == 200
+        assert r["results"][0]["id"] == 2
+        assert service.index.nprobe == 32  # untouched default
+        status, sim = _get(port, "/similar?id=2&k=2&nprobe=1")
+        assert status == 200
+        assert sim["results"][0]["id"] == 2
+        status, r = _post(port, "/search_vector",
+                          {"vector": vec, "k": 2, "nprobe": 0})
+        assert status == 400
+        status, _ = _get(port, "/similar?id=2&k=2&nprobe=101")
+        assert status == 400
 
         # append-only growth: IVF reloads incrementally via the tail
         for i in range(4, 6):
