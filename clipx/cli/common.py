@@ -80,14 +80,14 @@ def build_index_from_vectors(vectors, args):
     import jax
 
     if search_mode == "ivf":
-        import sys
+        from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
-        from clipx.search.ivf import IVFIndex
-
-        if mode == "on":
-            print("(--search-mode ivf is single-device; ignoring "
-                  "--sharded)", file=sys.stderr, flush=True)
-        return IVFIndex.from_vectors(
+        cls = IVFIndex
+        if (vectors.shape[0] > 0
+                and (mode == "on"
+                     or (mode == "auto" and len(jax.devices()) > 1))):
+            cls = ShardedIVFIndex  # probe knob at pod scale
+        return cls.from_vectors(
             vectors,
             quantized=vectors.shape[0] >= QUANT_AUTO_THRESHOLD,
             cache_path=getattr(args, "index", DEFAULT_INDEX_PATH) + ".ivf")

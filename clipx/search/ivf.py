@@ -277,9 +277,9 @@ class IVFIndex:
     @classmethod
     def from_vectors(cls, vectors: np.ndarray, *, quantized: bool = False,
                      cache_path: Optional[str] = None,
-                     seed: int = 0) -> "IVFIndex":
+                     seed: int = 0, **kw) -> "IVFIndex":
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
-        idx = cls(dim=vectors.shape[1], quantized=quantized)
+        idx = cls(dim=vectors.shape[1], quantized=quantized, **kw)
         n = vectors.shape[0]
         if n == 0:
             return idx
@@ -346,6 +346,19 @@ class IVFIndex:
         self._codes3 = codes.reshape(segs, _SEG_W, self.dim)
         self._scales2 = scales.reshape(segs, _SEG_W)
 
+    def _probe(self, qj: jax.Array, P: int, kk: int
+               ) -> Tuple[jax.Array, jax.Array]:
+        """One probed-scan device call (Q already chunked by the
+        caller). Returns (Q, kk) scores + INTERNAL row ids.
+        ShardedIVFIndex overrides this with the shard_map variant."""
+        if self.quantized:
+            self._ensure_codes()
+            return _ivf_kernel_int8(
+                self._codes3, self._scales2, self._corpus3, self._seg_cent,
+                self._valid2, qj, P, kk)
+        return _ivf_kernel_f32(
+            self._corpus3, self._seg_cent, self._valid2, qj, P, kk)
+
     # -- search -------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int, *,
                nprobe: Optional[int] = None
@@ -377,15 +390,7 @@ class IVFIndex:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         kk = min(engine._bucket_k(k), P * _SEG_W)
-        if self.quantized:
-            self._ensure_codes()
-            d, ids = _ivf_kernel_int8(
-                self._codes3, self._scales2, self._corpus3, self._seg_cent,
-                self._valid2, jnp.asarray(queries), P, kk)
-        else:
-            d, ids = _ivf_kernel_f32(
-                self._corpus3, self._seg_cent, self._valid2,
-                jnp.asarray(queries), P, kk)
+        d, ids = self._probe(jnp.asarray(queries), P, kk)
         d = np.asarray(d, np.float32)
         ids = np.asarray(ids, np.int64)
         # dead rows already map to -1 in row_ext; -inf slots follow suit
@@ -468,3 +473,196 @@ def _load_cache(path: str, vectors: np.ndarray) -> Optional[np.ndarray]:
             or (np.sort(live) != np.arange(n)).any()):
         return None
     return layout
+
+
+# ---------------------------------------------------------------------------
+# corpus-sharded IVF — the probe knob at pod scale
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _quantize_segments(c3: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row int8 quantization of (S, 64, D) segments — elementwise
+    per row, so GSPMD keeps the segment sharding with zero comms."""
+    scales = jnp.maximum(jnp.abs(c3).max(axis=2), 1e-12) / 127.0
+    codes = jnp.clip(jnp.rint(c3 / scales[..., None]), -127, 127
+                     ).astype(jnp.int8)
+    return codes, scales.astype(jnp.float32)
+
+
+class ShardedIVFIndex(IVFIndex):
+    """IVF with the segment list row-sharded over a 1D device mesh.
+
+    Segments are dealt ROUND-ROBIN to shards (shard j holds original
+    segments j, j+n, j+2n, ...). Clusters occupy contiguous segment
+    runs after ``cluster_layout``, so the interleave spreads every
+    cluster ~evenly across shards — which is what makes the probe rule
+    sound: each shard probes its LOCAL top-ceil(P/n) segments, and
+    because each shard sees ~1/n of every cluster, the union closely
+    tracks the global top-P a single device would pick (identical at
+    ``nprobe=100``, where both probe everything). One ``all_gather`` of
+    (Q, k) exact candidates crosses the ICI, the same collective
+    pattern as ``ShardedVectorIndex`` (SURVEY.md section 2c).
+
+    ``add`` is inherited: appended rows go to the small single-device
+    exact tail until the next full rebuild re-clusters them.
+    """
+
+    def __init__(self, dim: int, quantized: bool = False, mesh=None):
+        from jax.sharding import Mesh
+
+        from clipx.parallel.mips import AXIS
+
+        super().__init__(dim, quantized=quantized)
+        if mesh is None:
+            mesh = Mesh(np.asarray(jax.devices()), (AXIS,))
+        if AXIS not in mesh.axis_names:
+            raise ValueError(f"mesh must have a {AXIS!r} axis")
+        self.mesh = mesh
+        self._n_shards = mesh.shape[AXIS]
+        self._seg_valid = None
+        self._probe_fns = {}
+
+    def _spec(self, axes: int):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from clipx.parallel.mips import AXIS
+
+        return NamedSharding(self.mesh,
+                             PartitionSpec(AXIS, *([None] * axes)))
+
+    def _install(self, vectors: np.ndarray, row_ext: np.ndarray) -> None:
+        n_rows = vectors.shape[0]
+        n = self._n_shards
+        segs = max(1, len(row_ext) // _SEG_W)
+        segs_pad = -(-segs // n) * n
+        if segs_pad * _SEG_W > len(row_ext):
+            row_ext = np.concatenate([
+                row_ext,
+                np.full(segs_pad * _SEG_W - len(row_ext), -1, np.int64)])
+        # deal segments round-robin: contiguous shard block j ends up
+        # holding original segments [j::n]
+        perm = np.arange(segs_pad).reshape(-1, n).T.reshape(-1)
+        row_ext = row_ext.reshape(segs_pad, _SEG_W)[perm].reshape(-1)
+        live = row_ext >= 0
+        padded = np.zeros((segs_pad * _SEG_W, self.dim), np.float32)
+        padded[live] = vectors[row_ext[live]]
+        corpus3 = jax.device_put(
+            padded.reshape(segs_pad, _SEG_W, self.dim), self._spec(2))
+        valid2 = live.reshape(segs_pad, _SEG_W)
+        counts = jax.device_put(
+            valid2.sum(axis=1).astype(np.float32), self._spec(0))
+        self._corpus3 = corpus3
+        self._seg_cent = jax.lax.with_sharding_constraint(
+            _segment_stats(corpus3, counts), self._spec(1))
+        self._valid2 = jax.device_put(valid2, self._spec(1))
+        # fully-dead alignment segments exist here (unlike the
+        # single-device layout): mask them out of the coarse scoring
+        self._seg_valid = jax.device_put(valid2.any(axis=1), self._spec(0))
+        self._row_ext = row_ext.astype(np.int64)
+        pos = np.flatnonzero(live)
+        self._pos_of_ext = np.empty(n_rows, np.int64)
+        self._pos_of_ext[row_ext[pos]] = pos
+        self._base_n = n_rows
+        self.ntotal = n_rows + (self._tail.ntotal if self._tail else 0)
+        self._codes3 = None
+        self._scales2 = None
+
+    def _ensure_codes(self) -> None:
+        if self._codes3 is not None:
+            return
+        codes3, scales2 = _quantize_segments(self._corpus3)
+        self._codes3 = jax.lax.with_sharding_constraint(
+            codes3, self._spec(2))
+        self._scales2 = jax.lax.with_sharding_constraint(
+            scales2, self._spec(1))
+
+    def _probe(self, qj: jax.Array, P: int, kk: int
+               ) -> Tuple[jax.Array, jax.Array]:
+        S = self._corpus3.shape[0]
+        S_local = S // self._n_shards
+        P_local = min(_bucket_probe(-(-P // self._n_shards)), S_local)
+        kk_local = min(kk, P_local * _SEG_W)
+        key = (self.quantized, P_local, kk_local, kk)
+        fn = self._probe_fns.get(key)
+        if fn is None:
+            fn = self._build_probe_fn(self.quantized, P_local, kk_local, kk)
+            self._probe_fns[key] = fn
+        if self.quantized:
+            self._ensure_codes()
+            return fn(self._codes3, self._scales2, self._corpus3,
+                      self._seg_cent, self._valid2, self._seg_valid, qj)
+        return fn(self._corpus3, self._seg_cent, self._valid2,
+                  self._seg_valid, qj)
+
+    def _build_probe_fn(self, quantized: bool, P_local: int,
+                        kk_local: int, kk: int):
+        from jax.sharding import PartitionSpec as PS
+
+        from clipx.parallel.mips import AXIS, _merge_across_shards
+
+        W = _SEG_W
+
+        def _coarse(cent_l, sv_l, q):
+            cs = jnp.dot(q, cent_l.T, preferred_element_type=jnp.float32)
+            cs = jnp.where(sv_l[None, :], cs, -jnp.inf)
+            return jax.lax.top_k(cs, P_local)[1]              # (Q, P_l)
+
+        def _gids(seg_idx, S_local):
+            base = jax.lax.axis_index(AXIS) * S_local
+            return ((seg_idx + base)[:, :, None] * W
+                    + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+
+        def local_f32(c3, cent_l, v2, sv_l, q):
+            nq = q.shape[0]
+            seg_idx = _coarse(cent_l, sv_l, q)
+            rows = c3[seg_idx]                                # (Q,P,W,D)
+            exact = jnp.einsum("qd,qpwd->qpw", q, rows,
+                               preferred_element_type=jnp.float32)
+            exact = jnp.where(v2[seg_idx], exact, -jnp.inf)
+            gids = _gids(seg_idx, c3.shape[0])
+            d, sel = jax.lax.top_k(exact.reshape(nq, P_local * W),
+                                   kk_local)
+            gi = jnp.take_along_axis(gids.reshape(nq, P_local * W), sel,
+                                     axis=1)
+            return _merge_across_shards(d, gi, kk)
+
+        def local_int8(codes3, scales2, c3, cent_l, v2, sv_l, q):
+            nq = q.shape[0]
+            seg_idx = _coarse(cent_l, sv_l, q)
+            q_scale = jnp.maximum(jnp.abs(q).max(axis=1, keepdims=True),
+                                  1e-12) / 127.0
+            q_codes = jnp.clip(jnp.rint(q / q_scale), -127, 127
+                               ).astype(jnp.int8)
+            crows = codes3[seg_idx]                           # (Q,P,W,D) i8
+            raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
+                             preferred_element_type=jnp.int32)
+            approx = raw.astype(jnp.float32) * scales2[seg_idx]
+            approx = jnp.where(v2[seg_idx], approx, -jnp.inf)
+            s = min(kk, P_local)
+            _, local = jax.lax.top_k(approx.max(axis=2), s)   # (Q, s)
+            chosen = jnp.take_along_axis(seg_idx, local, axis=1)
+            rows = c3[chosen]                                 # (Q,s,W,D) f32
+            exact = jnp.einsum("qd,qswd->qsw", q, rows,
+                               preferred_element_type=jnp.float32)
+            exact = jnp.where(v2[chosen], exact, -jnp.inf)
+            gids = _gids(chosen, c3.shape[0])
+            kk2 = min(kk_local, s * W)
+            d, sel = jax.lax.top_k(exact.reshape(nq, s * W), kk2)
+            gi = jnp.take_along_axis(gids.reshape(nq, s * W), sel, axis=1)
+            return _merge_across_shards(d, gi, kk)
+
+        # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
+        # seg_valid 1-D, queries replicated)
+        if quantized:
+            fn = local_int8
+            in_specs = (PS(AXIS, None, None), PS(AXIS, None),
+                        PS(AXIS, None, None), PS(AXIS, None),
+                        PS(AXIS, None), PS(AXIS), PS())
+        else:
+            fn = local_f32
+            in_specs = (PS(AXIS, None, None), PS(AXIS, None),
+                        PS(AXIS, None), PS(AXIS), PS())
+        smapped = jax.shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=(PS(None, None), PS(None, None)),
+                                check_vma=False)
+        return jax.jit(smapped)

@@ -237,3 +237,97 @@ def test_apply_search_mode_preserves_ivf_quantization(corpus):
     idx.add(corpus[:3])
     common.apply_search_mode(idx, "ivf")
     assert isinstance(idx.quantized, bool)
+
+
+# ---------------------------------------------------------------------------
+# corpus-sharded IVF (8 virtual devices, tests/conftest.py)
+# ---------------------------------------------------------------------------
+
+def test_sharded_full_probe_matches_single(corpus, queries):
+    """nprobe=100 probes everything on both layouts -> the sharded
+    index returns the single-device (= flat-exact) ranking, both f32
+    and quantized."""
+    from clipx.search.ivf import ShardedIVFIndex
+
+    for quant in (False, True):
+        single = IVFIndex.from_vectors(corpus, quantized=quant)
+        shard = ShardedIVFIndex.from_vectors(corpus, quantized=quant)
+        single.nprobe = 100
+        shard.nprobe = 100
+        Ds, Is = single.search(queries, 10)
+        Dd, Id = shard.search(queries, 10)
+        np.testing.assert_array_equal(Is, Id)
+        np.testing.assert_allclose(Ds, Dd, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_recall_at_default_nprobe(corpus, queries):
+    """Local-top-(P/n) probing over the round-robin segment interleave
+    holds recall at the default knob (the layout spreads every cluster
+    across shards, so the union of local probes tracks global top-P)."""
+    from clipx.search.ivf import ShardedIVFIndex
+
+    exact = VectorIndex.from_vectors(corpus)
+    idx = ShardedIVFIndex.from_vectors(corpus)
+    assert idx.nprobe == 32
+    _, Ie = exact.search(queries, 10)
+    _, Ia = idx.search(queries, 10)
+    hits = sum(len(set(a) & set(e)) for a, e in zip(Ia, Ie))
+    assert hits / Ie.size >= 0.9
+
+
+def test_sharded_per_request_nprobe_and_add(corpus, queries):
+    from clipx.search.ivf import ShardedIVFIndex
+
+    idx = ShardedIVFIndex.from_vectors(corpus)
+    full_D, full_I = idx.search(queries, 5, nprobe=100)
+    assert idx.nprobe == 32  # the global knob never moved
+    n0 = idx.ntotal
+    rng = np.random.RandomState(3)
+    extra = rng.randn(7, corpus.shape[1]).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.add(extra)
+    assert idx.ntotal == n0 + 7
+    D, I = idx.search(extra[4][None], 3, nprobe=100)
+    assert I[0, 0] == n0 + 4  # tail rows win their own query
+    np.testing.assert_allclose(idx.reconstruct(n0 + 4), extra[4],
+                               rtol=1e-5, atol=1e-6)
+    # base rows unchanged by the add
+    D2, I2 = idx.search(queries, 5, nprobe=100)
+    np.testing.assert_array_equal(full_I, I2)
+
+
+def test_sharded_odd_sizes_and_vectors_order():
+    """Segment counts not divisible by the mesh pad with fully-dead
+    segments; vectors() returns external-id order regardless of the
+    round-robin interleave (serve's reload fingerprint relies on it)."""
+    from clipx.search.ivf import ShardedIVFIndex
+
+    corpus = _clustered_corpus(777, 32, 5, seed=9)
+    idx = ShardedIVFIndex.from_vectors(corpus)
+    assert idx.ntotal == 777
+    np.testing.assert_allclose(idx.vectors(), corpus, rtol=1e-6)
+    q = corpus[123][None]
+    D, I = idx.search(q, 4, nprobe=100)
+    assert I[0, 0] == 123
+    oracle = VectorIndex.from_vectors(corpus)
+    Do, Io = oracle.search(q, 4)
+    np.testing.assert_array_equal(Io, I)
+
+
+def test_cli_loader_shards_ivf_when_asked(tmp_path, monkeypatch):
+    """--sharded on (or auto with >1 device) + --search-mode ivf now
+    yields the sharded IVF index instead of a single-device fallback."""
+    import argparse
+
+    from clipx.cli import common
+    from clipx.search.ivf import ShardedIVFIndex
+
+    monkeypatch.chdir(tmp_path)
+    corpus = _clustered_corpus(600, 32, 6, seed=2)
+    for mode in ("on", "auto"):
+        args = argparse.Namespace(search_mode="ivf", sharded=mode,
+                                  index=str(tmp_path / "images.index"))
+        idx = common.build_index_from_vectors(corpus, args)
+        assert isinstance(idx, ShardedIVFIndex)
+        D, I = idx.search(corpus[5][None], 3, nprobe=100)
+        assert I[0, 0] == 5
