@@ -49,6 +49,10 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
     m = re.search(r"sharded vs exact: recall@50 ([0-9.]+)", out)
     if m:
         assert float(m.group(1)) == 1.0
+    # full-probe IVF is exhaustive -> must reproduce the exact ranking
+    m = _parse(r"ivf vs exact \(\w+\): recall@50 ([0-9.]+) at "
+               r"nprobe=100, ([0-9.]+) at nprobe=32", out)
+    assert float(m.group(1)) == 1.0
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

@@ -82,6 +82,22 @@ def main(argv=None) -> int:
         print(f"sharded vs exact: recall@{k} {recall:.4f} "
               f"({len(jax.devices())} devices)")
 
+    # IVF agreement (--search-mode ivf): nprobe=100 probes everything
+    # and must reproduce the exact ranking; the default knob (32)
+    # reports the recall the approximate mode actually ships with
+    from clipx.search.ivf import IVFIndex, ShardedIVFIndex
+
+    cls = ShardedIVFIndex if len(jax.devices()) > 1 else IVFIndex
+    ivf = cls.from_vectors(index.vectors())
+    _, If = ivf.search(queries, k=k, nprobe=100)
+    r_full = np.mean([len(set(Ie[i]) & set(If[i])) / k
+                      for i in range(len(sample))])
+    _, Id = ivf.search(queries, k=k)  # default nprobe=32
+    r_def = np.mean([len(set(Ie[i]) & set(Id[i])) / k
+                     for i in range(len(sample))])
+    print(f"ivf vs exact ({cls.__name__}): recall@{k} {r_full:.4f} "
+          f"at nprobe=100, {r_def:.4f} at nprobe=32")
+
     if args.photos:
         _preprocess_drift(args, index, sample)
     return 0 if hits == len(sample) else 2
