@@ -82,3 +82,20 @@ def test_state_coherent_after_abuse(indexed, monkeypatch, capsys):
     rows = [l for l in out.splitlines() if len(l.split()) == 3
             and "." in l.split()[0] and l.split()[1].isdigit()]
     assert rows  # the real query produced results
+
+
+def test_random_soup_under_ivf_mode(indexed, monkeypatch, capsys):
+    """The same command soup with --search-mode ivf: the functional
+    `p` knob (and its sharded index on the 8-device suite) must be as
+    crash-proof as the exact no-op path."""
+    monkeypatch.setenv("CLIPX_NO_VIEWER", "1")
+    monkeypatch.setenv("CLIPX_NO_WARMUP", "1")
+    rng = random.Random(4321)
+    lines = _gen_inputs(rng, 60)
+    args = qi.build_parser().parse_args(
+        ["--model", "tiny-test", "--search-mode", "ivf"])
+    feed = list(lines)
+    repl = qi.QueryREPL(args, input_fn=lambda p: feed.pop(0) if feed
+                        else (_ for _ in ()).throw(EOFError))
+    assert repl.run() == 0, f"crashed with inputs {lines!r}"
+    capsys.readouterr()
