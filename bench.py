@@ -175,7 +175,7 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
 
 
 def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
-              probes=(8, 32)) -> dict:
+              probes=(2, 8, 32)) -> dict:
     """IVF probed-scan latency (--search-mode ivf, clipx/search/ivf.py):
     the production int8 kernel over a device-generated cluster-ordered
     corpus. Kernel-level like bench_search — layout construction is
@@ -269,6 +269,10 @@ def main() -> int:
     ap.add_argument("--skip-search", action="store_true")
     ap.add_argument("--skip-ivf", action="store_true",
                     help="skip the --search-mode ivf probed-scan timings")
+    ap.add_argument("--ivf-probes", default="2,8,32",
+                    help="comma-separated nprobe values to time (every "
+                         "documented IVF perf row must be reproducible "
+                         "from here)")
     ap.add_argument("--skip-stress", action="store_true",
                     help="skip the ViT-L/14@336 + 5M-corpus stress "
                          "measurements")
@@ -282,7 +286,9 @@ def main() -> int:
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials))
     ivf = ({} if args.skip_search or args.skip_ivf
-           else bench_ivf(args.corpus, args.dim, 50, args.trials))
+           else bench_ivf(args.corpus, args.dim, 50, args.trials,
+                          probes=tuple(int(p) for p in
+                                       args.ivf_probes.split(","))))
     # full trial count: halved trials under-saturated the pipelined
     # slope timing at 5M (measured 5.3 ms vs 3.7 ms reproducible at 50
     # trials — the short run never fills the dispatch pipeline)
@@ -297,6 +303,11 @@ def main() -> int:
               else bench_encode(STRESS_BATCH, args.iters, STRESS_MODEL))
 
     value = round(enc["images_per_sec"], 1)
+    # label search metrics by the ACTUAL corpus size so a --corpus
+    # override can't masquerade as the default 1M artifact
+    nlab = (f"{args.corpus // 1_000_000}M"
+            if args.corpus % 1_000_000 == 0 and args.corpus >= 1_000_000
+            else str(args.corpus))
     result = {
         "metric": "images/sec/chip (ViT-B/32 indexing encode)",
         "value": value,
@@ -305,15 +316,16 @@ def main() -> int:
         # 5k img/s/chip north-star target
         "vs_baseline": round(value / 5000.0, 3),
         "ms_per_batch": round(enc["ms_per_batch"], 2),
-        "query_p50_ms_1M": (None if not search
-                            else round(search["p50_ms"], 3)),
-        "query_p50_ms_1M_f32_exact": (None if not search
-                                      else round(search["p50_ms_f32"], 3)),
+        f"query_p50_ms_{nlab}": (None if not search
+                                 else round(search["p50_ms"], 3)),
+        f"query_p50_ms_{nlab}_f32_exact": (None if not search
+                                           else round(search["p50_ms_f32"],
+                                                      3)),
         "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
     for key, v in ivf.items():
-        result[f"query_{key}_1M"] = round(v, 3)
+        result[f"query_{key}_{nlab}"] = round(v, 3)
     if search5m:
         result["query_p50_ms_5M"] = round(search5m["p50_ms"], 3)
         result["query_p50_ms_5M_f32_exact"] = round(search5m["p50_ms_f32"], 3)

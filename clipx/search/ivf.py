@@ -498,8 +498,13 @@ class ShardedIVFIndex(IVFIndex):
     cluster ~evenly across shards — which is what makes the probe rule
     sound: each shard probes its LOCAL top-ceil(P/n) segments, and
     because each shard sees ~1/n of every cluster, the union closely
-    tracks the global top-P a single device would pick (identical at
-    ``nprobe=100``, where both probe everything). One ``all_gather`` of
+    tracks the global top-P a single device would pick. At
+    ``nprobe=100`` both probe everything: the f32 path is bit-identical
+    to the single-device ranking, and the quantized path rescores a
+    strict SUPERSET of the single-device segment pool (min(kk, P/n) per
+    shard unioned vs min(kk, P) global), so it inherits quant mode's
+    scoped near-duplicate exception but can only improve on the
+    single-device result. One ``all_gather`` of
     (Q, k) exact candidates crosses the ICI, the same collective
     pattern as ``ShardedVectorIndex`` (SURVEY.md section 2c).
 

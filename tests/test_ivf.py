@@ -244,11 +244,17 @@ def test_apply_search_mode_preserves_ivf_quantization(corpus):
 # ---------------------------------------------------------------------------
 
 def test_sharded_full_probe_matches_single(corpus, queries):
-    """nprobe=100 probes everything on both layouts -> the sharded
-    index returns the single-device (= flat-exact) ranking, both f32
-    and quantized."""
+    """nprobe=100 probes everything -> f32 sharded returns the exact
+    single-device ranking bit-for-bit. The quantized variant rescores
+    only the top segments by int8 segment-max — and the sharded pool
+    (min(kk, P/n) per shard, unioned) is a superset of the single-device
+    pool (min(kk, P) global), so only parity with the flat EXACT oracle
+    is the right contract there (it subsumes single-device parity on
+    corpora outside the int8 near-duplicate exception)."""
     from clipx.search.ivf import ShardedIVFIndex
 
+    exact = VectorIndex.from_vectors(corpus)
+    De, Ie = exact.search(queries, 10)
     for quant in (False, True):
         single = IVFIndex.from_vectors(corpus, quantized=quant)
         shard = ShardedIVFIndex.from_vectors(corpus, quantized=quant)
@@ -256,8 +262,11 @@ def test_sharded_full_probe_matches_single(corpus, queries):
         shard.nprobe = 100
         Ds, Is = single.search(queries, 10)
         Dd, Id = shard.search(queries, 10)
-        np.testing.assert_array_equal(Is, Id)
-        np.testing.assert_allclose(Ds, Dd, rtol=1e-5, atol=1e-5)
+        if not quant:
+            np.testing.assert_array_equal(Is, Id)
+            np.testing.assert_allclose(Ds, Dd, rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(Ie, Id)
+        np.testing.assert_allclose(De, Dd, rtol=1e-5, atol=1e-5)
 
 
 def test_sharded_recall_at_default_nprobe(corpus, queries):

@@ -53,6 +53,12 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
     m = _parse(r"ivf vs exact \(\w+\): recall@50 ([0-9.]+) at "
                r"nprobe=100, ([0-9.]+) at nprobe=32", out)
     assert float(m.group(1)) == 1.0
+    # the int8 probed scan rescores only the top segments by quantized
+    # segment-max, so full probe is near-exhaustive, not exact — gate
+    # against gross regressions (a broken scales gather scores ~0)
+    m = _parse(r"ivf-int8 vs exact: recall@50 ([0-9.]+) at nprobe=100",
+               out)
+    assert float(m.group(1)) >= 0.95
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

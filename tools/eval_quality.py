@@ -97,6 +97,14 @@ def main(argv=None) -> int:
                      for i in range(len(sample))])
     print(f"ivf vs exact ({cls.__name__}): recall@{k} {r_full:.4f} "
           f"at nprobe=100, {r_def:.4f} at nprobe=32")
+    # ... and the int8 probed-scan variant — the kernel production ivf
+    # mode actually runs past QUANT_AUTO_THRESHOLD, regardless of this
+    # eval corpus's size
+    ivf_q = cls.from_vectors(index.vectors(), quantized=True)
+    _, Ifq = ivf_q.search(queries, k=k, nprobe=100)
+    r_fullq = np.mean([len(set(Ie[i]) & set(Ifq[i])) / k
+                       for i in range(len(sample))])
+    print(f"ivf-int8 vs exact: recall@{k} {r_fullq:.4f} at nprobe=100")
 
     if args.photos:
         _preprocess_drift(args, index, sample)
