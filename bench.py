@@ -44,6 +44,8 @@ def _slope_time(dispatch_one, materialize, n_lo: int, n_hi: int,
     hiccup inside one run otherwise lands entirely on that artifact
     (observed 1.08 -> 1.72 ms on an interrupted 1M-search run).
     """
+    n_hi = max(n_hi, n_lo + 1)  # tiny --trials/--iters must not div-by-0
+
     def run(n):
         t0 = time.perf_counter()
         out = None

@@ -27,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
+                                 _pad_q,
                                  _exact_topk, _quantize_device, clamp_k)
 
 AXIS = "shard"
@@ -248,7 +249,8 @@ class ShardedVectorIndex:
                      for i in range(0, queries.shape[0], _MAX_Q)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
-        n_shards = self.mesh.shape[AXIS]
+        queries, nq = _pad_q(queries)  # Q buckets: one compile per
+        n_shards = self.mesh.shape[AXIS]  # power-of-two fill, not per N
         rows_per_shard = self._corpus.shape[0] // n_shards
         kk = min(_bucket_k(k), rows_per_shard)
         # merge over the gathered n_shards * kk pool, not just kk: when
@@ -265,8 +267,8 @@ class ShardedVectorIndex:
                 self._corpus,
                 jnp.asarray(queries, self.dtype),
                 jnp.int32(self.ntotal))
-        d = np.asarray(d[:, :k], np.float32)
-        i = np.asarray(i[:, :k], np.int64)
+        d = np.asarray(d[:nq, :k], np.float32)
+        i = np.asarray(i[:nq, :k], np.int64)
         i[~np.isfinite(d)] = -1
         # pad out if k exceeded the per-shard cap
         if d.shape[1] < k:

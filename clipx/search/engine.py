@@ -72,6 +72,32 @@ def _bucket_k(k: int) -> int:
     return b
 
 
+def _bucket_q(n: int) -> int:
+    """Query-row bucket: powers of two up to ``_MAX_Q``. Serve's
+    coalescer emits arbitrary batch fills 1.._MAX_Q; without bucketing
+    every distinct fill is a fresh XLA compile (measured 139.7 s per
+    new Q shape through the remote compile service — SERVING_r03.json).
+    Per-call search cost is ~flat in Q <= _MAX_Q (the scan is
+    corpus-bound), so padding rows is effectively free."""
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, _MAX_Q)
+
+
+def _pad_q(queries: np.ndarray) -> Tuple[np.ndarray, int]:
+    """Zero-pad query rows up to the Q bucket; returns (padded, real_nq).
+    Padded rows produce garbage candidates that callers slice off; zero
+    rows are safe in the int8 path too (query scale has a 1e-12 floor)."""
+    nq = queries.shape[0]
+    b = _bucket_q(nq)
+    if b == nq:
+        return queries, nq
+    out = np.zeros((b, queries.shape[1]), queries.dtype)
+    out[:nq] = queries
+    return out, nq
+
+
 # Exact top-k over large score rows. Plain lax.top_k over one (Q, N)
 # row is slow on TPU for large N (2.48 ms at N=1M on v5e).
 #
@@ -385,6 +411,7 @@ class VectorIndex:
                      for i in range(0, queries.shape[0], _MAX_Q)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
+        queries, nq = _pad_q(queries)
         kk = min(_bucket_k(k), self._corpus.shape[0])
         if self.quantized:
             self._ensure_codes()
@@ -397,8 +424,8 @@ class VectorIndex:
             scores, ids = _search_kernel(
                 self._corpus, jnp.int32(self.ntotal),
                 jnp.asarray(queries, dtype=self.dtype), kk)
-        scores = np.asarray(scores[:, :k], dtype=np.float32)
-        ids = np.asarray(ids[:, :k], dtype=np.int64)
+        scores = np.asarray(scores[:nq, :k], dtype=np.float32)
+        ids = np.asarray(ids[:nq, :k], dtype=np.int64)
         invalid = ~np.isfinite(scores)
         ids[invalid] = -1
         if scores.shape[1] < k:  # tiny corpus, huge (clamped) k

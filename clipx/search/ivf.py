@@ -384,15 +384,19 @@ class IVFIndex:
         qcap = max(1, _GATHER_BUDGET // max(1, P * _SEG_W * self.dim
                                            * itemsize))
         qcap = min(qcap, engine._MAX_Q)
+        # round qcap down to a power of two so chunk sizes land on the
+        # engine Q buckets (one compile per bucket, not per fill)
+        qcap = 1 << (qcap.bit_length() - 1)
         if nq > qcap:
             parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         kk = min(engine._bucket_k(k), P * _SEG_W)
-        d, ids = self._probe(jnp.asarray(queries), P, kk)
-        d = np.asarray(d, np.float32)
-        ids = np.asarray(ids, np.int64)
+        qpad, nq = engine._pad_q(queries)
+        d, ids = self._probe(jnp.asarray(qpad), P, kk)
+        d = np.asarray(d[:nq], np.float32)
+        ids = np.asarray(ids[:nq], np.int64)
         # dead rows already map to -1 in row_ext; -inf slots follow suit
         ids_ext = np.where(np.isfinite(d), self._row_ext[ids], -1)
         if self._tail is not None and self._tail.ntotal:

@@ -608,6 +608,24 @@ def make_server(args) -> ThreadingHTTPServer:
                 service.encoder().encode_texts(["warmup"])
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
+            # pre-compile every search Q bucket the coalescer can emit
+            # (engine pads fills to power-of-two buckets; first compile
+            # of a new shape is minutes on a tunnel-attached TPU —
+            # SERVING_r03.json measured 139.7 s — so eat them all here
+            # instead of inside live requests). k=50 matches the HTTP
+            # default; other k land in the same compiled k-bucket family
+            # on first use.
+            try:
+                idx = service.current_index(timeout=600.0)
+                cap = min(service._search_co.cap
+                          if service._search_co is not None else 1, 16)
+                q = 1
+                while q <= cap:
+                    idx.search(np.zeros((q, idx.dim), np.float32), 50)
+                    service.count("warmup_search_shapes")
+                    q *= 2
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
 
         threading.Thread(target=_warm, daemon=True).start()
     return server

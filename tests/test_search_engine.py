@@ -255,3 +255,50 @@ def test_write_read_empty_index(tmp_path):
     assert loaded.ntotal == 0 and loaded.dim == 64
     D, I = loaded.search(np.zeros((1, 64), np.float32), k=3)
     assert (I == -1).all()
+
+
+def test_bucket_q_mapping():
+    from clipx.search.engine import _MAX_Q, _bucket_q
+
+    assert [_bucket_q(n) for n in (1, 2, 3, 4, 5, 8, 9, 16)] == \
+        [1, 2, 4, 4, 8, 8, 16, 16]
+    assert _bucket_q(_MAX_Q) == _MAX_Q
+
+
+def test_q_padding_is_transparent_and_bounds_compiles():
+    """Arbitrary query-row counts must (a) return exactly the rows the
+    caller sent — identical to stacked single-query searches — and (b)
+    land on at most one compiled shape per power-of-two Q bucket (the
+    serve coalescer emits every fill 1..16; each un-bucketed fill would
+    be a fresh multi-minute XLA compile on the tunnel-attached TPU —
+    SERVING_r03.json)."""
+    from clipx.search.engine import _search_kernel
+
+    rng = np.random.RandomState(11)
+    corpus = _normed(rng, 300)
+    queries = _normed(rng, 7)
+    idx = VectorIndex.from_vectors(corpus)
+    _search_kernel._clear_cache()
+    for q in (1, 3, 5, 6, 7):
+        D, I = idx.search(queries[:q], k=5)
+        assert D.shape == (q, 5) and I.shape == (q, 5)
+        for row in range(q):
+            D1, I1 = idx.search(queries[row: row + 1], k=5)
+            np.testing.assert_array_equal(I[row], I1[0])
+            np.testing.assert_allclose(D[row], D1[0], rtol=1e-6)
+    # fills {1,3,5,6,7} -> buckets {1,4,8}: three compiles, not five
+    assert _search_kernel._cache_size() == 3
+
+
+def test_q_padding_quantized_path():
+    """The int8 scan pads query rows too; padded zero rows must not
+    perturb real rows' candidates (per-query scale has a 1e-12 floor)."""
+    rng = np.random.RandomState(12)
+    corpus = _normed(rng, 400)
+    queries = _normed(rng, 3)
+    idx = VectorIndex.from_vectors(corpus, quantized=True)
+    D3, I3 = idx.search(queries, k=8)          # pads 3 -> 4
+    for row in range(3):
+        D1, I1 = idx.search(queries[row: row + 1], k=8)
+        np.testing.assert_array_equal(I3[row], I1[0])
+        np.testing.assert_allclose(D3[row], D1[0], rtol=1e-5, atol=1e-6)

@@ -428,9 +428,23 @@ def test_warmup_precompiles_text_path(served):
     while time.time() < deadline:
         _, m = _get(served, "/metrics")
         if m["encoder_loaded"]:
+            break
+        time.sleep(0.5)
+    else:
+        raise AssertionError("warmup never loaded the encoder")
+    # ... and pre-compiles every coalescer Q bucket: fills 1..cap pad to
+    # powers of two {1,2,4,8,16}, so after warmup no live request pays a
+    # fresh search compile (139.7 s/shape on the tunnel-attached TPU,
+    # SERVING_r03). Progress is observable as a counter.
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        _, m = _get(served, "/metrics")
+        if m["counters"].get("warmup_search_shapes", 0) >= 5:
             return
         time.sleep(0.5)
-    raise AssertionError("warmup never loaded the encoder")
+    raise AssertionError(
+        f"warmup searched {m['counters'].get('warmup_search_shapes', 0)} "
+        f"Q-bucket shapes, expected 5")
 
 
 def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
