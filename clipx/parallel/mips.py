@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
-                                 _pad_q,
+                                 _pad_q, _padded_append,
                                  _exact_topk, _quantize_device, clamp_k)
 
 AXIS = "shard"
@@ -149,20 +149,7 @@ class ShardedVectorIndex:
         n_new = vectors.shape[0]
         if n_new == 0:
             return
-        pad_len = 128
-        while pad_len < n_new:
-            pad_len *= 2
-        # capacity must cover the PADDED update: dynamic_update_slice
-        # clamps out-of-range starts, which would silently shift the
-        # write onto valid rows
-        if self.ntotal + pad_len > self._corpus.shape[0]:
-            self._grow(self.ntotal + pad_len)
-        upd = np.zeros((pad_len, self.dim), np.float32)
-        upd[:n_new] = vectors
-        self._corpus = self._update_fn(pad_len)(
-            self._corpus, jnp.asarray(upd, self.dtype),
-            jnp.int32(self.ntotal))
-        self.ntotal += n_new
+        _padded_append(self, vectors)
         self._codes = None  # int8 scan copy rebuilt lazily on next search
         self._scales = None
 

@@ -125,11 +125,13 @@ class Encoder:
                 "tensor parallelism is not defined for the ResNet towers "
                 "(no TP sharding rules for convs; RN50 fits one chip "
                 "comfortably) — use a dp-only mesh")
-        if tp is not None and attn_impl == "xla":
+        if tp is not None and attn_impl != "plain":
             # TP-sharded params under GSPMD must not hit the fused pallas
             # kernels: those consume full-width weight blocks and would
             # force gathers or break partitioning — same reasoning as the
-            # sharded train step (clipx/train.py make_sharded_train_step)
+            # sharded train step (clipx/train.py make_sharded_train_step).
+            # This covers an explicit attn_impl="pallas" too, not just
+            # the "xla" default — the hazard is identical either way.
             attn_impl = "plain"
         self.attn_impl = attn_impl
         self.tokenizer = tokenizer or ClipTokenizer()

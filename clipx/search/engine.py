@@ -302,6 +302,31 @@ def _int8_impl() -> str:
     return v if v in ("seg", "element") else "seg"
 
 
+def _padded_append(index, vectors: np.ndarray) -> None:
+    """Shared in-place append for VectorIndex and ShardedVectorIndex
+    (clipx/parallel/mips.py): pad the update to a power-of-two row
+    bucket so repeated small deltas reuse one compiled shape, grow
+    capacity when it cannot cover the PADDED update — critical:
+    ``dynamic_update_slice`` clamps out-of-range starts, which would
+    silently shift the write onto valid rows — then run the jitted
+    buffer-DONATING slice update (in place, no transient second corpus
+    copy). ``index`` provides dim/dtype/ntotal/_corpus, ``_grow(need)``
+    and ``_update_fn(pad_len)`` (where the two classes differ: the
+    sharded one pins out_shardings)."""
+    n_new = vectors.shape[0]
+    pad_len = 128
+    while pad_len < n_new:
+        pad_len *= 2
+    if index.ntotal + pad_len > index._corpus.shape[0]:
+        index._grow(index.ntotal + pad_len)
+    upd = np.zeros((pad_len, index.dim), np.float32)
+    upd[:n_new] = vectors
+    index._corpus = index._update_fn(pad_len)(
+        index._corpus, jnp.asarray(upd, index.dtype),
+        jnp.int32(index.ntotal))
+    index.ntotal += n_new
+
+
 class VectorIndex:
     """Flat inner-product index over device-resident vectors.
 
@@ -356,26 +381,16 @@ class VectorIndex:
             self.ntotal = n_new
             self._codes = None
             return
-        pad_len = 128
-        while pad_len < n_new:
-            pad_len *= 2
-        # capacity must cover the PADDED update: dynamic_update_slice
-        # clamps out-of-range starts, which would shift the write onto
-        # valid rows
-        if self.ntotal + pad_len > self._corpus.shape[0]:
-            self._grow(self.ntotal + pad_len)
-        upd = np.zeros((pad_len, self.dim), np.float32)
-        upd[:n_new] = vectors
+        _padded_append(self, vectors)
+        self._codes = None  # int8 scan copy rebuilt lazily on next search
+
+    def _update_fn(self, pad_len: int):
         if pad_len not in self._update_fns:
             self._update_fns[pad_len] = jax.jit(
                 lambda c, rows, start: jax.lax.dynamic_update_slice(
                     c, rows, (start, 0)),
                 donate_argnums=(0,))
-        self._corpus = self._update_fns[pad_len](
-            self._corpus, jnp.asarray(upd, self.dtype),
-            jnp.int32(self.ntotal))
-        self.ntotal += n_new
-        self._codes = None  # int8 scan copy rebuilt lazily on next search
+        return self._update_fns[pad_len]
 
     def _grow(self, need: int) -> None:
         dim, dtype = self.dim, self.dtype

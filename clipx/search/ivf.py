@@ -53,9 +53,29 @@ _ASSIGN_CHUNK = 65536
 # Bounds the (rows, C) assignment-score transient inside the training
 # loop to 128k x 4096 x 4 B = 2 GB.
 _TRAIN_CAP = 131072
-# Per-kernel-call byte budget for the probed-segment gather; queries
-# are chunked so Q * P * 64 * D * itemsize stays under this.
+# Per-kernel-call byte budget for the probed-segment gathers; queries
+# are chunked so the per-call gather transients stay under this.
 _GATHER_BUDGET = 1 << 30
+
+
+def _qcap(P: int, dim: int, quantized: bool, k: int) -> int:
+    """Max query rows per probe-kernel call, power-of-two (so chunk
+    sizes land on the engine Q buckets — one compile per bucket, not
+    per fill), bounded by the gather-byte budget.
+
+    The f32 kernel materializes one (Q, P, W, D) float32 gather. The
+    int8 kernel materializes TWO: the (Q, P, W, D) int8 probe rows AND
+    a (Q, s, W, D) float32 rescore gather, s = min(k-bucket, P) — at
+    large k/nprobe the f32 side is up to 4x the int8 bytes, so both
+    must be budgeted or device transients reach ~5x the intended cap."""
+    if quantized:
+        s = min(engine._bucket_k(k), P * _SEG_W, P)
+        per_q = _SEG_W * dim * (P + 4 * s)
+    else:
+        per_q = P * _SEG_W * dim * 4
+    qcap = max(1, _GATHER_BUDGET // max(1, per_q))
+    qcap = min(qcap, engine._MAX_Q)
+    return 1 << (qcap.bit_length() - 1)
 
 
 def _num_clusters(n: int) -> int:
@@ -380,13 +400,7 @@ class IVFIndex:
                else int(np.clip(int(nprobe), 1, 100)))
         P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
         P = min(P, segs)
-        itemsize = 1 if self.quantized else 4
-        qcap = max(1, _GATHER_BUDGET // max(1, P * _SEG_W * self.dim
-                                           * itemsize))
-        qcap = min(qcap, engine._MAX_Q)
-        # round qcap down to a power of two so chunk sizes land on the
-        # engine Q buckets (one compile per bucket, not per fill)
-        qcap = 1 << (qcap.bit_length() - 1)
+        qcap = _qcap(P, self.dim, self.quantized, k)
         if nq > qcap:
             parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]

@@ -98,8 +98,17 @@ class _Coalescer:
         result (or raise the batch's error)."""
         p = _Pending(item)
         with self._cv:
-            self._queue.append(p)
-            self._cv.notify_all()
+            if self._stop:
+                stopped = True
+            else:
+                self._queue.append(p)
+                self._cv.notify_all()
+                stopped = False
+        if stopped:
+            # dispatcher is gone (close() raced this submit): an enqueued
+            # item would never drain, blocking the caller for the full
+            # timeout — run the item inline instead
+            return self._run([item])[0]
         if not p.done.wait(timeout=600.0):
             raise RuntimeError("coalesced call timed out")
         if p.error is not None:
@@ -349,9 +358,15 @@ class SearchService:
                 mode = "incremental"
             else:
                 self._index_ready.clear()
-                self.index = None
-                del old  # free the device corpus before the new upload
                 try:
+                    # drain in-flight reader dispatches BEFORE dropping
+                    # the old corpus: a search holding a reference would
+                    # keep it alive in HBM through the new upload — the
+                    # transient double-HBM window drop-first exists to
+                    # avoid
+                    self._exclude_readers()
+                    self.index = None
+                    del old  # free the device corpus before the upload
                     self.index = common.build_index_from_vectors(
                         vectors, self.args)
                 finally:
@@ -499,10 +514,17 @@ class Handler(BaseHTTPRequestHandler):
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         try:
             if url.path == "/healthz":
-                idx = self.service.current_index()
-                self._json(200, {"status": "ok",
-                                 "ntotal": idx.ntotal,
-                                 "dim": idx.dim})
+                # never block: a full-rebuild /reload window (minutes of
+                # H2D through the tunnel) must not hang LB health probes
+                # into killing the process (and the chip claim with it)
+                idx = self.service.index
+                if idx is None:
+                    self._json(503, {"status": "reloading",
+                                     "ntotal": None, "dim": None})
+                else:
+                    self._json(200, {"status": "ok",
+                                     "ntotal": idx.ntotal,
+                                     "dim": idx.dim})
             elif url.path == "/metrics":
                 self._json(200, self.service.metrics())
             elif url.path == "/search":
@@ -616,12 +638,23 @@ def make_server(args) -> ThreadingHTTPServer:
             # default; other k land in the same compiled k-bucket family
             # on first use.
             try:
-                idx = service.current_index(timeout=600.0)
                 cap = min(service._search_co.cap
                           if service._search_co is not None else 1, 16)
                 q = 1
                 while q <= cap:
-                    idx.search(np.zeros((q, idx.dim), np.float32), 50)
+                    # register as a reader per bucket (same guard as live
+                    # searches): a /reload during this minutes-long loop
+                    # must not donate the corpus out from under a warmup
+                    # dispatch; re-acquiring the index each round also
+                    # avoids pinning a dropped corpus in HBM through a
+                    # rebuild
+                    service._begin_read(timeout=600.0)
+                    try:
+                        idx = service.current_index()
+                        idx.search(np.zeros((q, idx.dim), np.float32), 50)
+                    finally:
+                        service._end_read()
+                    del idx
                     service.count("warmup_search_shapes")
                     q *= 2
             except Exception:  # noqa: BLE001 — warmup is best-effort

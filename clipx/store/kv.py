@@ -217,10 +217,16 @@ class Transaction:
         if self._h:
             rc = self._lib.cxkv_txn_commit(self._h)
             self._h = None
-            self._env._txn_exit()
+            # read the native error detail BEFORE _txn_exit(): dropping
+            # the live-txn count can wake a blocked Environment.close(),
+            # which frees the env handle — cxkv_error afterwards would be
+            # a use-after-free (or a NULL deref once _h is swapped out)
+            detail = ""
             if rc != 0:
                 detail = (self._lib.cxkv_error(self._env._h) or b"").decode(
                     errors="replace")
+            self._env._txn_exit()
+            if rc != 0:
                 raise Error(f"commit failed (rc={rc})"
                             + (f": {detail}" if detail else ""))
 

@@ -340,3 +340,25 @@ def test_cli_loader_shards_ivf_when_asked(tmp_path, monkeypatch):
         assert isinstance(idx, ShardedIVFIndex)
         D, I = idx.search(corpus[5][None], 3, nprobe=100)
         assert I[0, 0] == 5
+
+
+def test_qcap_budgets_the_int8_rescore_gather():
+    """The int8 probe kernel materializes an extra (Q, s, W, D) float32
+    rescore gather on top of the int8 probe rows; the query-chunk cap
+    must budget BOTH or device transients reach ~5x the intended
+    _GATHER_BUDGET at large k/nprobe."""
+    from clipx.search.ivf import _GATHER_BUDGET, _SEG_W, _qcap
+
+    P, dim = 2048, 512
+    # f32 kernel: one gather of P*W*D*4 bytes per query
+    assert _qcap(P, dim, quantized=False, k=10) == \
+        1 << ((_GATHER_BUDGET // (P * _SEG_W * dim * 4)).bit_length() - 1)
+    # quantized with k large enough that s == P: per-query bytes are
+    # W*D*(P int8 + 4P f32) = 5x the int8-only estimate
+    cap_big_k = _qcap(P, dim, quantized=True, k=2048)
+    assert cap_big_k <= _qcap(P, dim, quantized=False, k=2048)
+    expected = _GATHER_BUDGET // (_SEG_W * dim * 5 * P)
+    assert cap_big_k == 1 << (expected.bit_length() - 1)
+    # always at least one query per call, and a power of two
+    tiny = _qcap(100_000, 1024, quantized=True, k=4096)
+    assert tiny == 1

@@ -382,3 +382,18 @@ def test_search_mode_wired_through_sharded_index(tmp_path):
         loaded = _load_index(args)
         assert isinstance(loaded, ShardedVectorIndex)
         assert loaded.quantized is expect, sm
+
+
+def test_tp_forces_plain_attention_even_when_pallas_requested():
+    """TP-sharded params must never reach the fused pallas kernels —
+    they consume full-width weight blocks and would force gathers or
+    break GSPMD partitioning. The guard has to cover an EXPLICIT
+    attn_impl='pallas' too, not just the 'auto'/'xla' default."""
+    from clipx.runtime.encoder import Encoder
+
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh({"dp": 4, "tp": 2})
+    for impl in ("auto", "xla", "pallas"):
+        enc = Encoder(cfg, params, mesh=mesh, tp="tp", attn_impl=impl)
+        assert enc.attn_impl == "plain", impl

@@ -841,3 +841,114 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
         assert sim["results"][0]["path"].endswith("a0.jpg")
     finally:
         server.shutdown()
+
+
+def test_healthz_nonblocking_during_rebuild(tmp_path, monkeypatch):
+    """/healthz must answer immediately (503 reloading) while a full
+    rebuild holds the no-index window — a blocked health probe makes a
+    load balancer kill the process, and killing a TPU process mid-claim
+    wedges the chip (CLAUDE.md)."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(21)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0", "--no-warmup"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    service = server.RequestHandlerClass.service
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        service._sidecar_hash = b"force-rebuild"
+        real_build = serve.common.build_index_from_vectors
+        entered = threading.Event()
+        release = threading.Event()
+
+        def slow_build(vectors, a):
+            entered.set()
+            release.wait(30)
+            return real_build(vectors, a)
+
+        monkeypatch.setattr(serve.common, "build_index_from_vectors",
+                            slow_build)
+        reload_thread = threading.Thread(
+            target=lambda: _post(port, "/reload", {}))
+        reload_thread.start()
+        assert entered.wait(30)
+        t0 = time.time()
+        status, data = _get(port, "/healthz")
+        dt = time.time() - t0
+        assert status == 503 and data["status"] == "reloading"
+        assert dt < 5, f"healthz blocked {dt:.1f}s through the rebuild"
+        release.set()
+        reload_thread.join(timeout=60)
+        status, data = _get(port, "/healthz")
+        assert status == 200 and data["status"] == "ok"
+    finally:
+        release.set()
+        server.shutdown()
+
+
+def test_rebuild_reload_waits_for_readers(tmp_path, monkeypatch):
+    """The rebuild path must drain in-flight reader dispatches BEFORE
+    dropping the old corpus: a reader's reference would otherwise keep
+    it alive in HBM through the new upload — the transient double-HBM
+    window drop-first exists to avoid."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(22)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0", "--no-warmup"])
+    server = serve.make_server(args)
+    service = server.RequestHandlerClass.service
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        service._sidecar_hash = b"force-rebuild"
+        entered = threading.Event()
+        real_build = serve.common.build_index_from_vectors
+
+        def marking_build(vectors, a):
+            entered.set()
+            return real_build(vectors, a)
+
+        monkeypatch.setattr(serve.common, "build_index_from_vectors",
+                            marking_build)
+        service._begin_read()          # an in-flight search dispatch
+        reload_thread = threading.Thread(target=service.reload)
+        reload_thread.start()
+        # reload must be parked in _exclude_readers, not building yet
+        assert not entered.wait(1.0), \
+            "rebuild dropped the old corpus while a reader was in flight"
+        service._end_read()
+        assert entered.wait(30)
+        reload_thread.join(timeout=60)
+        assert service.index is not None
+    finally:
+        server.shutdown()
+
+
+def test_coalescer_submit_after_close_runs_inline():
+    """A submit racing close() must not block for the full timeout on a
+    dead dispatcher — it falls back to an inline single-item call."""
+    co = serve._Coalescer(lambda items: [x * 10 for x in items],
+                          cap=4, inflight=2, name="t")
+    assert co.submit(3) == 30
+    co.close()
+    t0 = time.time()
+    assert co.submit(5) == 50      # inline: dispatcher is gone
+    assert time.time() - t0 < 5
