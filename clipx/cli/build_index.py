@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 from typing import List
 
@@ -91,19 +92,40 @@ def main(argv: List[str] | None = None) -> int:
     fn_db = env.open_db(common.FN_DB)
     skip_db = env.open_db(common.SKIP_DB)
 
+    # `kill PID` (SIGTERM — what a supervisor sends; SIGKILL is banned
+    # here, an abandoned claim wedges the single-tenant chip) maps to
+    # KeyboardInterrupt for the whole run, riding the reference's
+    # Ctrl-C contract: during the encode loop it breaks out but still
+    # builds the index over what was encoded
+    # (reference:build-index.py:62-64); during the index phase it
+    # propagates like the reference's own Ctrl-C — either way the
+    # process exits through Python, releasing the device claim, never
+    # mid-dispatch. Main thread only; restored on exit so library
+    # callers (tests, serve) are unaffected.
+    prev_term = None
     try:
-        with device_trace(args.trace_dir):
-            _encode_phase(args, encoder, env, fn_db, skip_db, timers)
-    except KeyboardInterrupt:
-        print("Interrupted!")
+        prev_term = signal.signal(
+            signal.SIGTERM,
+            lambda *_: (_ for _ in ()).throw(KeyboardInterrupt()))
+    except ValueError:  # not the main thread
+        pass
+    try:
+        try:
+            with device_trace(args.trace_dir):
+                _encode_phase(args, encoder, env, fn_db, skip_db, timers)
+        except KeyboardInterrupt:
+            print("Interrupted!")
 
-    with timers.stage("index_build"):
-        _index_phase(args, env)
-    print("Done!")
-    timers.emit()  # throughput counters on stderr; stdout stays contract
-    env.close()
-    lock.release()
-    return 0
+        with timers.stage("index_build"):
+            _index_phase(args, env)
+        print("Done!")
+        timers.emit()  # throughput on stderr; stdout stays contract
+        env.close()
+        lock.release()
+        return 0
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import sys
 import threading
 import time
@@ -672,12 +673,25 @@ def main(argv=None) -> int:
               "first.")
         return 1
     server = make_server(args)
+    service = server.RequestHandlerClass.service
+    # `kill PID` (SIGTERM — what a supervisor sends; SIGKILL is banned
+    # on this host, an abandoned claim wedges the single-tenant chip)
+    # must shut down as cleanly as Ctrl-C. shutdown() has to run OFF
+    # the main thread: it waits for serve_forever's loop to exit, and
+    # that loop is parked underneath the signal handler's own frame.
+    signal.signal(
+        signal.SIGTERM,
+        lambda *_: threading.Thread(target=server.shutdown,
+                                    daemon=True).start())
     print(f"clipx-serve on http://{args.host}:{server.server_address[1]} "
-          f"({server.RequestHandlerClass.service.index.ntotal} vectors)")
+          f"({service.index.ntotal} vectors)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        print("bye")
+        pass
+    service.close()      # drain coalescers: in-flight batches land
+    service.env.close()  # waits out live store readers
+    print("bye")
     return 0
 
 

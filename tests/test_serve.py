@@ -952,3 +952,53 @@ def test_coalescer_submit_after_close_runs_inline():
     t0 = time.time()
     assert co.submit(5) == 50      # inline: dispatcher is gone
     assert time.time() - t0 < 5
+
+
+def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
+    """`kill PID` (SIGTERM — what a supervisor sends) must exit 0 after
+    draining, same as Ctrl-C: the default handler would kill the process
+    mid-device-dispatch, and an abandoned claim wedges the chip."""
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(23)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from clipx.serve import main;"
+            "raise SystemExit(main(['--model', 'tiny-test', '--port', '0',"
+            "'--no-warmup']))")
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(serve.__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen([_sys.executable, "-u", "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
+    try:
+        # skip plugin warnings etc. until the startup banner
+        seen = []
+        for _ in range(50):
+            line = proc.stdout.readline()
+            seen.append(line)
+            if "clipx-serve on" in line:
+                break
+            assert line, f"stdout closed before banner: {seen}"
+        else:
+            raise AssertionError(f"no banner: {seen}")
+        proc.send_signal(_signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out
+    assert "bye" in out
