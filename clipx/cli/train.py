@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import os
+import signal
 import sys
 import time
 from typing import List, Tuple
@@ -179,22 +180,48 @@ def main(argv=None) -> int:
                         cfg.text.context_length, args.batch_size, args.seed)
     start = int(jax.device_get(state.step))
     t0 = time.perf_counter()
-    for step in range(start, args.steps):
-        pixels, ids = loader.next_batch()
-        pixels = jax.device_put(pixels, batch_sh)
-        ids = jax.device_put(ids, batch_sh)
-        state, metrics = jitted(state, pixels, ids)
-        if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
-            m = jax.device_get(metrics)
-            rate = (args.batch_size * args.log_every
-                    / (time.perf_counter() - t0))
-            t0 = time.perf_counter()
-            print(f"step {step + 1}/{args.steps} "
-                  f"loss {float(m['loss']):.4f} "
-                  f"acc {float(m['accuracy']):.3f} "
-                  f"({rate:,.0f} img/s)", flush=True)
-        if (ckpt_path and ((step + 1) % args.checkpoint_every == 0
-                           or step + 1 == args.steps)):
+    # SIGTERM (what a supervisor sends to stop a long run; SIGKILL is
+    # banned on the TPU host — an abandoned claim wedges the chip) and
+    # Ctrl-C both stop BETWEEN steps and fall through to the final
+    # checkpoint save, so `--resume` picks up where the run left off.
+    stop = {"sig": None}
+    prev_term = None
+    try:
+        prev_term = signal.signal(
+            signal.SIGTERM, lambda *_: stop.__setitem__("sig", "SIGTERM"))
+    except ValueError:  # not the main thread (library caller)
+        pass
+    try:
+        for step in range(start, args.steps):
+            if stop["sig"]:
+                break
+            pixels, ids = loader.next_batch()
+            pixels = jax.device_put(pixels, batch_sh)
+            ids = jax.device_put(ids, batch_sh)
+            state, metrics = jitted(state, pixels, ids)
+            if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
+                m = jax.device_get(metrics)
+                rate = (args.batch_size * args.log_every
+                        / (time.perf_counter() - t0))
+                t0 = time.perf_counter()
+                print(f"step {step + 1}/{args.steps} "
+                      f"loss {float(m['loss']):.4f} "
+                      f"acc {float(m['accuracy']):.3f} "
+                      f"({rate:,.0f} img/s)", flush=True)
+            if (ckpt_path and ((step + 1) % args.checkpoint_every == 0
+                               or step + 1 == args.steps)):
+                train_lib.save_train_state(ckpt_path,
+                                           jax.device_get(state))
+                print(f"checkpoint -> {ckpt_path}")
+    except KeyboardInterrupt:
+        stop["sig"] = "interrupt"
+    finally:
+        if prev_term is not None:
+            signal.signal(signal.SIGTERM, prev_term)
+    if stop["sig"]:
+        done = int(jax.device_get(state.step))
+        print(f"{stop['sig']}: stopping after step {done}")
+        if ckpt_path:
             train_lib.save_train_state(ckpt_path, jax.device_get(state))
             print(f"checkpoint -> {ckpt_path}")
 

@@ -123,3 +123,83 @@ def test_pair_loader_pooled_decode_and_bad_file(pair_dir):
     # the bad file is cached as None (decoded once, skipped forever)
     bad = [p for p in loader._cache if p.endswith("bad.jpg")]
     assert all(loader._cache[p] is None for p in bad)
+
+
+def test_interrupt_checkpoints_and_resumes(pair_dir, tmp_path, capsys,
+                                           monkeypatch):
+    """Ctrl-C between steps must save a checkpoint and exit 0 so
+    --resume continues the run (long fine-tunes are stopped, not
+    babysat)."""
+    ckpt = str(tmp_path / "ckpts")
+    base = [pair_dir, "--model", "tiny-test", "--batch-size", "4",
+            "--checkpoint-dir", ckpt, "--checkpoint-every", "50",
+            "--lr", "1e-3", "--warmup-steps", "1", "--log-every", "50"]
+
+    real_next = train_cli.PairLoader.next_batch
+    calls = {"n": 0}
+
+    def interrupting(self):
+        calls["n"] += 1
+        if calls["n"] > 3:
+            raise KeyboardInterrupt
+        return real_next(self)
+
+    monkeypatch.setattr(train_cli.PairLoader, "next_batch", interrupting)
+    rc = train_cli.main(base + ["--steps", "100"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "interrupt: stopping after step 3" in out
+    assert os.path.exists(os.path.join(ckpt, "latest"))
+
+    monkeypatch.setattr(train_cli.PairLoader, "next_batch", real_next)
+    rc = train_cli.main(base + ["--steps", "5", "--resume"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 3" in out
+    assert "step 5/5" in out
+
+
+def test_sigterm_checkpoints_and_exits_zero(pair_dir, tmp_path):
+    """`kill PID` on a training run must stop between steps, save a
+    checkpoint, and exit 0 — the default disposition would die
+    mid-device-dispatch and abandon the chip claim."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import clipx
+
+    ckpt = str(tmp_path / "ckpts")
+    repo_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(clipx.__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
+            "from clipx.cli.train import main;"
+            f"raise SystemExit(main([{pair_dir!r}, '--model', 'tiny-test',"
+            f"'--steps', '100000', '--batch-size', '4', '--lr', '1e-3',"
+            f"'--warmup-steps', '1', '--log-every', '1',"
+            f"'--checkpoint-every', '100000', '--checkpoint-dir',"
+            f"{ckpt!r}]))")
+    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env)
+    try:
+        buf = ""
+        deadline = time.time() + 180
+        while "step " not in buf and time.time() < deadline:
+            buf += proc.stdout.read(1)
+        assert "step " in buf, buf
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)
+    out = buf + out
+    assert proc.returncode == 0, out
+    assert "SIGTERM: stopping after step" in out
+    assert "checkpoint ->" in out
+    assert os.path.exists(os.path.join(ckpt, "latest"))
+    assert os.path.exists(os.path.join(ckpt, "params.npz"))
