@@ -260,6 +260,29 @@ STRESS_BATCH = 32
 STRESS_CORPUS = 5_000_000
 
 
+def _wait_for_device(budget_s: float = 1800.0) -> None:
+    """The tunnel-attached chip intermittently reports UNAVAILABLE
+    (observed: a multi-hour outage where each failing claim itself took
+    ~25 min). Retry the backend init within a budget instead of dying
+    on the first claim, so a transient outage doesn't turn the round's
+    bench artifact into a stack trace."""
+    import jax
+
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        try:
+            log(f"device: {jax.devices()[0]}")
+            return
+        except RuntimeError as exc:
+            attempt += 1
+            if time.time() >= deadline:
+                raise
+            log(f"backend unavailable (attempt {attempt}): "
+                f"{str(exc)[:120]} — retrying")
+            time.sleep(60)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-B/32")
@@ -283,6 +306,7 @@ def main() -> int:
                          "this many devices (needs a multi-chip platform)")
     args = ap.parse_args()
 
+    _wait_for_device()
     enc = bench_encode(args.batch_size, args.iters, args.model)
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
