@@ -628,7 +628,20 @@ def make_server(args) -> ThreadingHTTPServer:
         # model loads + the N=1 text bucket compiles
         def _warm():
             try:
-                service.encoder().encode_texts(["warmup"])
+                # compile every TEXT bucket the text coalescer can emit,
+                # not just N=1: fills 1..cap pad to _TEXT_BUCKETS
+                # {1,4,16}, and each first-ever shape is minutes on a
+                # tunnel-attached TPU — same cliff as the search Q
+                # buckets below
+                enc = service.encoder()
+                tcap = (service._text_co.cap
+                        if service._text_co is not None else 1)
+                from clipx.runtime.encoder import _TEXT_BUCKETS
+                for n in _TEXT_BUCKETS:
+                    if n > tcap:
+                        break
+                    enc.encode_texts(["warmup"] * n)
+                    service.count("warmup_text_shapes")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
             # pre-compile every search Q bucket the coalescer can emit

@@ -432,19 +432,24 @@ def test_warmup_precompiles_text_path(served):
         time.sleep(0.5)
     else:
         raise AssertionError("warmup never loaded the encoder")
-    # ... and pre-compiles every coalescer Q bucket: fills 1..cap pad to
-    # powers of two {1,2,4,8,16}, so after warmup no live request pays a
-    # fresh search compile (139.7 s/shape on the tunnel-attached TPU,
-    # SERVING_r03). Progress is observable as a counter.
+    # ... and pre-compiles every coalescer-reachable shape: text fills
+    # 1..cap pad to _TEXT_BUCKETS {1,4,16} (3 shapes) and search fills
+    # to power-of-two Q buckets {1,2,4,8,16} (5 shapes), so after warmup
+    # no live request pays a fresh compile (139.7 s/shape on the
+    # tunnel-attached TPU, SERVING_r03). Progress is observable as
+    # counters.
     deadline = time.time() + 60
     while time.time() < deadline:
         _, m = _get(served, "/metrics")
-        if m["counters"].get("warmup_search_shapes", 0) >= 5:
+        if (m["counters"].get("warmup_search_shapes", 0) >= 5
+                and m["counters"].get("warmup_text_shapes", 0) >= 3):
             return
         time.sleep(0.5)
     raise AssertionError(
-        f"warmup searched {m['counters'].get('warmup_search_shapes', 0)} "
-        f"Q-bucket shapes, expected 5")
+        f"warmup compiled {m['counters'].get('warmup_text_shapes', 0)} "
+        f"text shapes (expected 3) and "
+        f"{m['counters'].get('warmup_search_shapes', 0)} search Q shapes "
+        f"(expected 5)")
 
 
 def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
