@@ -260,14 +260,21 @@ STRESS_BATCH = 32
 STRESS_CORPUS = 5_000_000
 
 
-def _wait_for_device(budget_s: float = 1800.0) -> None:
+def _wait_for_device(budget_s: float = None) -> None:
     """The tunnel-attached chip intermittently reports UNAVAILABLE
-    (observed: a multi-hour outage where each failing claim itself took
-    ~25 min). Retry the backend init within a budget instead of dying
-    on the first claim, so a transient outage doesn't turn the round's
-    bench artifact into a stack trace."""
+    (observed: a ≥4 h outage where each failing claim itself took
+    ~25 min to error). Retry the backend init within a budget instead
+    of dying on the first claim, so a transient outage doesn't turn the
+    round's bench artifact into a stack trace. The default budget must
+    dwarf the per-claim failure time or it buys only one extra attempt;
+    override with CLIPX_BENCH_DEVICE_BUDGET_S."""
+    import os
+
     import jax
 
+    if budget_s is None:
+        budget_s = float(os.environ.get("CLIPX_BENCH_DEVICE_BUDGET_S",
+                                        3 * 3600))
     deadline = time.time() + budget_s
     attempt = 0
     while True:

@@ -192,44 +192,54 @@ def main(argv=None) -> int:
     except ValueError:  # not the main thread (library caller)
         pass
     try:
-        for step in range(start, args.steps):
-            if stop["sig"]:
-                break
-            pixels, ids = loader.next_batch()
-            pixels = jax.device_put(pixels, batch_sh)
-            ids = jax.device_put(ids, batch_sh)
-            state, metrics = jitted(state, pixels, ids)
-            if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
-                m = jax.device_get(metrics)
-                rate = (args.batch_size * args.log_every
-                        / (time.perf_counter() - t0))
-                t0 = time.perf_counter()
-                print(f"step {step + 1}/{args.steps} "
-                      f"loss {float(m['loss']):.4f} "
-                      f"acc {float(m['accuracy']):.3f} "
-                      f"({rate:,.0f} img/s)", flush=True)
-            if (ckpt_path and ((step + 1) % args.checkpoint_every == 0
-                               or step + 1 == args.steps)):
-                train_lib.save_train_state(ckpt_path,
-                                           jax.device_get(state))
+        try:
+            for step in range(start, args.steps):
+                if stop["sig"]:
+                    break
+                pixels, ids = loader.next_batch()
+                pixels = jax.device_put(pixels, batch_sh)
+                ids = jax.device_put(ids, batch_sh)
+                state, metrics = jitted(state, pixels, ids)
+                if ((step + 1) % args.log_every == 0
+                        or step + 1 == args.steps):
+                    m = jax.device_get(metrics)
+                    rate = (args.batch_size * args.log_every
+                            / (time.perf_counter() - t0))
+                    t0 = time.perf_counter()
+                    print(f"step {step + 1}/{args.steps} "
+                          f"loss {float(m['loss']):.4f} "
+                          f"acc {float(m['accuracy']):.3f} "
+                          f"({rate:,.0f} img/s)", flush=True)
+                if (ckpt_path and ((step + 1) % args.checkpoint_every == 0
+                                   or step + 1 == args.steps)):
+                    train_lib.save_train_state(ckpt_path,
+                                               jax.device_get(state))
+                    print(f"checkpoint -> {ckpt_path}")
+        except KeyboardInterrupt:
+            stop["sig"] = "interrupt"
+        # the drain below (full-state device_get over a ~2.5 MB/s tunnel
+        # — minutes on real models) stays INSIDE the handler scope: a
+        # supervisor's repeat SIGTERM during it must set the (already-
+        # set) flag, not kill the process mid-transfer. Fetch the state
+        # once and reuse it for both saves.
+        host = None
+        if stop["sig"]:
+            host = jax.device_get(state)
+            print(f"{stop['sig']}: stopping after step {int(host.step)}")
+            if ckpt_path:
+                train_lib.save_train_state(ckpt_path, host)
                 print(f"checkpoint -> {ckpt_path}")
-    except KeyboardInterrupt:
-        stop["sig"] = "interrupt"
+
+        if args.checkpoint_dir:
+            if host is None:
+                host = jax.device_get(state)
+            out = os.path.join(args.checkpoint_dir, "params.npz")
+            convert.save_params(out, host.params)
+            print(f"final params -> {out}")
+        return 0
     finally:
         if prev_term is not None:
             signal.signal(signal.SIGTERM, prev_term)
-    if stop["sig"]:
-        done = int(jax.device_get(state.step))
-        print(f"{stop['sig']}: stopping after step {done}")
-        if ckpt_path:
-            train_lib.save_train_state(ckpt_path, jax.device_get(state))
-            print(f"checkpoint -> {ckpt_path}")
-
-    if args.checkpoint_dir:
-        out = os.path.join(args.checkpoint_dir, "params.npz")
-        convert.save_params(out, jax.device_get(state).params)
-        print(f"final params -> {out}")
-    return 0
 
 
 if __name__ == "__main__":

@@ -626,6 +626,8 @@ def make_server(args) -> ThreadingHTTPServer:
     if getattr(args, "warmup", False):
         # background: /healthz and /similar answer immediately while the
         # model loads + the N=1 text bucket compiles
+        stop_warm = threading.Event()
+
         def _warm():
             try:
                 # compile every TEXT bucket the text coalescer can emit,
@@ -638,7 +640,7 @@ def make_server(args) -> ThreadingHTTPServer:
                         if service._text_co is not None else 1)
                 from clipx.runtime.encoder import _TEXT_BUCKETS
                 for n in _TEXT_BUCKETS:
-                    if n > tcap:
+                    if n > tcap or stop_warm.is_set():
                         break
                     enc.encode_texts(["warmup"] * n)
                     service.count("warmup_text_shapes")
@@ -655,7 +657,7 @@ def make_server(args) -> ThreadingHTTPServer:
                 cap = min(service._search_co.cap
                           if service._search_co is not None else 1, 16)
                 q = 1
-                while q <= cap:
+                while q <= cap and not stop_warm.is_set():
                     # register as a reader per bucket (same guard as live
                     # searches): a /reload during this minutes-long loop
                     # must not donate the corpus out from under a warmup
@@ -674,7 +676,14 @@ def make_server(args) -> ThreadingHTTPServer:
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
 
-        threading.Thread(target=_warm, daemon=True).start()
+        t = threading.Thread(target=_warm, daemon=True,
+                             name="clipx-warmup")
+        t.start()
+        # main()'s shutdown path stops the loop at the next shape
+        # boundary and JOINS the in-flight compile/dispatch — exiting
+        # underneath it would abandon a live device claim
+        server._warmup_stop = stop_warm
+        server._warmup_thread = t
     return server
 
 
@@ -702,6 +711,12 @@ def main(argv=None) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    # stop warmup at its next shape boundary, then wait out any
+    # in-flight compile/dispatch — exiting underneath it would abandon
+    # a live device claim (wedges the single-tenant chip)
+    if getattr(server, "_warmup_stop", None) is not None:
+        server._warmup_stop.set()
+        server._warmup_thread.join(timeout=600.0)
     service.close()      # drain coalescers: in-flight batches land
     service.env.close()  # waits out live store readers
     print("bye")

@@ -14,52 +14,40 @@ uninformative attempt.
 
 import os
 import signal
-import subprocess
-import sys
-import time
 
 import numpy as np
 from PIL import Image
 
-import clipx
+from tests._subproc import finish, read_until, spawn
 
 
-def _launch(photos, work, env):
+def _attempt(photos, work):
+    """One launch + mid-loop TERM. Returns (rc, merged output)."""
     code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
             "from clipx.cli.build_index import main;"
             f"raise SystemExit(main(['--model', 'tiny-test',"
             f"'--batch-size', '8', {str(photos) + os.sep!r}]))")
-    return subprocess.Popen([sys.executable, "-u", "-c", code],
-                            cwd=work, stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, env=env)
-
-
-def _attempt(photos, work, env):
-    """One launch + mid-loop TERM. Returns (rc, merged output)."""
-    proc = _launch(photos, work, env)
+    proc = spawn(code, cwd=work)
     try:
-        # wait for the first progress dot (at least one image committed,
-        # so phase 2 has something to index), then TERM mid-loop. Anchor
-        # past the newline of the "CLIPing ..." banner itself (it ends
-        # in "...", and plugin/stderr lines may precede it).
-        buf = ""
-        deadline = time.time() + 120
-        while "CLIPing" not in buf and time.time() < deadline:
-            buf += proc.stdout.read(1)
-        assert "CLIPing" in buf, buf
-        banner_at = buf.index("CLIPing")
-        while "\n" not in buf[banner_at:] and time.time() < deadline:
-            buf += proc.stdout.read(1)
-        banner_end = banner_at + buf[banner_at:].index("\n") + 1
-        while "." not in buf[banner_end:] and time.time() < deadline:
-            buf += proc.stdout.read(1)
-        assert "." in buf[banner_end:], buf
+        # wait for the first progress dot past the "CLIPing ..." banner
+        # newline (the banner itself ends in "...", and plugin/stderr
+        # lines may precede it): at least one batch is committed, so
+        # phase 2 has something to index. Then TERM mid-loop.
+        def saw_dot(text):
+            at = text.find("CLIPing")
+            if at < 0:
+                return False
+            nl = text.find("\n", at)
+            return nl >= 0 and "." in text[nl + 1:]
+
+        buf = read_until(proc, saw_dot, timeout=120)
+        assert saw_dot(buf), buf
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=120)
+        out = finish(proc, timeout=120)
     finally:
         if proc.poll() is None:
             proc.kill()
-            proc.communicate(timeout=30)
+            finish(proc, timeout=30)
     return proc.returncode, buf + out
 
 
@@ -70,16 +58,12 @@ def test_sigterm_rides_the_interrupt_contract(tmp_path):
     for i in range(96):
         Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
                         ).save(photos / f"p{i:03d}.jpg")
-    repo_root = os.path.dirname(os.path.dirname(
-        os.path.abspath(clipx.__file__)))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
     attempts = []
     for attempt in range(3):
         work = tmp_path / f"work{attempt}"
         work.mkdir()
-        rc, out = _attempt(photos, work, env)
+        rc, out = _attempt(photos, work)
         attempts.append((rc, out[-500:]))
         if "Interrupted!" in out:
             # the signal landed mid-encode-loop: the contract applies

@@ -964,8 +964,8 @@ def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
     draining, same as Ctrl-C: the default handler would kill the process
     mid-device-dispatch, and an abandoned claim wedges the chip."""
     import signal as _signal
-    import subprocess
-    import sys as _sys
+
+    from tests._subproc import finish, read_until, spawn
 
     photos = tmp_path / "photos"
     photos.mkdir()
@@ -982,28 +982,17 @@ def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
             "from clipx.serve import main;"
             "raise SystemExit(main(['--model', 'tiny-test', '--port', '0',"
             "'--no-warmup']))")
-    repo_root = os.path.dirname(os.path.dirname(
-        os.path.abspath(serve.__file__)))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
-    proc = subprocess.Popen([_sys.executable, "-u", "-c", code],
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, env=env)
+    proc = spawn(code, cwd=work)
     try:
         # skip plugin warnings etc. until the startup banner
-        seen = []
-        for _ in range(50):
-            line = proc.stdout.readline()
-            seen.append(line)
-            if "clipx-serve on" in line:
-                break
-            assert line, f"stdout closed before banner: {seen}"
-        else:
-            raise AssertionError(f"no banner: {seen}")
+        buf = read_until(proc, lambda t: "clipx-serve on" in t,
+                         timeout=120)
+        assert "clipx-serve on" in buf, buf
         proc.send_signal(_signal.SIGTERM)
-        out, _ = proc.communicate(timeout=60)
+        out = finish(proc, timeout=60)
     finally:
         if proc.poll() is None:
             proc.kill()
-    assert proc.returncode == 0, out
+            finish(proc, timeout=30)
+    assert proc.returncode == 0, buf + out
     assert "bye" in out

@@ -164,17 +164,10 @@ def test_sigterm_checkpoints_and_exits_zero(pair_dir, tmp_path):
     checkpoint, and exit 0 — the default disposition would die
     mid-device-dispatch and abandon the chip claim."""
     import signal
-    import subprocess
-    import sys
-    import time
 
-    import clipx
+    from tests._subproc import finish, read_until, spawn
 
     ckpt = str(tmp_path / "ckpts")
-    repo_root = os.path.dirname(os.path.dirname(
-        os.path.abspath(clipx.__file__)))
-    env = dict(os.environ)
-    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     code = ("import jax; jax.config.update('jax_platforms', 'cpu');"
             "from clipx.cli.train import main;"
             f"raise SystemExit(main([{pair_dir!r}, '--model', 'tiny-test',"
@@ -182,21 +175,16 @@ def test_sigterm_checkpoints_and_exits_zero(pair_dir, tmp_path):
             f"'--warmup-steps', '1', '--log-every', '1',"
             f"'--checkpoint-every', '100000', '--checkpoint-dir',"
             f"{ckpt!r}]))")
-    proc = subprocess.Popen([sys.executable, "-u", "-c", code],
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True, env=env)
+    proc = spawn(code)
     try:
-        buf = ""
-        deadline = time.time() + 180
-        while "step " not in buf and time.time() < deadline:
-            buf += proc.stdout.read(1)
+        buf = read_until(proc, lambda t: "step " in t, timeout=180)
         assert "step " in buf, buf
         proc.send_signal(signal.SIGTERM)
-        out, _ = proc.communicate(timeout=120)
+        out = finish(proc, timeout=120)
     finally:
         if proc.poll() is None:
             proc.kill()
-            proc.communicate(timeout=30)
+            finish(proc, timeout=30)
     out = buf + out
     assert proc.returncode == 0, out
     assert "SIGTERM: stopping after step" in out
