@@ -286,3 +286,34 @@ def test_device_preprocess_path(photo_dir, workdir, capsys):
     for k in host_vecs:
         cos = float(host_vecs[k] @ dev_vecs[k])
         assert cos > 0.9, (k, cos)  # same image, different resample path
+
+
+def test_multiple_dirs_one_invocation(photo_dir, tmp_path, workdir,
+                                      capsys):
+    """`build-index.py DIR1/ DIR2/` indexes the union with one id space:
+    one CLIPing banner per folder, ids = byte-sorted rank over ALL
+    stored paths (reference:build-index.py:28-34,87-88 — the reference
+    loops argv dirs the same way)."""
+    d2 = tmp_path / "morephotos"
+    d2.mkdir()
+    rng = np.random.RandomState(77)
+    for name in ["x1.jpg", "x2.png"]:
+        Image.fromarray(rng.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+                        ).save(d2 / name)
+    dir2 = str(d2) + os.sep
+    rc = bi.main(MODEL_FLAGS + [photo_dir, dir2])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert f"CLIPing {photo_dir}..." in out
+    assert f"CLIPing {dir2}..." in out
+    assert "Preparing index for 6 entries..." in out
+
+    env = open_env("vectors.lmdb", max_dbs=4)
+    idx_db = env.open_db(IDX_DB)
+    with env.begin(db=idx_db) as txn:
+        paths = [txn.get(f"{i}".encode()).decode() for i in range(6)]
+    env.close()
+    # ids are the byte-sorted rank across BOTH folders' paths
+    assert paths == sorted(paths)
+    assert {os.path.dirname(p) + os.sep for p in paths} == \
+        {photo_dir, dir2}
