@@ -787,8 +787,16 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
     server = serve.make_server(args)
     port = server.server_address[1]
     service = server.RequestHandlerClass.service
-    from clipx.search.ivf import IVFIndex
+    import jax
+
+    from clipx.search.ivf import IVFIndex, ShardedIVFIndex
     assert isinstance(service.index, IVFIndex)
+    if len(jax.devices()) >= 8:
+        # default --sharded auto: on the 8-device test mesh this whole
+        # test exercises serve + SHARDED IVF (probe knob, tail add,
+        # retrain) — pin it so a loader regression can't silently fall
+        # back to the single-device index
+        assert isinstance(service.index, ShardedIVFIndex)
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     try:
