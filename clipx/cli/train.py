@@ -28,7 +28,7 @@ from clipx import config as config_lib
 from clipx import train as train_lib
 from clipx.data.pipeline import IMAGE_EXTENSIONS, iter_decoded
 from clipx.models import convert
-from clipx.text.tokenizer import ClipTokenizer
+from clipx.text.tokenizer import default_tokenizer
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -86,7 +86,7 @@ class PairLoader:
         self.pairs = pairs
         self.image_size = image_size
         self.batch_size = batch_size
-        self.tok = ClipTokenizer()
+        self.tok = default_tokenizer()
         self.context_length = context_length
         self.rng = np.random.RandomState(seed)
         self.decode_workers = decode_workers
@@ -163,6 +163,19 @@ def main(argv=None) -> int:
     if args.init_checkpoint:
         params = convert.load_params(args.init_checkpoint)
         state = train_lib.TrainState(params, tx.init(params), state.step)
+        if not default_tokenizer().has_learned_merges:
+            # same trap as the query path (clipx/cli/common.py): real
+            # weights + byte-fallback token ids would FINE-TUNE the text
+            # tower against embedding rows the captions don't map to —
+            # silently corrupting it rather than erroring
+            print(
+                "WARNING: --init-checkpoint given but the BPE merge "
+                "table (bpe_simple_vocab_16e6.txt.gz) was not found — "
+                "caption token ids will not match the pretrained text "
+                "embeddings and fine-tuning will corrupt the text "
+                "tower. Point $CLIPX_BPE_PATH at the merge file or "
+                "place it next to clipx/text/tokenizer.py.",
+                flush=True)
 
     jitted, shard_state, batch_sh = train_lib.make_sharded_train_step(
         cfg, tx, mesh, remat=args.remat)

@@ -43,8 +43,8 @@ def scan_folder(base_path: str) -> List[str]:
     out = []
     for fn in os.listdir(base_path):
         tfn = base_path + fn
-        ext = os.path.splitext(fn)
-        if len(ext) < 2 or ext[1].lower() not in IMAGE_EXTENSIONS:
+        ext = os.path.splitext(fn)[1]
+        if ext.lower() not in IMAGE_EXTENSIONS:
             continue
         out.append(tfn)
     return out

@@ -147,7 +147,9 @@ def encode_text(params: Params, cfg: CLIPConfig, token_ids: jax.Array,
     """
     t = cfg.text
     p = params["text"]
-    x = p["token_embedding"].astype(dtype)[token_ids]
+    # gather BEFORE casting: casting the whole (49408, width) table to
+    # touch B x 77 rows reads ~100 MB of HBM per text encode
+    x = p["token_embedding"][token_ids].astype(dtype)
     x = x + p["pos_embedding"].astype(dtype)
     x = transformer(x, p["blocks"], t.heads, causal=True,
                     eps=cfg.layernorm_eps, use_quick_gelu=cfg.quick_gelu,

@@ -107,7 +107,10 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
             # FLOPs) — measured per shape, 2 is the ViT-B/32 default.
             import os
 
-            rows = int(os.environ.get("CLIPX_ATTN_ROWS", "2"))
+            try:
+                rows = int(os.environ.get("CLIPX_ATTN_ROWS", "2"))
+            except ValueError:  # sanitize like CLIPX_PACKED_SDPA does
+                rows = 2
             if rows < 2 or b % rows:
                 rows = 2
             wqkv, bqkv = _fused_qkv(p)

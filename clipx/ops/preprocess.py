@@ -109,6 +109,12 @@ def device_resize_normalize(batch_uint8: jax.Array, size: int = 224,
     256x256) and leave the resample to the TPU.
     """
     b, h, w, c = batch_uint8.shape
+    if h != w:
+        # a plain resize on a non-square canvas would silently distort
+        # aspect ratio; the shorter-side+center-crop contract only
+        # degenerates to resize for squares (caught at trace time)
+        raise ValueError(f"device preprocess requires a square canvas, "
+                         f"got {h}x{w}")
     x = batch_uint8.astype(jnp.float32)
     x = jax.image.resize(x, (b, size, size, c), method="bicubic",
                          antialias=True)

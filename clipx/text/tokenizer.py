@@ -38,6 +38,7 @@ EOT_TEXT = "<|endoftext|>"
 VOCAB_SIZE = 49408
 CONTEXT_LENGTH = 77
 _N_MERGES = VOCAB_SIZE - 256 * 2 - 2  # 48894 learned merges
+_CACHE_CAP = 65536  # distinct-word BPE cache bound (see bpe())
 
 # Word-splitting pattern: specials, common English contractions, letter
 # runs, single digits, runs of other non-space symbols (case-insensitive).
@@ -92,8 +93,15 @@ def _find_merge_file(path: Optional[str]) -> Optional[str]:
     if path:
         return path
     env = os.environ.get("CLIPX_BPE_PATH")
-    if env and os.path.exists(env):
-        return env
+    if env:
+        if os.path.exists(env):
+            return env
+        # an explicitly configured path that doesn't exist is a config
+        # error — falling back silently would swap in the byte-fallback
+        # vocabulary and quietly mismatch real checkpoint weights
+        raise FileNotFoundError(
+            f"$CLIPX_BPE_PATH={env!r} does not exist (unset it to use "
+            f"the byte-fallback vocabulary, or fix the path)")
     for cand in (
         os.path.join(os.path.dirname(__file__), "bpe_simple_vocab_16e6.txt.gz"),
         os.path.expanduser("~/.cache/clip/bpe_simple_vocab_16e6.txt.gz"),
@@ -189,6 +197,11 @@ class ClipTokenizer:
                 break
             pairs = _get_pairs(word)
         out = " ".join(word)
+        # bound the cache: the serve process tokenizes arbitrary user
+        # queries for weeks — OpenAI's unbounded dict is fine in a
+        # short-lived script, not in a long-lived server
+        if len(self._cache) >= _CACHE_CAP:
+            self._cache = {SOT_TEXT: SOT_TEXT, EOT_TEXT: EOT_TEXT}
         self._cache[token] = out
         return out
 
@@ -241,10 +254,25 @@ def _load_merges(path: str) -> List[Tuple[str, str]]:
     with opener(path, "rb") as f:
         data = f.read().decode("utf-8")
     lines = data.split("\n")
+    while lines and not lines[-1].strip():  # trailing EOF blanks are fine
+        lines.pop()
     # OpenAI file layout: header line, then merge pairs; only the first
-    # 48,894 merges participate in the 49,408 vocab.
-    merges = [tuple(line.split()) for line in lines[1 : _N_MERGES + 1]]
-    return [m for m in merges if len(m) == 2]
+    # 48,894 merges participate in the 49,408 vocab. A malformed line
+    # inside that range is a hard error: silently dropping it would
+    # shift every later merge product's id by one — misaligning ~half
+    # the vocabulary against a converted checkpoint's embedding rows
+    # with no symptom beyond quietly wrong rankings.
+    merges: List[Tuple[str, str]] = []
+    for lineno, line in enumerate(lines[1 : _N_MERGES + 1], start=2):
+        m = tuple(line.split())
+        if len(m) != 2:
+            raise ValueError(
+                f"{path}:{lineno}: malformed merge line {line!r} — the "
+                f"first {_N_MERGES} merges must all be 2-field (a "
+                f"truncated or edited BPE file would silently shift "
+                f"every later token id)")
+        merges.append(m)
+    return merges
 
 
 _DEFAULT: Optional[ClipTokenizer] = None

@@ -105,3 +105,13 @@ def test_pil_rgb_conversion_after_resize_crop():
     alt = pal.convert("RGB").resize((nw, nh), Image.BICUBIC)
     alt = np.asarray(alt.crop((left, top, left + 64, top + 64)))
     assert np.abs(out.astype(int) - alt.astype(int)).max() > 0
+
+
+def test_device_preprocess_rejects_non_square_canvas():
+    """A plain resize on a non-square canvas silently distorts aspect
+    ratio — the square-canvas contract is enforced at trace time."""
+    from clipx.ops.preprocess import device_resize_normalize
+
+    batch = np.zeros((2, 256, 320, 3), np.uint8)
+    with pytest.raises(ValueError, match="square canvas"):
+        device_resize_normalize(batch, 224)

@@ -7,6 +7,7 @@ merge table.
 """
 
 import numpy as np
+import pytest
 
 from clipx.text.tokenizer import (CONTEXT_LENGTH, VOCAB_SIZE, ClipTokenizer,
                                   bytes_to_unicode, tokenize)
@@ -139,3 +140,37 @@ def test_fuzz_invariants():
         eot_pos = int(np.argmax(out[0]))
         assert out[0, eot_pos] == tok.eot_token
         tok.decode(out[0].tolist())  # must not raise
+
+
+def test_malformed_merge_line_raises(tmp_path, monkeypatch):
+    """A malformed line INSIDE the merge range must be a hard error:
+    silently dropping it would shift every later merge id and misalign
+    ~half the vocab against converted checkpoint embeddings."""
+    path = tmp_path / "merges.txt"
+    path.write_text("header\nc a\n\nca t</w>\n")  # blank line mid-file
+    monkeypatch.setenv("CLIPX_BPE_PATH", str(path))
+    with pytest.raises(ValueError, match="malformed merge line"):
+        ClipTokenizer()
+
+
+def test_bpe_path_typo_raises(tmp_path, monkeypatch):
+    """An explicitly configured $CLIPX_BPE_PATH that doesn't exist is a
+    config error — silently falling back to the byte vocabulary would
+    quietly mismatch real checkpoint weights."""
+    monkeypatch.setenv("CLIPX_BPE_PATH", str(tmp_path / "nope.txt.gz"))
+    with pytest.raises(FileNotFoundError, match="CLIPX_BPE_PATH"):
+        ClipTokenizer()
+
+
+def test_bpe_cache_is_bounded(monkeypatch):
+    """The per-token cache must not grow without bound in a long-lived
+    serve process tokenizing arbitrary user queries."""
+    from clipx.text import tokenizer as tok_mod
+
+    monkeypatch.setattr(tok_mod, "_CACHE_CAP", 8)
+    tok = ClipTokenizer()
+    for i in range(50):
+        tok.bpe(f"word{i}")
+    assert len(tok._cache) <= 8 + 1  # cap + the entry just inserted
+    # correctness survives the resets
+    assert tok.bpe("word3") == tok.bpe("word3")

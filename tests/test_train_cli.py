@@ -191,3 +191,27 @@ def test_sigterm_checkpoints_and_exits_zero(pair_dir, tmp_path):
     assert "checkpoint ->" in out
     assert os.path.exists(os.path.join(ckpt, "latest"))
     assert os.path.exists(os.path.join(ckpt, "params.npz"))
+
+
+def test_init_checkpoint_without_merges_warns(pair_dir, tmp_path, capsys):
+    """Fine-tuning REAL weights with the byte-fallback tokenizer would
+    silently corrupt the text tower (caption ids don't map to the
+    pretrained embedding rows) — the CLI must warn loudly, same as the
+    query path (clipx/cli/common.py make_encoder)."""
+    from clipx import config as config_lib
+    from clipx.models import clip as model_lib
+    from clipx.models import convert
+
+    cfg = config_lib.get_config("tiny-test")
+    import jax
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    ckpt = str(tmp_path / "init.npz")
+    convert.save_params(ckpt, params)
+
+    rc = train_cli.main([pair_dir, "--model", "tiny-test", "--steps", "1",
+                         "--batch-size", "4", "--lr", "1e-3",
+                         "--warmup-steps", "1",
+                         "--init-checkpoint", ckpt])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "BPE merge" in out and "WARNING" in out
