@@ -43,9 +43,18 @@ _lib_lock = threading.Lock()
 
 
 def _build_library() -> None:
+    # compile to a temp file and atomically rename: the linker streams
+    # its output in place, so building straight to _LIB_PATH would let
+    # a concurrent process dlopen a half-written .so
+    tmp = _LIB_PATH + f".build.{os.getpid()}"
     cmd = ["g++", "-O2", "-std=c++17", "-fPIC", "-shared", _SRC_PATH,
-           "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+           "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB_PATH)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load() -> ctypes.CDLL:
@@ -57,7 +66,17 @@ def _load() -> ctypes.CDLL:
             return _lib
         if (not os.path.exists(_LIB_PATH)
                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC_PATH)):
-            _build_library()
+            # cross-PROCESS build exclusion (the in-process _lib_lock
+            # cannot stop build-index and serve racing a first-use
+            # compile); paired with the tmp+rename above, a loser of the
+            # race just re-checks and loads the winner's library
+            import fcntl
+            with open(_LIB_PATH + ".buildlock", "w") as lf:
+                fcntl.flock(lf, fcntl.LOCK_EX)
+                if (not os.path.exists(_LIB_PATH)
+                        or os.path.getmtime(_LIB_PATH)
+                        < os.path.getmtime(_SRC_PATH)):
+                    _build_library()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.cxkv_open.restype = ctypes.c_void_p
         lib.cxkv_open.argtypes = [ctypes.c_char_p]
@@ -126,6 +145,10 @@ class Cursor:
         self._h = handle
 
     def _step(self, fn) -> Optional[Tuple[bytes, bytes]]:
+        if not self._h:
+            # a NULL handle into the native call is a segfault, not an
+            # exception — match py-lmdb, which raises on finished objects
+            raise Error("cursor is closed")
         k = ctypes.POINTER(ctypes.c_char)()
         v = ctypes.POINTER(ctypes.c_char)()
         klen = ctypes.c_size_t()
@@ -171,8 +194,17 @@ class Transaction:
         self._write = write
         self._cursors = []
 
+    def _check(self) -> None:
+        # passing a NULL/stale handle into the native library segfaults
+        # the interpreter; py-lmdb raises on finished objects — so do we
+        if not self._h:
+            raise Error("transaction is finished (committed or aborted)")
+        if not self._env._h:
+            raise Error("environment is closed")
+
     # -- py-lmdb-shaped API -------------------------------------------------
     def get(self, key, default=None, db: Optional[int] = None):
+        self._check()
         key = _as_bytes(key)
         vlen = ctypes.c_size_t()
         ptr = self._lib.cxkv_get(self._h, self._db(db), key, len(key),
@@ -185,28 +217,34 @@ class Transaction:
             overwrite: bool = True) -> bool:
         # dupdata/overwrite accepted for reference-signature compatibility
         # (reference:build-index.py:88); the store is always last-write-wins.
+        self._check()
         key, value = _as_bytes(key), _as_bytes(value)
         if not overwrite and self.get(key, db=db) is not None:
             return False
         rc = self._lib.cxkv_put(self._h, self._db(db), key, len(key),
                                 value, len(value))
         if rc != 0:
-            raise Error("put on read-only or finished transaction")
+            raise Error("put on read-only/finished transaction "
+                        "or invalid db handle")
         return True
 
     def delete(self, key, db: Optional[int] = None) -> bool:
+        self._check()
         key = _as_bytes(key)
         existed = self.get(key, db=db) is not None
         rc = self._lib.cxkv_del(self._h, self._db(db), key, len(key))
         if rc != 0:
-            raise Error("delete on read-only or finished transaction")
+            raise Error("delete on read-only/finished transaction "
+                        "or invalid db handle")
         return existed
 
     def stat(self, db: Optional[int] = None) -> dict:
+        self._check()
         return {"entries": int(self._lib.cxkv_entries(self._env._h,
                                                       self._db(db)))}
 
     def cursor(self, db: Optional[int] = None) -> Cursor:
+        self._check()
         cur = Cursor(self._lib, self._lib.cxkv_cursor_open(self._h,
                                                            self._db(db)))
         self._cursors.append(cur)
@@ -272,6 +310,7 @@ class Environment:
         # a segfault when a serving thread raced env.close())
         self._txn_cv = threading.Condition()
         self._txn_live = 0
+        self._closing = False
         # the unnamed "main" database, like lmdb's default db
         self._main_db = self._lib.cxkv_db(self._h, b"")
 
@@ -310,7 +349,11 @@ class Environment:
 
     def _txn_enter(self) -> None:
         with self._txn_cv:
-            if not self._h:
+            # refuse NEW transactions once close() starts waiting — each
+            # cv.wait releases the lock, so without this gate a steady
+            # reader load keeps _txn_live above zero until the timeout
+            # and close() frees the native env under live readers
+            if not self._h or self._closing:
                 raise Error("environment is closed")
             self._txn_live += 1
 
@@ -329,6 +372,7 @@ class Environment:
         with self._txn_cv:
             if not self._h:
                 return
+            self._closing = True  # _txn_enter refuses new txns from here
             deadline = time.monotonic() + timeout
             while self._txn_live > 0:
                 remaining = deadline - time.monotonic()

@@ -162,7 +162,11 @@ struct Segment {
             for (uint64_t i = 0; i < d.count; ++i) {
                 uint64_t off;
                 ::memcpy(&off, d.index + 8 * i, 8);
-                if (off < 12 || off + 8 > size || off < prev) return false;
+                // NB: `off > size - 8`, not `off + 8 > size` — the
+                // latter wraps for corrupt offsets near UINT64_MAX and
+                // would pass the very check this loop exists for
+                // (size >= 12 was verified at the top of load)
+                if (off < 12 || off > size - 8 || off < prev) return false;
                 prev = off;
             }
             dbs.emplace(std::move(name), d);
@@ -234,6 +238,14 @@ struct DbState {
 
 struct Env {
     std::string dir;
+    // Serializes this process's flock windows. flock(2) locks belong to
+    // the open file description, not the thread: a second LOCK_EX on
+    // the already-held fd succeeds as a no-op and the first LOCK_UN
+    // releases it for everyone — two threads of one process would both
+    // "hold" the cross-process writer lock while another process
+    // legitimately acquires it. Always acquired BEFORE lock_fd's flock
+    // (and before mu, where both are taken).
+    std::mutex wlock_mu;
     std::mutex mu;                      // protects everything below
     std::map<std::string, int> db_ids;  // name -> id (process-local)
     std::vector<std::string> db_names;
@@ -262,15 +274,31 @@ std::string seg_path(const Env* env, uint64_t gen) {
     return env->dir + "/seg-" + std::to_string(gen) + ".cxs";
 }
 
-uint64_t read_manifest(const std::string& dir) {
+// 1 = parsed (gen filled), 0 = file missing (fresh env), -1 = file
+// exists but is unparseable. The distinction matters: treating a
+// CORRUPT manifest as "fresh gen-0" would make open GC the live
+// segment and WAL of whatever generation the env was really at —
+// silent total data loss instead of a loud failed open.
+int read_manifest_ex(const std::string& dir, uint64_t* gen_out) {
+    *gen_out = 0;
     FILE* f = ::fopen((dir + "/MANIFEST").c_str(), "rb");
     if (!f) return 0;
     char buf[64] = {0};
     size_t n = ::fread(buf, 1, sizeof(buf) - 1, f);
     ::fclose(f);
     unsigned long long gen = 0;
-    if (n < 8 || ::sscanf(buf, "CXMF001 %llu", &gen) != 1) return 0;
-    return static_cast<uint64_t>(gen);
+    if (n < 8 || ::sscanf(buf, "CXMF001 %llu", &gen) != 1) return -1;
+    *gen_out = static_cast<uint64_t>(gen);
+    return 1;
+}
+
+// best-effort variant for change-detection comparisons only (a corrupt
+// manifest reads as gen 0 there, which just forces a retry/reload that
+// then fails loudly through read_manifest_ex)
+uint64_t read_manifest(const std::string& dir) {
+    uint64_t gen = 0;
+    read_manifest_ex(dir, &gen);
+    return gen;
 }
 
 bool write_all(int fd, const void* data, size_t len) {
@@ -405,6 +433,14 @@ ReplayResult replay_wal(Env* env, const std::string& path,
             return kReplayBad;
         }
     }
+    // cap for the untrusted 32-bit length fields below: no record can
+    // be larger than the file that holds it. Without this, bit-rot in
+    // a length field makes resize() allocate-and-zero up to 12 GiB per
+    // record, and the resulting bad_alloc would cross the extern "C"
+    // boundary and abort the interpreter instead of failing the open.
+    struct stat fst;
+    uint64_t fsize = (::fstat(::fileno(f), &fst) == 0)
+                         ? static_cast<uint64_t>(fst.st_size) : 0;
     std::string db, key, val;
     long good_end = static_cast<long>(from_offset > 8 ? from_offset : 8);
     for (;;) {
@@ -415,6 +451,7 @@ ReplayResult replay_wal(Env* env, const std::string& path,
         if (::fread(&kl, 4, 1, f) != 1) break;
         if (::fread(&vl, 4, 1, f) != 1) break;
         if (op != kOpPut && op != kOpDel) break;  // unknown op: torn tail
+        if (static_cast<uint64_t>(dl) + kl + vl > fsize) break;  // torn/rot
         db.resize(dl);
         key.resize(kl);
         val.resize(vl);
@@ -441,7 +478,13 @@ ReplayResult replay_wal(Env* env, const std::string& path,
 // races.
 bool reload_locked(Env* env, bool trim_tail, bool exclusive) {
     for (int attempt = 0; attempt < 8; ++attempt) {
-        uint64_t gen = read_manifest(env->dir);
+        uint64_t gen = 0;
+        if (read_manifest_ex(env->dir, &gen) < 0) {
+            env->error = "corrupt MANIFEST in " + env->dir +
+                         " — refusing to treat the env as fresh "
+                         "(that would GC the live segment/WAL)";
+            return false;
+        }
         auto seg = std::make_shared<Segment>();
         bool have_seg = false;
         struct stat st;
@@ -500,10 +543,27 @@ bool reload_locked(Env* env, bool trim_tail, bool exclusive) {
 // rewrite the store from stale memory and drop their committed data.
 bool catch_up_locked(Env* env) {
     for (int attempt = 0; attempt < 8; ++attempt) {
-        uint64_t gen = read_manifest(env->dir);
+        uint64_t gen = 0;
+        if (read_manifest_ex(env->dir, &gen) < 0) {
+            env->error = "corrupt MANIFEST during catch-up";
+            return false;
+        }
         if (gen != env->gen) {
-            return reload_locked(env, /*trim_tail=*/false,
-                                 /*exclusive=*/false);
+            if (reload_locked(env, /*trim_tail=*/false,
+                              /*exclusive=*/false)) {
+                return true;
+            }
+            // reload resets the overlay before replaying: a failure
+            // here leaves the handle with a cleared/partial view while
+            // disk stays consistent. Mark it errored (same policy as
+            // the commit spill path) so callers get a distinct rc and
+            // readers aren't silently served vanishing keys forever.
+            if (env->error.empty()) {
+                env->error = "reload failed during catch-up; "
+                             "reopen the env";
+            }
+            env->failed = true;
+            return false;
         }
         ReplayResult r = replay_wal(env, wal_path(env, env->gen),
                                     env->log_offset, /*trim_tail=*/false);
@@ -776,6 +836,7 @@ void cxkv_close(void* handle) {
     Env* env = static_cast<Env*>(handle);
     if (!env) return;
     {
+        std::lock_guard<std::mutex> wl(env->wlock_mu);  // see wlock_mu decl
         std::lock_guard<std::mutex> g(env->mu);
         // fold a bulk ingest into the segment so the next open is cheap
         if (env->wal_records >= kCloseCompactWalRecords &&
@@ -814,19 +875,39 @@ void* cxkv_txn_begin(void* handle, int write) {
     return txn.release();
 }
 
+// a db id from some OTHER Environment (an easy caller mixup — handles
+// are small ints) must not index out of bounds at commit time
+static bool db_id_valid(Txn* txn, int db) {
+    std::lock_guard<std::mutex> g(txn->env->mu);
+    return db >= 0 && db < static_cast<int>(txn->env->dbs.size());
+}
+
 int cxkv_put(void* th, int db, const char* k, size_t klen,
              const char* v, size_t vlen) {
     Txn* txn = static_cast<Txn*>(th);
-    if (!txn->write || txn->done) return -1;
+    if (!txn->write || txn->done || !db_id_valid(txn, db)) return -1;
     txn->ops.push_back({kOpPut, db, std::string(k, klen), std::string(v, vlen)});
     return 0;
 }
 
 int cxkv_del(void* th, int db, const char* k, size_t klen) {
     Txn* txn = static_cast<Txn*>(th);
-    if (!txn->write || txn->done) return -1;
+    if (!txn->write || txn->done || !db_id_valid(txn, db)) return -1;
     txn->ops.push_back({kOpDel, db, std::string(k, klen), std::string()});
     return 0;
+}
+
+// Park a returned value in the txn's read buffer. BOUNDED: callers
+// (the ctypes binding) copy the value immediately after each call, so
+// only a few recent entries need to stay alive — retaining every value
+// ever read made a full-corpus txn.get scan hold the whole corpus in
+// RAM (the RSS class the LSM redesign exists to eliminate).
+static const char* stash_value(Txn* txn, const char* data, size_t len,
+                               size_t* vlen) {
+    if (txn->read_buf.size() >= 8) txn->read_buf.pop_front();
+    txn->read_buf.emplace_back(data, len);
+    *vlen = len;
+    return txn->read_buf.back().data();
 }
 
 const char* cxkv_get(void* th, int db, const char* k, size_t klen,
@@ -838,9 +919,7 @@ const char* cxkv_get(void* th, int db, const char* k, size_t klen,
     for (auto it = txn->ops.rbegin(); it != txn->ops.rend(); ++it) {
         if (it->db == db && it->key == key) {
             if (it->op == kOpDel) return nullptr;
-            txn->read_buf.push_back(it->val);
-            *vlen = txn->read_buf.back().size();
-            return txn->read_buf.back().data();
+            return stash_value(txn, it->val.data(), it->val.size(), vlen);
         }
     }
     std::lock_guard<std::mutex> g(env->mu);
@@ -848,16 +927,13 @@ const char* cxkv_get(void* th, int db, const char* k, size_t klen,
     const DbState& d = env->dbs[db];
     auto pit = d.puts.find(key);
     if (pit != d.puts.end()) {
-        txn->read_buf.push_back(pit->second);
-        *vlen = txn->read_buf.back().size();
-        return txn->read_buf.back().data();
+        return stash_value(txn, pit->second.data(), pit->second.size(),
+                           vlen);
     }
     if (d.dels.count(key)) return nullptr;
     SegEntry e;
     if (d.seg && env->segment && seg_find(*env->segment, *d.seg, key, &e)) {
-        txn->read_buf.emplace_back(e.val, e.vlen);
-        *vlen = txn->read_buf.back().size();
-        return txn->read_buf.back().data();
+        return stash_value(txn, e.val, e.vlen, vlen);
     }
     return nullptr;
 }
@@ -870,7 +946,11 @@ int cxkv_txn_commit(void* th) {
     Env* env = txn->env;
     if (env->failed) return -5;  // handle errored; reopen the env
 
-    // cross-process single-writer: hold the flock only for the commit
+    // cross-process single-writer: hold the flock only for the commit.
+    // wlock_mu first — see its declaration: without it a sibling
+    // thread's LOCK_EX would no-op on the shared fd and our LOCK_UN
+    // below would release the lock out from under it.
+    std::lock_guard<std::mutex> wl(env->wlock_mu);
     if (::flock(env->lock_fd, LOCK_EX) != 0) return -2;
     std::lock_guard<std::mutex> g(env->mu);
     // fold in records other processes appended (or generations they
@@ -1020,6 +1100,7 @@ void cxkv_cursor_close(void* ch) {
 
 int cxkv_compact(void* handle) {
     Env* env = static_cast<Env*>(handle);
+    std::lock_guard<std::mutex> wl(env->wlock_mu);  // see wlock_mu decl
     if (::flock(env->lock_fd, LOCK_EX) != 0) return -1;
     std::lock_guard<std::mutex> g(env->mu);
     bool ok = compact_locked(env);

@@ -333,3 +333,155 @@ def test_corrupt_segment_offsets_fail_open_cleanly(tmp_path):
         env.close()
     except kv.Error:
         pass  # detected at open — also acceptable
+
+
+def test_corrupt_manifest_fails_open_and_preserves_files(tmp_path):
+    """A MANIFEST that exists but doesn't parse must FAIL the open, not
+    read as 'fresh gen-0 env' — that misread would make open GC the
+    live segment and WAL (total data loss for a bad sector)."""
+    path = str(tmp_path / "env")
+    seg = _make_segmented_env(path)
+    with open(os.path.join(path, "MANIFEST"), "wb") as f:
+        f.write(b"\xff\xfe garbage not a manifest")
+    try:
+        kv.open_env(path)
+        assert False, "open with a corrupt MANIFEST should fail"
+    except kv.Error:
+        pass
+    # the live generation's files must still be on disk afterwards
+    assert seg in os.listdir(path)
+
+
+def test_segment_index_offset_overflow_fails_open(tmp_path):
+    """An index offset near UINT64_MAX must fail validation: the old
+    `off + 8 > size` check wrapped and let it through to an
+    out-of-bounds memcpy at query time."""
+    import struct
+
+    path = str(tmp_path / "env")
+    seg = _make_segmented_env(path)
+    full = os.path.join(path, seg)
+    with open(full, "r+b") as f:
+        raw = f.read()
+        # header: magic(8) u32 n_dbs, then per db: u32 name_len, name,
+        # u64 count, u64 index_off (docs/FORMATS.md)
+        (n_dbs,) = struct.unpack_from("<I", raw, 8)
+        pos = 12
+        poisoned = False
+        for _ in range(n_dbs):
+            (nl,) = struct.unpack_from("<I", raw, pos)
+            pos += 4 + nl
+            count, index_off = struct.unpack_from("<QQ", raw, pos)
+            pos += 16
+            if count:
+                f.seek(index_off)
+                f.write(struct.pack("<Q", 0xFFFFFFFFFFFFFFF8))
+                poisoned = True
+                break
+        assert poisoned
+    try:
+        env = kv.open_env(path)
+        env.close()
+        assert False, "open with an overflowing index offset should fail"
+    except kv.Error:
+        pass
+
+
+def test_wal_bitrot_length_fields_are_torn_tail(tmp_path):
+    """Garbage 32-bit length fields in a WAL record must be treated as
+    a torn tail — not resize()d into multi-GiB allocations whose
+    bad_alloc aborts the interpreter through the C ABI."""
+    import struct
+
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"real", b"value")
+    env.close()
+    wal = [f for f in os.listdir(path)
+           if f.endswith(".cxkv")][0]
+    with open(os.path.join(path, wal), "ab") as f:
+        f.write(struct.pack("<BIII", 1, 0xFFFFFFFF, 0xFFFFFFFF,
+                            0xFFFFFFFF))
+        f.write(b"short")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    with env.begin(db=db) as txn:
+        assert txn.get(b"real") == b"value"  # prefix survived
+    env.close()
+
+
+def test_finished_handles_raise_not_segfault(tmp_path):
+    """Use-after-finish on txns/cursors/envs must raise kv.Error like
+    py-lmdb — a NULL handle into the native library is a segfault."""
+    import pytest
+
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    txn = env.begin(db=db, write=True)
+    txn.put(b"k", b"v")
+    cur = txn.cursor()
+    txn.commit()
+    for op in (lambda: txn.get(b"k"), lambda: txn.put(b"k", b"v"),
+               lambda: txn.delete(b"k"), lambda: txn.cursor(),
+               lambda: cur.first()):
+        with pytest.raises(kv.Error):
+            op()
+    txn2 = env.begin(db=db)
+    env2_closer = None
+    assert txn2.get(b"k") == b"v"
+    txn2.abort()
+    env.close()
+    with pytest.raises(kv.Error):
+        env.begin(db=db)
+
+
+def test_close_refuses_new_txns_while_draining(tmp_path):
+    """Once close() starts waiting for in-flight readers, NEW begin()
+    calls must raise — otherwise steady read load starves the drain
+    until the timeout and close frees the env under live readers."""
+    import threading
+
+    import pytest
+
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    db = env.open_db(b"db")
+    with env.begin(db=db, write=True) as txn:
+        txn.put(b"k", b"v")
+
+    reader = env.begin(db=db)      # in-flight reader holds the drain
+    closed = threading.Event()
+
+    def closer():
+        env.close(timeout=30)
+        closed.set()
+
+    t = threading.Thread(target=closer)
+    t.start()
+    # wait until close() is inside its drain wait
+    deadline = time.monotonic() + 5
+    while not env._closing and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert env._closing
+    with pytest.raises(kv.Error):
+        env.begin(db=db)           # refused during the drain
+    reader.abort()                 # release: close must now finish
+    assert closed.wait(10)
+    t.join(timeout=5)
+
+
+def test_put_with_invalid_db_id_raises(tmp_path):
+    """A db id from another Environment (or plain garbage) must raise,
+    not index out of bounds at commit time."""
+    import pytest
+
+    path = str(tmp_path / "env")
+    env = kv.open_env(path)
+    txn = env.begin(write=True)
+    with pytest.raises(kv.Error):
+        txn.put(b"k", b"v", db=99)
+    txn.abort()
+    env.close()
