@@ -186,13 +186,14 @@ def bench_text_encode(model: str) -> dict:
     return {"text_ms": per * 1e3}
 
 
-def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
+def bench_search(n_vectors: int, dim: int, k: int, trials: int,
+                 dtype: str = "f32") -> dict:
     import jax
     import jax.numpy as jnp
 
     from clipx.search.engine import _search_kernel, _bucket_k, _bucket_rows
 
-    log(f"building {n_vectors:,} x {dim} corpus on device ...")
+    log(f"building {n_vectors:,} x {dim} {dtype} corpus on device ...")
     n_pad = _bucket_rows(n_vectors)
 
     # generate + normalize directly on device — a 2 GB host->device copy
@@ -200,14 +201,16 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
     @jax.jit
     def make_corpus(key):
         c = jax.random.normal(key, (n_pad, dim), jnp.float32)
-        return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+        return c.astype(jnp.bfloat16) if dtype == "bf16" else c
 
     corpus = make_corpus(jax.random.PRNGKey(1))
     valid = jnp.int32(n_vectors)
     kk = _bucket_k(k)
     # vary the query per call — identical-arg dispatches have produced
-    # implausible (above-roofline) timings on this runtime
-    queries = [corpus[i: i + 1] for i in range(32)]
+    # implausible (above-roofline) timings on this runtime. Queries are
+    # f32 like production hands them in (VectorIndex.search)
+    queries = [corpus[i: i + 1].astype(jnp.float32) for i in range(32)]
 
     def timed(fn):
         np.asarray(fn(queries[0])[0])  # compile
@@ -219,8 +222,11 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int) -> dict:
 
         return _slope_time(one, np.asarray, max(trials // 8, 2), trials)
 
+    # the exact kernel sees queries in the corpus dtype, as
+    # VectorIndex.search casts them (bf16 x bf16 scan at half the bytes)
     p50_exact = timed(
-        lambda q: _search_kernel(corpus, valid, q, kk)) * 1e3
+        lambda q: _search_kernel(corpus, valid, q.astype(corpus.dtype),
+                                 kk)) * 1e3
     from clipx.search.engine import (_quantize_device,
                                      _search_kernel_int8_seg)
 
@@ -357,6 +363,11 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--corpus", type=int, default=1_000_000)
+    ap.add_argument("--corpus-dtype", choices=("f32", "bf16"),
+                    default="f32",
+                    help="storage dtype of the benchmark search corpora "
+                         "(the --corpus-dtype capacity knob); bf16 "
+                         "metrics are labeled distinctly in the JSON")
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
@@ -378,7 +389,8 @@ def main() -> int:
     enc = bench_encode(args.batch_size, args.iters, args.model)
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
-              else bench_search(args.corpus, args.dim, 50, args.trials))
+              else bench_search(args.corpus, args.dim, 50, args.trials,
+                                dtype=args.corpus_dtype))
     ivf = ({} if args.skip_search or args.skip_ivf
            else bench_ivf(args.corpus, args.dim, 50, args.trials,
                           probes=tuple(int(p) for p in
@@ -388,7 +400,7 @@ def main() -> int:
     # trials — the short run never fills the dispatch pipeline)
     search5m = ({} if (args.skip_search or args.skip_stress)
                 else bench_search(STRESS_CORPUS, args.dim, 50,
-                                  args.trials))
+                                  args.trials, dtype=args.corpus_dtype))
     dp = bench_dp_encode(args.batch_size, args.iters, args.model,
                          args.dp) if args.dp > 1 else {}
     # the big search corpora are freed before ViT-L params/activations
@@ -402,6 +414,8 @@ def main() -> int:
     nlab = (f"{args.corpus // 1_000_000}M"
             if args.corpus % 1_000_000 == 0 and args.corpus >= 1_000_000
             else str(args.corpus))
+    if args.corpus_dtype != "f32":
+        nlab += f"_{args.corpus_dtype}"  # bf16 runs must not masquerade
     result = {
         "metric": "images/sec/chip (ViT-B/32 indexing encode)",
         "value": value,

@@ -39,6 +39,18 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                                                        DEFAULT_DB_PATH))
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
                                                           DEFAULT_INDEX_PATH))
+    parser.add_argument("--corpus-dtype", choices=("f32", "bf16"),
+                        default=os.environ.get("CLIPX_CORPUS_DTYPE", "f32"),
+                        help="device storage dtype of the search corpus. "
+                             "bf16 halves HBM (roughly doubles the "
+                             "vectors one chip can serve) and halves "
+                             "exact-scan bytes; scoring still "
+                             "accumulates in f32, so ranking drift is "
+                             "bounded by bf16 rounding of the stored "
+                             "rows (~1e-3 cosine — the same "
+                             "near-duplicate regime as the int8 scan "
+                             "notes in clipx/search/engine.py). The "
+                             "on-disk sidecar stays f32 either way")
     parser.add_argument("--search-mode",
                         choices=("exact", "quant", "auto", "ivf"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
@@ -77,6 +89,7 @@ def build_index_from_vectors(vectors, args):
 
     mode = getattr(args, "sharded", "off")
     search_mode = getattr(args, "search_mode", "auto")
+    dtype = corpus_dtype(args)
     import jax
 
     if search_mode == "ivf":
@@ -90,18 +103,30 @@ def build_index_from_vectors(vectors, args):
         return cls.from_vectors(
             vectors,
             quantized=vectors.shape[0] >= QUANT_AUTO_THRESHOLD,
+            dtype=dtype,
             cache_path=getattr(args, "index", DEFAULT_INDEX_PATH) + ".ivf")
     if mode == "on" or (mode == "auto" and len(jax.devices()) > 1):
         from clipx.parallel.mips import ShardedVectorIndex
 
         if vectors.shape[0] > 0:
-            sharded = ShardedVectorIndex(vectors)
+            sharded = ShardedVectorIndex(vectors, dtype=dtype)
             sharded.nprobe = 32
             # --search-mode applies to both branches: the int8-scan +
             # exact-rescore win must not silently disappear on a pod
             return apply_search_mode(sharded, search_mode)
-    return apply_search_mode(VectorIndex.from_vectors(vectors),
+    return apply_search_mode(VectorIndex.from_vectors(vectors, dtype=dtype),
                              search_mode)
+
+
+def corpus_dtype(args):
+    """Resolve --corpus-dtype / $CLIPX_CORPUS_DTYPE to a jnp dtype."""
+    import jax.numpy as jnp
+
+    name = getattr(args, "corpus_dtype",
+                   os.environ.get("CLIPX_CORPUS_DTYPE", "f32"))
+    if name not in ("f32", "bf16"):
+        raise SystemExit(f"unknown corpus dtype {name!r} (f32 or bf16)")
+    return jnp.bfloat16 if name == "bf16" else jnp.float32
 
 
 def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:

@@ -210,9 +210,10 @@ class ShardedVectorIndex:
 
     def _ensure_codes(self):
         if self._codes is None:
-            if self.dtype != jnp.float32:
-                raise ValueError("quantized sharded search requires the "
-                                 "f32 corpus (dtype=jnp.float32)")
+            if self.dtype not in (jnp.float32, jnp.bfloat16):
+                raise ValueError("quantized sharded search requires a "
+                                 "float corpus (dtype f32 or bf16), got "
+                                 f"{jnp.dtype(self.dtype).name}")
             codes, scales = _quantize_device(self._corpus)
             spec = NamedSharding(self.mesh, P(AXIS, None))
             self._codes = jax.lax.with_sharding_constraint(codes, spec)

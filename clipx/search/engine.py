@@ -196,11 +196,17 @@ RESCORE_MARGIN = 4
 
 @jax.jit
 def _quantize_device(corpus: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """On-device symmetric per-row int8 quantization of the scan copy."""
-    scales = jnp.maximum(jnp.abs(corpus).max(axis=1, keepdims=True),
+    """On-device symmetric per-row int8 quantization of the scan copy.
+
+    The f32 upcast keeps code rounding exact when the stored corpus is
+    bf16 (its 8-bit significand would perturb ``corpus / scales`` by up
+    to ~0.4% before rint); XLA fuses the convert into the elementwise
+    chain, so no f32 copy of the corpus is ever materialized."""
+    c = corpus.astype(jnp.float32)
+    scales = jnp.maximum(jnp.abs(c).max(axis=1, keepdims=True),
                          1e-12) / 127.0
-    codes = jnp.clip(jnp.rint(corpus / scales), -127, 127).astype(jnp.int8)
-    return codes, scales[:, 0].astype(jnp.float32)
+    codes = jnp.clip(jnp.rint(c / scales), -127, 127).astype(jnp.int8)
+    return codes, scales[:, 0]
 
 
 def quantize_rows(vectors: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -453,9 +459,10 @@ class VectorIndex:
     def _ensure_codes(self) -> None:
         if self._codes is not None:
             return
-        if self.dtype != jnp.float32:
-            raise ValueError("quantized search rescoring requires the "
-                             "f32 corpus (dtype=jnp.float32)")
+        if self.dtype not in (jnp.float32, jnp.bfloat16):
+            raise ValueError("quantized search rescoring requires a float "
+                             "corpus (dtype f32 or bf16), got "
+                             f"{jnp.dtype(self.dtype).name}")
         self._codes, self._scales = _quantize_device(self._corpus)
 
     # -- reconstruction ---------------------------------------------------------

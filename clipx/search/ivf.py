@@ -270,9 +270,14 @@ class IVFIndex:
     # off this flag
     supports_nprobe = True
 
-    def __init__(self, dim: int, quantized: bool = False):
+    def __init__(self, dim: int, quantized: bool = False,
+                 dtype=jnp.float32):
         self.dim = dim
         self.quantized = quantized
+        # storage dtype of the device-resident rows (f32 exact, or bf16
+        # to halve HBM — the rescore still accumulates in f32; see
+        # --corpus-dtype in clipx/cli/common.py for the trade)
+        self.dtype = dtype
         self.ntotal = 0
         self._nprobe = 32  # reference:query-index.py:30
         self._corpus3: Optional[jax.Array] = None   # (S, 64, D) f32
@@ -322,7 +327,8 @@ class IVFIndex:
         live = row_ext >= 0
         padded = np.zeros((segs * _SEG_W, self.dim), np.float32)
         padded[live] = vectors[row_ext[live]]
-        corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim))
+        corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim),
+                              dtype=self.dtype)
         valid2 = live.reshape(segs, _SEG_W)
         counts = valid2.sum(axis=1).astype(np.float32)
         self._corpus3 = corpus3
@@ -348,7 +354,7 @@ class IVFIndex:
         if vectors.shape[0] == 0:
             return
         if self._tail is None:
-            self._tail = engine.VectorIndex(self.dim)
+            self._tail = engine.VectorIndex(self.dim, dtype=self.dtype)
         self._tail.add(vectors)
         self.ntotal = self._base_n + self._tail.ntotal
 
@@ -500,11 +506,14 @@ def _load_cache(path: str, vectors: np.ndarray) -> Optional[np.ndarray]:
 @jax.jit
 def _quantize_segments(c3: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-row int8 quantization of (S, 64, D) segments — elementwise
-    per row, so GSPMD keeps the segment sharding with zero comms."""
-    scales = jnp.maximum(jnp.abs(c3).max(axis=2), 1e-12) / 127.0
-    codes = jnp.clip(jnp.rint(c3 / scales[..., None]), -127, 127
+    per row, so GSPMD keeps the segment sharding with zero comms. The
+    f32 upcast keeps code rounding exact for bf16-stored segments and
+    fuses into the elementwise chain (see engine._quantize_device)."""
+    c = c3.astype(jnp.float32)
+    scales = jnp.maximum(jnp.abs(c).max(axis=2), 1e-12) / 127.0
+    codes = jnp.clip(jnp.rint(c / scales[..., None]), -127, 127
                      ).astype(jnp.int8)
-    return codes, scales.astype(jnp.float32)
+    return codes, scales
 
 
 class ShardedIVFIndex(IVFIndex):
@@ -530,12 +539,13 @@ class ShardedIVFIndex(IVFIndex):
     exact tail until the next full rebuild re-clusters them.
     """
 
-    def __init__(self, dim: int, quantized: bool = False, mesh=None):
+    def __init__(self, dim: int, quantized: bool = False, mesh=None,
+                 dtype=jnp.float32):
         from jax.sharding import Mesh
 
         from clipx.parallel.mips import AXIS
 
-        super().__init__(dim, quantized=quantized)
+        super().__init__(dim, quantized=quantized, dtype=dtype)
         if mesh is None:
             mesh = Mesh(np.asarray(jax.devices()), (AXIS,))
         if AXIS not in mesh.axis_names:
@@ -570,7 +580,8 @@ class ShardedIVFIndex(IVFIndex):
         padded = np.zeros((segs_pad * _SEG_W, self.dim), np.float32)
         padded[live] = vectors[row_ext[live]]
         corpus3 = jax.device_put(
-            padded.reshape(segs_pad, _SEG_W, self.dim), self._spec(2))
+            padded.reshape(segs_pad, _SEG_W, self.dim).astype(self.dtype),
+            self._spec(2))
         valid2 = live.reshape(segs_pad, _SEG_W)
         counts = jax.device_put(
             valid2.sum(axis=1).astype(np.float32), self._spec(0))

@@ -1,0 +1,181 @@
+"""--corpus-dtype bf16: halved-HBM corpus storage with f32 accumulation.
+
+The capacity knob (clipx/cli/common.py): store the device corpus in
+bfloat16 so one chip serves ~2x the vectors, while every score still
+accumulates in f32. Ranking drift is bounded by bf16 rounding of the
+stored rows (~1e-3 cosine), so on corpora whose top-k score gaps exceed
+that noise the ranking must be IDENTICAL to f32 — pinned here with a
+planted corpus whose gaps are controlled. The on-disk sidecar stays f32
+(reference contract: reference:build-index.py:109 equivalent).
+"""
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from clipx.cli import common
+from clipx.search.engine import VectorIndex, write_index, read_index
+
+
+def _planted(rng, n, d=64, k=16, gap=0.02):
+    """Corpus + query where the true top-k is unambiguous: k planted
+    rows score 0.9, 0.9-gap, 0.9-2*gap, ... against the query; the
+    other rows are random with max score pushed below the planted band."""
+    q = rng.randn(d).astype(np.float32)
+    q /= np.linalg.norm(q)
+    noise = rng.randn(n, d).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    # strip the q component then re-add a small controlled amount so no
+    # noise row can reach the planted score band
+    noise -= np.outer(noise @ q, q)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    noise = 0.95 * noise + np.outer(
+        0.2 * rng.rand(n).astype(np.float32), q)
+    planted = np.zeros((k, d), np.float32)
+    for i in range(k):
+        s = 0.9 - i * gap
+        r = rng.randn(d).astype(np.float32)
+        r -= (r @ q) * q
+        r /= np.linalg.norm(r)
+        planted[i] = s * q + np.sqrt(1 - s * s) * r
+    corpus = np.concatenate([noise, planted]).astype(np.float32)
+    expect = np.arange(n, n + k, dtype=np.int64)
+    return corpus, q[None, :], expect
+
+
+def test_exact_bf16_ranking_matches_f32():
+    rng = np.random.RandomState(0)
+    corpus, q, expect = _planted(rng, 2000)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.bfloat16)
+    assert idx._corpus.dtype == jnp.bfloat16
+    D, I = idx.search(q, k=16)
+    np.testing.assert_array_equal(I[0], expect)
+    ref = (q @ corpus.T)[0][expect]
+    np.testing.assert_allclose(D[0], ref, atol=5e-3)
+
+
+def test_quantized_bf16_ranking_matches_f32():
+    rng = np.random.RandomState(1)
+    corpus, q, expect = _planted(rng, 4096)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.bfloat16,
+                                   quantized=True)
+    D, I = idx.search(q, k=16)
+    assert idx._codes is not None and idx._codes.dtype == jnp.int8
+    np.testing.assert_array_equal(I[0], expect)
+
+
+def test_quantize_device_exact_codes_from_bf16():
+    """Code rounding must happen in f32: quantizing the bf16-rounded
+    corpus must equal quantizing those same values held in f32 (a bf16
+    division before rint perturbs codes by +-1)."""
+    from clipx.search.engine import _quantize_device
+
+    rng = np.random.RandomState(2)
+    v32 = rng.randn(256, 64).astype(np.float32)
+    vbf = jnp.asarray(v32, jnp.bfloat16)
+    c_bf, s_bf = _quantize_device(vbf)
+    c_32, s_32 = _quantize_device(vbf.astype(jnp.float32))
+    np.testing.assert_array_equal(np.asarray(c_bf), np.asarray(c_32))
+    np.testing.assert_array_equal(np.asarray(s_bf), np.asarray(s_32))
+    assert s_bf.dtype == jnp.float32
+
+
+def test_bf16_add_and_grow_keep_dtype():
+    rng = np.random.RandomState(3)
+    idx = VectorIndex.from_vectors(
+        rng.randn(100, 32).astype(np.float32), dtype=jnp.bfloat16)
+    for _ in range(3):
+        idx.add(rng.randn(2500, 32).astype(np.float32))
+    assert idx.ntotal == 7600
+    assert idx._corpus.dtype == jnp.bfloat16
+    D, I = idx.search(rng.randn(1, 32).astype(np.float32), k=5)
+    assert np.isfinite(D).all() and (I >= 0).all()
+
+
+def test_bf16_sidecar_stays_f32(tmp_path):
+    rng = np.random.RandomState(4)
+    corpus = rng.randn(50, 16).astype(np.float32)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.bfloat16)
+    path = str(tmp_path / "images.index")
+    write_index(idx, path)
+    back = read_index(path)
+    assert back._corpus.dtype == jnp.float32
+    # rows round-tripped through bf16 storage: equal to bf16(f32 rows)
+    np.testing.assert_array_equal(
+        back.vectors(), np.asarray(jnp.asarray(corpus, jnp.bfloat16),
+                                   np.float32))
+
+
+def test_sharded_bf16_matches_single_device():
+    from clipx.parallel.mips import ShardedVectorIndex
+
+    rng = np.random.RandomState(5)
+    corpus, q, expect = _planted(rng, 3000)
+    sh = ShardedVectorIndex(corpus, dtype=jnp.bfloat16, quantized=True)
+    assert sh._corpus.dtype == jnp.bfloat16
+    D, I = sh.search(q, k=16)
+    np.testing.assert_array_equal(I[0], expect)
+    single = VectorIndex.from_vectors(corpus, dtype=jnp.bfloat16,
+                                      quantized=True)
+    Ds, Is = single.search(q, k=16)
+    np.testing.assert_array_equal(I, Is)
+    np.testing.assert_allclose(D, Ds, atol=1e-5)
+
+
+def test_ivf_bf16_full_probe_matches_exact():
+    from clipx.search.ivf import IVFIndex
+
+    rng = np.random.RandomState(6)
+    corpus, q, expect = _planted(rng, 3000)
+    idx = IVFIndex.from_vectors(corpus, dtype=jnp.bfloat16)
+    assert idx._corpus3.dtype == jnp.bfloat16
+    D, I = idx.search(q, k=16, nprobe=100)
+    np.testing.assert_array_equal(I[0], expect)
+    # tail adds inherit the storage dtype
+    idx.add(corpus[:10])
+    assert idx._tail._corpus.dtype == jnp.bfloat16
+
+
+def _args(**kw):
+    ns = argparse.Namespace(sharded="off", search_mode="auto",
+                            index="unused", corpus_dtype="f32")
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_flag_plumbs_to_every_index_type(tmp_path):
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 32).astype(np.float32)
+
+    idx = common.build_index_from_vectors(vecs, _args(corpus_dtype="bf16"))
+    assert idx._corpus.dtype == jnp.bfloat16
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="bf16", sharded="on"))
+    assert idx._corpus.dtype == jnp.bfloat16
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="bf16", search_mode="ivf",
+                    index=str(tmp_path / "i.index")))
+    assert idx._corpus3.dtype == jnp.bfloat16
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="bf16", search_mode="ivf", sharded="on",
+                    index=str(tmp_path / "i.index")))
+    assert idx._corpus3.dtype == jnp.bfloat16
+
+    # default stays exact f32
+    idx = common.build_index_from_vectors(vecs, _args())
+    assert idx._corpus.dtype == jnp.float32
+
+
+def test_bad_dtype_rejected():
+    with pytest.raises(ValueError):
+        VectorIndex.from_vectors(
+            np.random.RandomState(8).randn(200000, 8).astype(np.float32)
+            [:2000], dtype=jnp.float16, quantized=True).search(
+                np.zeros((1, 8), np.float32), 5)
