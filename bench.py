@@ -187,7 +187,7 @@ def bench_text_encode(model: str) -> dict:
 
 
 def bench_search(n_vectors: int, dim: int, k: int, trials: int,
-                 dtype: str = "f32") -> dict:
+                 dtype: str = "f32", skip_quant: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -227,6 +227,12 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
     p50_exact = timed(
         lambda q: _search_kernel(corpus, valid, q.astype(corpus.dtype),
                                  kk)) * 1e3
+    if skip_quant:
+        # capacity probes past the int8-copy budget (e.g. 13M bf16 on a
+        # 16 GiB chip) measure the exact path only
+        log(f"  search over {n_vectors:,}: {p50_exact:.3f} ms "
+            f"{dtype}-exact (quant skipped)")
+        return {"p50_ms": p50_exact, "p50_ms_f32": p50_exact}
     from clipx.search.engine import (_quantize_device,
                                      _search_kernel_int8_seg)
 
@@ -371,6 +377,9 @@ def main() -> int:
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
+    ap.add_argument("--skip-quant", action="store_true",
+                    help="measure only the exact scan in bench_search "
+                         "(capacity probes past the int8-copy budget)")
     ap.add_argument("--skip-ivf", action="store_true",
                     help="skip the --search-mode ivf probed-scan timings")
     ap.add_argument("--ivf-probes", default="2,8,32",
@@ -390,7 +399,8 @@ def main() -> int:
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials,
-                                dtype=args.corpus_dtype))
+                                dtype=args.corpus_dtype,
+                                skip_quant=args.skip_quant))
     ivf = ({} if args.skip_search or args.skip_ivf
            else bench_ivf(args.corpus, args.dim, 50, args.trials,
                           probes=tuple(int(p) for p in

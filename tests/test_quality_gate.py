@@ -59,6 +59,16 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
     m = _parse(r"ivf-int8 vs exact: recall@50 ([0-9.]+) at nprobe=100",
                out)
     assert float(m.group(1)) >= 0.95
+    # bf16 corpus storage (--corpus-dtype bf16): drift is bf16 rounding
+    # of the stored rows (measured ~3e-4 score delta). A random corpus
+    # is the adversarial case — adjacent rank-50 gaps are sub-1e-3, the
+    # regime real CLIP embeddings only hit inside near-duplicate
+    # clusters — so recall ~0.996 here bounds it from below; top-1 must
+    # still be exact
+    m = _parse(r"bf16-corpus int8\+rescore vs exact f32: recall@50 "
+               r"([0-9.]+), top-1 agreement ([0-9.]+)", out)
+    assert float(m.group(1)) >= 0.99
+    assert float(m.group(2)) == 1.0
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

@@ -71,6 +71,20 @@ def main(argv=None) -> int:
     print(f"int8+rescore vs exact: recall@{k} {recall:.4f}, "
           f"top-1 agreement {top1:.4f}")
 
+    # bf16 storage agreement (--corpus-dtype bf16, the capacity knob):
+    # drift is bounded by bf16 rounding of the stored rows, so recall
+    # against the f32-exact ranking is the number operators care about
+    import jax.numpy as jnp
+
+    bf16 = VectorIndex.from_vectors(index.vectors(), dtype=jnp.bfloat16,
+                                    quantized=True)
+    Db, Ib = bf16.search(queries, k=k)
+    recall = np.mean([len(set(Ie[i]) & set(Ib[i])) / k
+                      for i in range(len(sample))])
+    top1 = float(np.mean(Ie[:, 0] == Ib[:, 0]))
+    print(f"bf16-corpus int8+rescore vs exact f32: recall@{k} "
+          f"{recall:.4f}, top-1 agreement {top1:.4f}")
+
     import jax
     if len(jax.devices()) > 1:
         from clipx.parallel.mips import ShardedVectorIndex
