@@ -19,6 +19,7 @@ publishes no numbers of its own — BASELINE.md).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -195,6 +196,62 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
 
     log(f"building {n_vectors:,} x {dim} {dtype} corpus on device ...")
     n_pad = _bucket_rows(n_vectors)
+    valid = jnp.int32(n_vectors)
+    kk = _bucket_k(k)
+
+    if dtype == "int8":
+        # int8-STORAGE capacity probe (--corpus-dtype int8): codes are
+        # the corpus. Generate + quantize in chunks with donating
+        # in-place assembly so the f32 generation transient never
+        # exceeds one chunk (a whole-corpus f32 intermediate would be
+        # 4x the final size and OOM any interesting N).
+        from clipx.search.engine import _search_kernel_int8_pure
+
+        ch = min(n_pad, int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
+                                           1 << 20)))
+        n_pad = -(-n_pad // ch) * ch
+
+        @jax.jit
+        def make_chunk(key):
+            c = jax.random.normal(key, (ch, dim), jnp.float32)
+            c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+            scales = jnp.maximum(jnp.abs(c).max(axis=1, keepdims=True),
+                                 1e-12) / 127.0
+            codes = jnp.clip(jnp.rint(c / scales), -127, 127
+                             ).astype(jnp.int8)
+            return codes, scales[:, 0]
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def place(c, s, uc, us, start):
+            return (jax.lax.dynamic_update_slice(c, uc, (start, 0)),
+                    jax.lax.dynamic_update_slice(s, us, (start,)))
+
+        codes = jnp.zeros((n_pad, dim), jnp.int8)
+        scales = jnp.full((n_pad,), 1e-12, jnp.float32)
+        for i in range(n_pad // ch):
+            uc, us = make_chunk(jax.random.PRNGKey(100 + i))
+            codes, scales = place(codes, scales, uc, us,
+                                  jnp.int32(i * ch))
+        # f32 queries dequantized from stored rows, like production
+        queries = [(codes[i: i + 1].astype(jnp.float32)
+                    * scales[i, None, None]) for i in range(32)]
+
+        def timed8(fn):
+            np.asarray(fn(queries[0])[0])  # compile
+            state = {"i": 0}
+
+            def one():
+                state["i"] += 1
+                return fn(queries[state["i"] % 32])[0]
+
+            return _slope_time(one, np.asarray, max(trials // 8, 2),
+                               trials)
+
+        p50 = timed8(lambda q: _search_kernel_int8_pure(
+            codes, scales, valid, q, kk)) * 1e3
+        log(f"  search over {n_vectors:,}: {p50:.3f} ms int8-storage "
+            "(dequantized rescore)")
+        return {"p50_ms": p50, "p50_ms_f32": p50}
 
     # generate + normalize directly on device — a 2 GB host->device copy
     # rides a slow tunnel on this dev host and isn't what we're measuring
@@ -205,8 +262,6 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
         return c.astype(jnp.bfloat16) if dtype == "bf16" else c
 
     corpus = make_corpus(jax.random.PRNGKey(1))
-    valid = jnp.int32(n_vectors)
-    kk = _bucket_k(k)
     # vary the query per call — identical-arg dispatches have produced
     # implausible (above-roofline) timings on this runtime. Queries are
     # f32 like production hands them in (VectorIndex.search)
@@ -369,10 +424,10 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--corpus", type=int, default=1_000_000)
-    ap.add_argument("--corpus-dtype", choices=("f32", "bf16"),
+    ap.add_argument("--corpus-dtype", choices=("f32", "bf16", "int8"),
                     default="f32",
                     help="storage dtype of the benchmark search corpora "
-                         "(the --corpus-dtype capacity knob); bf16 "
+                         "(the --corpus-dtype capacity knob); bf16/int8 "
                          "metrics are labeled distinctly in the JSON")
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)

@@ -39,7 +39,7 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                                                        DEFAULT_DB_PATH))
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
                                                           DEFAULT_INDEX_PATH))
-    parser.add_argument("--corpus-dtype", choices=("f32", "bf16"),
+    parser.add_argument("--corpus-dtype", choices=("f32", "bf16", "int8"),
                         default=os.environ.get("CLIPX_CORPUS_DTYPE", "f32"),
                         help="device storage dtype of the search corpus. "
                              "bf16 halves HBM (roughly doubles the "
@@ -49,8 +49,14 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                              "bounded by bf16 rounding of the stored "
                              "rows (~1e-3 cosine — the same "
                              "near-duplicate regime as the int8 scan "
-                             "notes in clipx/search/engine.py). The "
-                             "on-disk sidecar stays f32 either way")
+                             "notes in clipx/search/engine.py). int8 "
+                             "stores ONLY per-row-quantized codes "
+                             "(1 B/dim, ~5x the f32 capacity); the scan "
+                             "is always quantized and candidates "
+                             "rescore from dequantized rows in f32 "
+                             "(score error ~5e-4; not available with "
+                             "--search-mode ivf). The on-disk sidecar "
+                             "stays f32 either way")
     parser.add_argument("--search-mode",
                         choices=("exact", "quant", "auto", "ivf"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
@@ -93,6 +99,12 @@ def build_index_from_vectors(vectors, args):
     import jax
 
     if search_mode == "ivf":
+        import jax.numpy as jnp
+
+        if dtype == jnp.int8:
+            raise SystemExit("--corpus-dtype int8 does not compose with "
+                             "--search-mode ivf (IVF rescores from "
+                             "stored rows); use bf16 or f32")
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
         cls = IVFIndex
@@ -124,9 +136,11 @@ def corpus_dtype(args):
 
     name = getattr(args, "corpus_dtype",
                    os.environ.get("CLIPX_CORPUS_DTYPE", "f32"))
-    if name not in ("f32", "bf16"):
-        raise SystemExit(f"unknown corpus dtype {name!r} (f32 or bf16)")
-    return jnp.bfloat16 if name == "bf16" else jnp.float32
+    table = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}
+    if name not in table:
+        raise SystemExit(f"unknown corpus dtype {name!r} "
+                         f"(f32, bf16 or int8)")
+    return table[name]
 
 
 def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
@@ -138,6 +152,8 @@ def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
 
 def apply_search_mode(index, mode: str):
     """Configure an index's scan mode per the --search-mode flag."""
+    if getattr(index, "int8_storage", False):
+        return index  # codes are the corpus: the scan is always quantized
     if hasattr(index, "quantized"):
         if mode == "ivf":
             # IVF quantizes its probed scan past the same threshold

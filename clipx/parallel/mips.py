@@ -27,8 +27,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
-                                 _pad_q, _padded_append,
-                                 _exact_topk, _quantize_device, clamp_k)
+                                 _int8_append, _pad_q, _padded_append,
+                                 _exact_topk, _quantize_device, clamp_k,
+                                 quantize_rows)
 
 AXIS = "shard"
 
@@ -100,6 +101,46 @@ def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
     return _merge_across_shards(d, gi, merge_k)
 
 
+def _local_topk_kernel_int8_pure(codes_local: jax.Array,
+                                 scales_local: jax.Array,
+                                 queries: jax.Array,
+                                 valid_total: jax.Array, k: int,
+                                 merge_k: int
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """int8-STORAGE shard kernel (--corpus-dtype int8): the codes are
+    the corpus; candidates rescore from dequantized code rows in f32
+    (see engine._search_kernel_int8_pure for the error analysis)."""
+    rows = codes_local.shape[0]
+    my = jax.lax.axis_index(AXIS)
+    base = my * rows
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    raw = jax.lax.dot_general(codes_local, q_codes,
+                              (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)  # (rows, Q)
+    approx = raw.astype(jnp.float32) * scales_local[:, None]
+    lrows = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+    approx = jnp.where(lrows + base < valid_total, approx, -jnp.inf)
+    nq = queries.shape[0]
+    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)   # (segs, Q)
+    segs = segmax.shape[0]
+    s = min(k, segs)
+    _, seg_idx = jax.lax.top_k(segmax.T, s)               # (Q, s)
+    rows_deq = (codes_local.reshape(segs, _SEG_W, -1)[seg_idx]
+                .astype(jnp.float32)
+                * scales_local.reshape(segs, _SEG_W)[seg_idx][..., None])
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows_deq,
+                       preferred_element_type=jnp.float32)
+    gids = (base + seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(gids < valid_total, exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
+    gi = jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel, axis=1)
+    return _merge_across_shards(d, gi, merge_k)
+
+
 class ShardedVectorIndex:
     """Flat exact MIPS with the corpus row-sharded over a 1D mesh axis."""
 
@@ -111,11 +152,21 @@ class ShardedVectorIndex:
             raise ValueError(f"mesh must have a {AXIS!r} axis")
         self.mesh = mesh
         self.dtype = dtype
-        self.quantized = quantized
+        # int8 STORAGE (--corpus-dtype int8): codes are the corpus, scan
+        # always quantized, rescore dequantizes (engine notes)
+        self.int8_storage = jnp.dtype(dtype) == jnp.int8
+        self.quantized = True if self.int8_storage else quantized
         self._codes = None
         self._scales = None
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.ntotal, self.dim = vectors.shape
+        self._search_fns = {}
+        self._update_fns = {}
+        if self.int8_storage:
+            self._corpus = None
+            codes, scales = quantize_rows(vectors)
+            self._place_int8(codes, scales)
+            return
         n_shards = mesh.shape[AXIS]
         # pad so every shard holds the same row count (static shapes)
         rows = -(-max(self.ntotal, 1) // n_shards)
@@ -124,8 +175,6 @@ class ShardedVectorIndex:
         padded[: self.ntotal] = vectors
         self._corpus = jax.device_put(
             padded.astype(dtype), self._sharding())
-        self._search_fns = {}
-        self._update_fns = {}
 
     def _sharding(self):
         return NamedSharding(self.mesh, P(AXIS, None))
@@ -149,6 +198,9 @@ class ShardedVectorIndex:
         n_new = vectors.shape[0]
         if n_new == 0:
             return
+        if self.int8_storage:
+            _int8_append(self, vectors)
+            return
         _padded_append(self, vectors)
         self._codes = None  # int8 scan copy rebuilt lazily on next search
         self._scales = None
@@ -161,6 +213,33 @@ class ShardedVectorIndex:
                 donate_argnums=(0,), out_shardings=self._sharding())
         return self._update_fns[pad_len]
 
+    def _scales_sharding(self):
+        return NamedSharding(self.mesh, P(AXIS))
+
+    def _place_int8(self, codes: np.ndarray, scales: np.ndarray) -> None:
+        n_shards = self.mesh.shape[AXIS]
+        n = codes.shape[0]
+        rows = -(-max(n, 1) // n_shards)
+        rows = max(128, -(-rows // 128) * 128)
+        pc = np.zeros((rows * n_shards, self.dim), np.int8)
+        pc[:n] = codes
+        ps = np.full((rows * n_shards,), 1e-12, np.float32)
+        ps[:n] = scales
+        self._codes = jax.device_put(pc, self._sharding())
+        self._scales = jax.device_put(ps, self._scales_sharding())
+
+    def _update_int8_fn(self, pad_len: int):
+        key = ("int8", pad_len)
+        if key not in self._update_fns:
+            self._update_fns[key] = jax.jit(
+                lambda c, s, uc, us, start: (
+                    jax.lax.dynamic_update_slice(c, uc, (start, 0)),
+                    jax.lax.dynamic_update_slice(s, us, (start,))),
+                donate_argnums=(0, 1),
+                out_shardings=(self._sharding(),
+                               self._scales_sharding()))
+        return self._update_fns[key]
+
     def _grow(self, need: int) -> None:
         """Re-pad to a geometric row bucket (like the single-device
         index) entirely on device: the old padded array is copied into
@@ -172,6 +251,21 @@ class ShardedVectorIndex:
         rows = max(128, -(-rows // 128) * 128)
         new_cap = rows * n_shards
         dim, dtype, sharding = self.dim, self.dtype, self._sharding()
+
+        if self.int8_storage:
+            @functools.partial(
+                jax.jit, out_shardings=(sharding,
+                                        self._scales_sharding()))
+            def regrow8(c, s):
+                nc = jnp.zeros((new_cap, dim), jnp.int8)
+                ns = jnp.full((new_cap,), 1e-12, jnp.float32)
+                return (jax.lax.dynamic_update_slice(nc, c, (0, 0)),
+                        jax.lax.dynamic_update_slice(ns, s, (0,)))
+
+            self._codes, self._scales = regrow8(self._codes, self._scales)
+            self._search_fns = {}
+            self._update_fns = {}
+            return
 
         @functools.partial(jax.jit, out_shardings=sharding)
         def regrow(old):
@@ -187,12 +281,16 @@ class ShardedVectorIndex:
         self._scales = None
 
     def _compiled(self, k: int, merge_k: int):
-        key = (k, merge_k, self.quantized)
+        key = (k, merge_k, self.quantized, self.int8_storage)
         if key not in self._search_fns:
             # outputs are replicated by construction (every shard computes
             # the same merge after the all_gather); the static vma checker
             # can't see that through axis_index, hence check_vma=False
-            if self.quantized:
+            if self.int8_storage:
+                fn = functools.partial(_local_topk_kernel_int8_pure, k=k,
+                                       merge_k=merge_k)
+                in_specs = (P(AXIS, None), P(AXIS), P(None, None), P())
+            elif self.quantized:
                 fn = functools.partial(_local_topk_kernel_int8, k=k,
                                        merge_k=merge_k)
                 in_specs = (P(AXIS, None), P(AXIS), P(AXIS, None),
@@ -209,6 +307,8 @@ class ShardedVectorIndex:
         return self._search_fns[key]
 
     def _ensure_codes(self):
+        if self.int8_storage:
+            return  # the codes ARE the corpus
         if self._codes is None:
             if self.dtype not in (jnp.float32, jnp.bfloat16):
                 raise ValueError("quantized sharded search requires a "
@@ -239,13 +339,18 @@ class ShardedVectorIndex:
                     np.concatenate([p[1] for p in parts]))
         queries, nq = _pad_q(queries)  # Q buckets: one compile per
         n_shards = self.mesh.shape[AXIS]  # power-of-two fill, not per N
-        rows_per_shard = self._corpus.shape[0] // n_shards
+        cap = (self._codes if self.int8_storage else self._corpus).shape[0]
+        rows_per_shard = cap // n_shards
         kk = min(_bucket_k(k), rows_per_shard)
         # merge over the gathered n_shards * kk pool, not just kk: when
         # k > rows_per_shard every shard still contributes its full top
         # list, so all valid rows are returned (single-device parity)
         merge_k = min(_bucket_k(k), n_shards * kk)
-        if self.quantized:
+        if self.int8_storage:
+            d, i = self._compiled(kk, merge_k)(
+                self._codes, self._scales,
+                jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))
+        elif self.quantized:
             self._ensure_codes()
             d, i = self._compiled(kk, merge_k)(
                 self._codes, self._scales, self._corpus,

@@ -299,6 +299,46 @@ def _search_kernel_int8_seg(codes: jax.Array, scales: jax.Array,
                                   axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int8_pure(codes: jax.Array, scales: jax.Array,
+                             valid: jax.Array, queries: jax.Array, k: int
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """int8-ONLY storage (--corpus-dtype int8): the scan codes ARE the
+    corpus — 1 B/dim, ~5x the f32 capacity per chip. Same transposed
+    scan + segment-max candidate selection as _search_kernel_int8_seg;
+    the rescore dequantizes the candidate rows (codes * per-row scale)
+    and accumulates in f32, so the query-side quantization error of the
+    scan cancels and the returned scores carry only the corpus rounding
+    error (per-element step max|x|/127 -> score RMS error ~5e-4 for
+    unit-norm CLIP embeddings — same order as bf16 storage at half the
+    bytes; recall gated in test_quality_gate)."""
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    raw = jax.lax.dot_general(codes, q_codes, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.int32)   # (N, Q)
+    approx = raw.astype(jnp.float32) * scales[:, None]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+    approx = jnp.where(row_ids < valid, approx, -jnp.inf)
+    nq = queries.shape[0]
+    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)      # (segs, Q)
+    segs = segmax.shape[0]
+    s = min(k, segs)
+    _, seg_idx = jax.lax.top_k(segmax.T, s)                  # (Q, s)
+    codes3 = codes.reshape(segs, _SEG_W, -1)
+    rows = (codes3[seg_idx].astype(jnp.float32)
+            * scales.reshape(segs, _SEG_W)[seg_idx][..., None])
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    gids = (seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(gids < valid, exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
+    return d, jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel,
+                                  axis=1)
+
+
 def _int8_impl() -> str:
     """CLIPX_INT8_SCAN: 'seg' (segment-granular, default) or 'element'
     (round-2 per-element margin path, kept for A/B)."""
@@ -333,6 +373,37 @@ def _padded_append(index, vectors: np.ndarray) -> None:
     index.ntotal += n_new
 
 
+def _int8_append(index, vectors: np.ndarray) -> None:
+    """Shared add() for int8-STORAGE indexes (VectorIndex and
+    clipx/parallel/mips.ShardedVectorIndex): quantize on the HOST so the
+    upload is 1 B/dim (the H2D path is the expensive part here), place
+    padded code/scale arrays on first add, and append in place with a
+    donating two-array ``dynamic_update_slice`` afterwards. ``index``
+    provides ``_place_int8(codes, scales)``, ``_grow(need)`` and
+    ``_update_int8_fn(pad_len)`` (where the sharded class pins
+    out_shardings). Padded scale slots hold the quantizer's epsilon so a
+    dequantized padding row is exactly zero."""
+    codes, scales = quantize_rows(vectors)
+    n_new = vectors.shape[0]
+    if index._codes is None:
+        index._place_int8(codes, scales)
+        index.ntotal = n_new
+        return
+    pad_len = 128
+    while pad_len < n_new:
+        pad_len *= 2
+    if index.ntotal + pad_len > index._codes.shape[0]:
+        index._grow(index.ntotal + pad_len)
+    uc = np.zeros((pad_len, index.dim), np.int8)
+    uc[:n_new] = codes
+    us = np.full((pad_len,), 1e-12, np.float32)
+    us[:n_new] = scales
+    index._codes, index._scales = index._update_int8_fn(pad_len)(
+        index._codes, index._scales, jnp.asarray(uc), jnp.asarray(us),
+        jnp.int32(index.ntotal))
+    index.ntotal += n_new
+
+
 class VectorIndex:
     """Flat inner-product index over device-resident vectors.
 
@@ -343,7 +414,11 @@ class VectorIndex:
     def __init__(self, dim: int, dtype=jnp.float32, quantized: bool = False):
         self.dim = dim
         self.dtype = dtype
-        self.quantized = quantized
+        # int8 STORAGE (--corpus-dtype int8): the codes are the corpus
+        # (1 B/dim, no full-precision rows on device); scan is always
+        # quantized and the rescore dequantizes candidates in f32
+        self.int8_storage = jnp.dtype(dtype) == jnp.int8
+        self.quantized = True if self.int8_storage else quantized
         self.ntotal = 0
         self.nprobe = 32  # compatibility no-op (reference:query-index.py:30)
         self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
@@ -379,6 +454,9 @@ class VectorIndex:
         n_new = vectors.shape[0]
         if n_new == 0:
             return
+        if self.int8_storage:
+            _int8_append(self, vectors)
+            return
         if self._corpus is None:
             bucket = _bucket_rows(n_new)
             padded = np.zeros((bucket, self.dim), np.float32)
@@ -398,9 +476,40 @@ class VectorIndex:
                 donate_argnums=(0,))
         return self._update_fns[pad_len]
 
+    def _place_int8(self, codes: np.ndarray, scales: np.ndarray) -> None:
+        bucket = _bucket_rows(codes.shape[0])
+        pc = np.zeros((bucket, self.dim), np.int8)
+        pc[: codes.shape[0]] = codes
+        ps = np.full((bucket,), 1e-12, np.float32)
+        ps[: scales.shape[0]] = scales
+        self._codes = jax.device_put(pc)
+        self._scales = jax.device_put(ps)
+
+    def _update_int8_fn(self, pad_len: int):
+        key = ("int8", pad_len)
+        if key not in self._update_fns:
+            self._update_fns[key] = jax.jit(
+                lambda c, s, uc, us, start: (
+                    jax.lax.dynamic_update_slice(c, uc, (start, 0)),
+                    jax.lax.dynamic_update_slice(s, us, (start,))),
+                donate_argnums=(0, 1))
+        return self._update_fns[key]
+
     def _grow(self, need: int) -> None:
         dim, dtype = self.dim, self.dtype
         new_cap = _bucket_rows(need)
+
+        if self.int8_storage:
+            @jax.jit
+            def regrow8(c, s):
+                nc = jnp.zeros((new_cap, dim), jnp.int8)
+                ns = jnp.full((new_cap,), 1e-12, jnp.float32)
+                return (jax.lax.dynamic_update_slice(nc, c, (0, 0)),
+                        jax.lax.dynamic_update_slice(ns, s, (0,)))
+
+            self._codes, self._scales = regrow8(self._codes, self._scales)
+            self._update_fns = {}
+            return
 
         @jax.jit
         def regrow(old):
@@ -433,8 +542,14 @@ class VectorIndex:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         queries, nq = _pad_q(queries)
-        kk = min(_bucket_k(k), self._corpus.shape[0])
-        if self.quantized:
+        cap_rows = (self._codes if self.int8_storage
+                    else self._corpus).shape[0]
+        kk = min(_bucket_k(k), cap_rows)
+        if self.int8_storage:
+            scores, ids = _search_kernel_int8_pure(
+                self._codes, self._scales, jnp.int32(self.ntotal),
+                jnp.asarray(queries), kk)
+        elif self.quantized:
             self._ensure_codes()
             kernel = (_search_kernel_int8_seg if _int8_impl() == "seg"
                       else _search_kernel_int8)
@@ -459,6 +574,9 @@ class VectorIndex:
     def _ensure_codes(self) -> None:
         if self._codes is not None:
             return
+        if self.int8_storage:
+            raise RuntimeError("int8-storage index has no codes — "
+                               "nothing was added yet")
         if self.dtype not in (jnp.float32, jnp.bfloat16):
             raise ValueError("quantized search rescoring requires a float "
                              "corpus (dtype f32 or bf16), got "
@@ -469,9 +587,17 @@ class VectorIndex:
     def reconstruct(self, row: int) -> np.ndarray:
         if not (0 <= row < self.ntotal):
             raise IndexError(row)
+        if self.int8_storage:
+            return (np.asarray(self._codes[row], dtype=np.float32)
+                    * float(self._scales[row]))
         return np.asarray(self._corpus[row], dtype=np.float32)
 
     def vectors(self) -> np.ndarray:
+        if self.int8_storage:
+            if self._codes is None:
+                return np.zeros((0, self.dim), dtype=np.float32)
+            c = np.asarray(self._codes[: self.ntotal], dtype=np.float32)
+            return c * np.asarray(self._scales[: self.ntotal])[:, None]
         if self._corpus is None:
             return np.zeros((0, self.dim), dtype=np.float32)
         return np.asarray(self._corpus[: self.ntotal], dtype=np.float32)

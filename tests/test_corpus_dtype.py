@@ -179,3 +179,91 @@ def test_bad_dtype_rejected():
             np.random.RandomState(8).randn(200000, 8).astype(np.float32)
             [:2000], dtype=jnp.float16, quantized=True).search(
                 np.zeros((1, 8), np.float32), 5)
+
+
+# -- int8 STORAGE (--corpus-dtype int8): the codes are the corpus ---------
+
+
+def test_int8_storage_ranking_matches_f32():
+    rng = np.random.RandomState(10)
+    corpus, q, expect = _planted(rng, 4096)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.int8)
+    assert idx.int8_storage and idx.quantized
+    assert idx._corpus is None and idx._codes.dtype == jnp.int8
+    D, I = idx.search(q, k=16)
+    np.testing.assert_array_equal(I[0], expect)
+    ref = (q @ corpus.T)[0][expect]
+    np.testing.assert_allclose(D[0], ref, atol=5e-3)
+
+
+def test_int8_storage_add_and_grow():
+    rng = np.random.RandomState(11)
+    idx = VectorIndex.from_vectors(
+        rng.randn(100, 32).astype(np.float32), dtype=jnp.int8)
+    for _ in range(3):
+        idx.add(rng.randn(2500, 32).astype(np.float32))
+    assert idx.ntotal == 7600
+    assert idx._codes.dtype == jnp.int8
+    D, I = idx.search(rng.randn(1, 32).astype(np.float32), k=5)
+    assert np.isfinite(D).all() and (I >= 0).all()
+    # ids continue: a vector added later must be findable by self-match.
+    # Inner-product search: the probe must dominate every corpus row's
+    # IP with itself, so give it a norm above the corpus rows' (~5.7)
+    probe = rng.randn(1, 32).astype(np.float32)
+    probe *= 10.0 / np.linalg.norm(probe)
+    idx.add(probe)
+    D, I = idx.search(probe, k=1)
+    assert I[0, 0] == idx.ntotal - 1
+
+
+def test_int8_storage_reconstruct_and_vectors_dequantize():
+    rng = np.random.RandomState(12)
+    corpus = rng.randn(60, 16).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.int8)
+    rec = idx.reconstruct(7)
+    cos = float(rec @ corpus[7] / np.linalg.norm(rec))
+    assert cos > 0.9999
+    v = idx.vectors()
+    assert v.shape == corpus.shape and v.dtype == np.float32
+    np.testing.assert_allclose(v, corpus, atol=2e-2)
+
+
+def test_int8_storage_sharded_matches_single_device():
+    from clipx.parallel.mips import ShardedVectorIndex
+
+    rng = np.random.RandomState(13)
+    corpus, q, expect = _planted(rng, 3000)
+    sh = ShardedVectorIndex(corpus, dtype=jnp.int8)
+    assert sh.int8_storage and sh._corpus is None
+    D, I = sh.search(q, k=16)
+    np.testing.assert_array_equal(I[0], expect)
+    single = VectorIndex.from_vectors(corpus, dtype=jnp.int8)
+    Ds, Is = single.search(q, k=16)
+    np.testing.assert_array_equal(I, Is)
+    np.testing.assert_allclose(D, Ds, atol=1e-5)
+    # in-place sharded add (serve /reload) keeps storage + ranking sane
+    sh2 = ShardedVectorIndex(corpus[:2000], dtype=jnp.int8)
+    sh2.add(corpus[2000:])
+    D2, I2 = sh2.search(q, k=16)
+    np.testing.assert_array_equal(I2, I)
+
+
+def test_int8_flag_plumbs_and_search_mode_is_fixed(tmp_path):
+    rng = np.random.RandomState(14)
+    vecs = rng.randn(300, 32).astype(np.float32)
+
+    idx = common.build_index_from_vectors(vecs, _args(corpus_dtype="int8"))
+    assert idx.int8_storage
+    # exact mode cannot un-quantize an int8-storage index
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int8", search_mode="exact"))
+    assert idx.int8_storage and idx.quantized
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int8", sharded="on"))
+    assert idx.int8_storage
+
+    with pytest.raises(SystemExit):
+        common.build_index_from_vectors(
+            vecs, _args(corpus_dtype="int8", search_mode="ivf",
+                        index=str(tmp_path / "i.index")))

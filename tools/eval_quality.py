@@ -85,6 +85,16 @@ def main(argv=None) -> int:
     print(f"bf16-corpus int8+rescore vs exact f32: recall@{k} "
           f"{recall:.4f}, top-1 agreement {top1:.4f}")
 
+    # int8 STORAGE (--corpus-dtype int8): codes are the corpus, rescore
+    # dequantizes — the ~5x-capacity tier's quality number
+    i8 = VectorIndex.from_vectors(index.vectors(), dtype=jnp.int8)
+    D8, I8 = i8.search(queries, k=k)
+    recall = np.mean([len(set(Ie[i]) & set(I8[i])) / k
+                      for i in range(len(sample))])
+    top1 = float(np.mean(Ie[:, 0] == I8[:, 0]))
+    print(f"int8-storage vs exact f32: recall@{k} {recall:.4f}, "
+          f"top-1 agreement {top1:.4f}")
+
     import jax
     if len(jax.devices()) > 1:
         from clipx.parallel.mips import ShardedVectorIndex
