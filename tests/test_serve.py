@@ -1004,3 +1004,51 @@ def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
             finish(proc, timeout=30)
     assert proc.returncode == 0, buf + out
     assert "bye" in out
+
+
+@pytest.mark.parametrize("cdtype", ["bf16", "int8"])
+def test_serve_corpus_dtype_search_and_incremental_reload(
+        tmp_path, monkeypatch, cdtype):
+    """--corpus-dtype under serve: searches work, and an append-only
+    rebuild reloads INCREMENTALLY — the delta-add path differs per
+    storage (bf16 pads+casts rows, int8 quantizes on host), so both are
+    pinned against the full-reload fallback silently taking over."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(9)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0",
+         "--corpus-dtype", cdtype])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        if cdtype == "int8":
+            assert server.RequestHandlerClass.service.index.int8_storage
+        status, data = _get(port, "/search?q=anything&k=2")
+        assert status == 200 and len(data["results"]) == 2
+        status, sim = _get(port, "/similar?id=1&k=2")
+        assert status == 200 and sim["results"][0]["id"] == 1
+
+        # append-only growth -> prefix hash matches -> incremental add
+        for i in range(4, 7):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3),
+                                        dtype=np.uint8)
+                            ).save(photos / f"p{i}.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        status, r = _post(port, "/reload", {})
+        assert status == 200 and r["mode"] == "incremental", r
+        assert r["ntotal"] == 7
+        status, sim = _get(port, "/similar?id=6&k=1")
+        assert status == 200 and sim["results"][0]["id"] == 6
+    finally:
+        server.shutdown()
