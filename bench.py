@@ -205,10 +205,14 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
         # in-place assembly so the f32 generation transient never
         # exceeds one chunk (a whole-corpus f32 intermediate would be
         # 4x the final size and OOM any interesting N).
-        from clipx.search.engine import _search_kernel_int8_pure
+        from clipx.search.engine import _SEG_W, _search_kernel_int8_pure
 
         ch = min(n_pad, int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
                                            1 << 20)))
+        # keep n_pad segment-aligned: a misaligned chunk would only blow
+        # up in the kernel's (-1, _SEG_W, Q) reshape AFTER minutes of
+        # capacity-scale corpus generation on the exclusive chip
+        ch = max(_SEG_W, -(-ch // _SEG_W) * _SEG_W)
         n_pad = -(-n_pad // ch) * ch
 
         @jax.jit
@@ -251,7 +255,7 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
             codes, scales, valid, q, kk)) * 1e3
         log(f"  search over {n_vectors:,}: {p50:.3f} ms int8-storage "
             "(dequantized rescore)")
-        return {"p50_ms": p50, "p50_ms_f32": p50}
+        return {"p50_ms": p50, "p50_ms_f32": None}  # no exact scan ran
 
     # generate + normalize directly on device — a 2 GB host->device copy
     # rides a slow tunnel on this dev host and isn't what we're measuring
@@ -287,7 +291,7 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
         # 16 GiB chip) measure the exact path only
         log(f"  search over {n_vectors:,}: {p50_exact:.3f} ms "
             f"{dtype}-exact (quant skipped)")
-        return {"p50_ms": p50_exact, "p50_ms_f32": p50_exact}
+        return {"p50_ms": None, "p50_ms_f32": p50_exact}
     from clipx.search.engine import (_quantize_device,
                                      _search_kernel_int8_seg)
 
@@ -465,7 +469,8 @@ def main() -> int:
     # trials — the short run never fills the dispatch pipeline)
     search5m = ({} if (args.skip_search or args.skip_stress)
                 else bench_search(STRESS_CORPUS, args.dim, 50,
-                                  args.trials, dtype=args.corpus_dtype))
+                                  args.trials, dtype=args.corpus_dtype,
+                                  skip_quant=args.skip_quant))
     dp = bench_dp_encode(args.batch_size, args.iters, args.model,
                          args.dp) if args.dp > 1 else {}
     # the big search corpora are freed before ViT-L params/activations
@@ -476,11 +481,24 @@ def main() -> int:
     value = round(enc["images_per_sec"], 1)
     # label search metrics by the ACTUAL corpus size so a --corpus
     # override can't masquerade as the default 1M artifact
-    nlab = (f"{args.corpus // 1_000_000}M"
-            if args.corpus % 1_000_000 == 0 and args.corpus >= 1_000_000
-            else str(args.corpus))
-    if args.corpus_dtype != "f32":
-        nlab += f"_{args.corpus_dtype}"  # bf16 runs must not masquerade
+    # metric labels carry the ACTUAL corpus size AND storage dtype so a
+    # --corpus / --corpus-dtype override can never masquerade as the
+    # default f32 artifact; the exact-scan key is "_f32_exact" only
+    # when the scanned corpus really was f32
+    suffix = "" if args.corpus_dtype == "f32" else f"_{args.corpus_dtype}"
+    exact_name = "f32_exact" if args.corpus_dtype == "f32" else "exact"
+
+    def put_search(result, lab, s):
+        if s.get("p50_ms") is not None:
+            result[f"query_p50_ms_{lab}"] = round(s["p50_ms"], 3)
+        if s.get("p50_ms_f32") is not None:
+            result[f"query_p50_ms_{lab}_{exact_name}"] = round(
+                s["p50_ms_f32"], 3)
+
+    size_lab = (f"{args.corpus // 1_000_000}M"
+                if args.corpus % 1_000_000 == 0
+                and args.corpus >= 1_000_000 else str(args.corpus))
+    nlab = size_lab + suffix
     result = {
         "metric": "images/sec/chip (ViT-B/32 indexing encode)",
         "value": value,
@@ -489,23 +507,21 @@ def main() -> int:
         # 5k img/s/chip north-star target
         "vs_baseline": round(value / 5000.0, 3),
         "ms_per_batch": round(enc["ms_per_batch"], 2),
-        f"query_p50_ms_{nlab}": (None if not search
-                                 else round(search["p50_ms"], 3)),
-        f"query_p50_ms_{nlab}_f32_exact": (None if not search
-                                           else round(search["p50_ms_f32"],
-                                                      3)),
         "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
+    if search:
+        put_search(result, nlab, search)
     if enc.get("suspect"):
         # the roofline re-check still read above chip peak: keep the
         # number but say loudly that the timing is not trustworthy
         result["encode_above_roofline"] = True
     for key, v in ivf.items():
-        result[f"query_{key}_{nlab}"] = round(v, 3)
+        # bench_ivf stores its clustered corpus in f32 regardless of
+        # --corpus-dtype, so its labels never carry the dtype suffix
+        result[f"query_{key}_{size_lab}"] = round(v, 3)
     if search5m:
-        result["query_p50_ms_5M"] = round(search5m["p50_ms"], 3)
-        result["query_p50_ms_5M_f32_exact"] = round(search5m["p50_ms_f32"], 3)
+        put_search(result, "5M" + suffix, search5m)
     if stress:
         result["vit_l14_336_images_per_sec"] = round(
             stress["images_per_sec"], 1)

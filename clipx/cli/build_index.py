@@ -35,7 +35,7 @@ import numpy as np
 
 from clipx.cli import common
 from clipx.data.pipeline import batched, iter_decoded, scan_folder
-from clipx.search.engine import VectorIndex, write_index
+from clipx.search.engine import IndexWriter
 from clipx.store.kv import open_env
 from clipx.utils.locking import LockHeldError, SingleWriterLock
 from clipx.utils.profiling import StageTimers, device_trace
@@ -205,11 +205,11 @@ def _encode_phase(args, encoder, env, fn_db, skip_db,
 # phase 2: id assignment + index build (hot loop #2, :66-109)
 # ---------------------------------------------------------------------------
 
-# Host-RAM bound for matrix assembly: vectors stream into the device
-# index in chunks of this many rows (the reference's `split_table`
-# constant bounded the same memory at 20k rows, reference:build-index.py:14-15
+# Host-RAM bound for matrix assembly: vectors stream to the sidecar in
+# chunks of this many rows (the reference's `split_table` constant
+# bounded the same memory at 20k rows, reference:build-index.py:14-15
 # — but by training IVF on only the first chunk it degraded recall;
-# chunked *exact* add has no quality cost).
+# chunked streaming has no quality cost).
 ASSEMBLY_CHUNK = 65536
 
 
@@ -221,7 +221,7 @@ def _index_phase(args, env) -> None:
         if n == 0:
             return
         print(f"Preparing index for {n} entries...")
-        index = None
+        writer = None
         chunk = []
         i = 0
         pending = []
@@ -229,28 +229,32 @@ def _index_phase(args, env) -> None:
         # order, matching the reference's id assignment (:75-88). Unlike
         # the reference's write-txn-per-row (:87-88) the id map is
         # committed in chunks — idx_db is rebuilt from scratch every run
-        # either way, so only the fsync count changes.
+        # either way, so only the fsync count changes. The sidecar
+        # streams host-RAM -> disk at full f32 fidelity: the build
+        # phase never places a device corpus, so the indexer has no
+        # HBM ceiling and --corpus-dtype is purely a query/serve-time
+        # placement knob.
         for tfn, raw in txn.cursor():
             v = np.frombuffer(raw, dtype=np.float32)
-            if index is None:
+            if writer is None:
                 print(f"Generating ({n}, {v.shape[0]}) matrix...")
-                index = VectorIndex(dim=v.shape[0])
+                writer = IndexWriter(args.index, n, v.shape[0])
             chunk.append(v)
             pending.append((f"{i}".encode(), tfn))
             i += 1
             if len(pending) >= 10000:
                 _flush_ids(env, idx_db, pending)
             if len(chunk) >= ASSEMBLY_CHUNK:
-                index.add(np.stack(chunk))
+                writer.write(np.stack(chunk))
                 chunk = []
         _flush_ids(env, idx_db, pending)
-        if index is None:
+        if writer is None:
             return
         print("Adding to index...")
         if chunk:
-            index.add(np.stack(chunk))
+            writer.write(np.stack(chunk))
         print("Saving index...")
-        write_index(index, args.index)
+        writer.close()
 
 
 def _flush_ids(env, idx_db, pending) -> None:

@@ -27,7 +27,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
-                                 _int8_append, _pad_q, _padded_append,
+                                 _dequant_rows_of, _int8_append,
+                                 _int8_segscan, _pad_q, _padded_append,
                                  _exact_topk, _quantize_device, clamp_k,
                                  quantize_rows)
 
@@ -67,37 +68,16 @@ def _local_topk_kernel_int8(codes_local: jax.Array, scales_local: jax.Array,
                             corpus_local: jax.Array, queries: jax.Array,
                             valid_total: jax.Array, k: int, merge_k: int
                             ) -> Tuple[jax.Array, jax.Array]:
-    """int8 scan + exact f32 rescore, per shard — the distributed
-    variant of engine._search_kernel_int8_seg: a transposed int8 matvec
-    reduces to per-segment maxima, the top-k local segments are
-    rescored whole in exact f32, and only exact (score, global id)
-    pairs cross the ICI."""
-    rows = codes_local.shape[0]
-    my = jax.lax.axis_index(AXIS)
-    base = my * rows
-    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
-                          1e-12) / 127.0
-    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
-                       ).astype(jnp.int8)
-    raw = jax.lax.dot_general(codes_local, q_codes,
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)  # (rows, Q)
-    approx = raw.astype(jnp.float32) * scales_local[:, None]
-    lrows = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
-    approx = jnp.where(lrows + base < valid_total, approx, -jnp.inf)
-    nq = queries.shape[0]
-    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)   # (segs, Q)
-    segs = segmax.shape[0]
-    s = min(k, segs)
-    _, seg_idx = jax.lax.top_k(segmax.T, s)               # (Q, s)
-    rows_f32 = corpus_local.reshape(segs, _SEG_W, -1)[seg_idx]
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows_f32,
-                       preferred_element_type=jnp.float32)
-    gids = (base + seg_idx[:, :, None] * _SEG_W
-            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
-    exact = jnp.where(gids < valid_total, exact, -jnp.inf)
-    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
-    gi = jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel, axis=1)
+    """int8 scan + exact full-precision rescore, per shard — the
+    distributed variant of engine._search_kernel_int8_seg: the shared
+    segment-scan core runs with this shard's global row base, and only
+    exact (score, global id) pairs cross the ICI."""
+    base = jax.lax.axis_index(AXIS) * codes_local.shape[0]
+    segs = codes_local.shape[0] // _SEG_W
+    corpus3 = corpus_local.reshape(segs, _SEG_W, -1)
+    d, gi = _int8_segscan(codes_local, scales_local, valid_total,
+                          queries, k, lambda seg_idx: corpus3[seg_idx],
+                          base=base)
     return _merge_across_shards(d, gi, merge_k)
 
 
@@ -109,35 +89,12 @@ def _local_topk_kernel_int8_pure(codes_local: jax.Array,
                                  ) -> Tuple[jax.Array, jax.Array]:
     """int8-STORAGE shard kernel (--corpus-dtype int8): the codes are
     the corpus; candidates rescore from dequantized code rows in f32
-    (see engine._search_kernel_int8_pure for the error analysis)."""
-    rows = codes_local.shape[0]
-    my = jax.lax.axis_index(AXIS)
-    base = my * rows
-    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
-                          1e-12) / 127.0
-    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
-                       ).astype(jnp.int8)
-    raw = jax.lax.dot_general(codes_local, q_codes,
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)  # (rows, Q)
-    approx = raw.astype(jnp.float32) * scales_local[:, None]
-    lrows = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
-    approx = jnp.where(lrows + base < valid_total, approx, -jnp.inf)
-    nq = queries.shape[0]
-    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)   # (segs, Q)
-    segs = segmax.shape[0]
-    s = min(k, segs)
-    _, seg_idx = jax.lax.top_k(segmax.T, s)               # (Q, s)
-    rows_deq = (codes_local.reshape(segs, _SEG_W, -1)[seg_idx]
-                .astype(jnp.float32)
-                * scales_local.reshape(segs, _SEG_W)[seg_idx][..., None])
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows_deq,
-                       preferred_element_type=jnp.float32)
-    gids = (base + seg_idx[:, :, None] * _SEG_W
-            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
-    exact = jnp.where(gids < valid_total, exact, -jnp.inf)
-    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
-    gi = jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel, axis=1)
+    (engine._dequant_rows_of for the error analysis)."""
+    base = jax.lax.axis_index(AXIS) * codes_local.shape[0]
+    d, gi = _int8_segscan(codes_local, scales_local, valid_total,
+                          queries, k,
+                          _dequant_rows_of(codes_local, scales_local),
+                          base=base)
     return _merge_across_shards(d, gi, merge_k)
 
 

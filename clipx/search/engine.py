@@ -246,28 +246,27 @@ def _search_kernel_int8(codes: jax.Array, scales: jax.Array,
     return d, jnp.take_along_axis(cand, sel, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _search_kernel_int8_seg(codes: jax.Array, scales: jax.Array,
-                            corpus_f32: jax.Array, valid: jax.Array,
-                            queries: jax.Array, k: int
-                            ) -> Tuple[jax.Array, jax.Array]:
-    """int8 scan with segment-granular candidate selection + exact
-    whole-segment f32 rescore — the round-3 default (1.56 -> 1.15 ms
-    p50 at 1M x 512 on v5e).
+def _int8_segscan(codes: jax.Array, scales: jax.Array, valid: jax.Array,
+                  queries: jax.Array, k: int, rows_of, base=0
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """Shared core of every int8 segment-scan kernel: transposed int8
+    matvec -> per-segment max -> top-k segments -> f32 rescore of ALL
+    their rows (the k*_SEG_W-row candidate margin discussed above).
 
     Structure (all measured, see docs/ARCHITECTURE.md round-3 notes):
     - the matvec runs TRANSPOSED — (N, D) codes x (D, Q) -> (N, Q) — so
       the per-segment max is a sublane-direction reduction XLA fuses
       cleanly with the dequant scale and row mask;
     - only (N/_SEG_W, Q) segment maxima survive the scan; per-element
-      approximate scores are never ranked. The top-k segments by max
-      are gathered and ALL their rows rescored in exact f32, so the
-      candidate margin is k*_SEG_W rows (4096 at k=64) — 16x wider
-      than the old k*RESCORE_MARGIN element margin, shrinking the
-      near-duplicate caveat documented above by the same factor;
+      approximate scores are never ranked;
     - query-side quantization scale is a positive per-query scalar and
-      cannot change that query's segment ranking; it is kept only so
-      returned approx magnitudes stay meaningful to debug tooling.
+      cannot change that query's segment ranking, so it is dropped.
+
+    ``rows_of(seg_idx)`` supplies the (Q, s, W, D) rescore rows — the
+    one place the storage tiers differ: exact f32/bf16 rows
+    (_search_kernel_int8_seg) or dequantized codes
+    (_search_kernel_int8_pure). ``base`` offsets row ids for sharded
+    callers (clipx/parallel/mips.py), whose validity mask is global.
 
     A Pallas kernel fusing scan+segment-max was built and measured
     SLOWER (2.35 ms at 1M; Mosaic's int8 matvec loses to XLA's, and
@@ -280,23 +279,52 @@ def _search_kernel_int8_seg(codes: jax.Array, scales: jax.Array,
     raw = jax.lax.dot_general(codes, q_codes, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.int32)   # (N, Q)
     approx = raw.astype(jnp.float32) * scales[:, None]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0) + base
     approx = jnp.where(row_ids < valid, approx, -jnp.inf)
     nq = queries.shape[0]
     segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)      # (segs, Q)
     segs = segmax.shape[0]
     s = min(k, segs)
     _, seg_idx = jax.lax.top_k(segmax.T, s)                  # (Q, s)
-    corpus3 = corpus_f32.reshape(segs, _SEG_W, -1)
-    rows = corpus3[seg_idx]                                  # (Q,s,W,D)
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows_of(seg_idx),
                        preferred_element_type=jnp.float32)
-    gids = (seg_idx[:, :, None] * _SEG_W
+    gids = (base + seg_idx[:, :, None] * _SEG_W
             + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
     exact = jnp.where(gids < valid, exact, -jnp.inf)
     d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
     return d, jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel,
                                   axis=1)
+
+
+def _dequant_rows_of(codes: jax.Array, scales: jax.Array):
+    """rows_of for the int8-STORAGE tiers: dequantize the candidate
+    rows (codes * per-row scale) in f32 — the query-side quantization
+    error of the scan cancels in this rescore, so scores carry only
+    the corpus rounding error (per-element step max|x|/127 -> score
+    RMS ~5e-4 for unit-norm CLIP embeddings; gated in
+    test_quality_gate)."""
+    segs = codes.shape[0] // _SEG_W
+    codes3 = codes.reshape(segs, _SEG_W, -1)
+    scales2 = scales.reshape(segs, _SEG_W)
+
+    def rows_of(seg_idx):
+        return (codes3[seg_idx].astype(jnp.float32)
+                * scales2[seg_idx][..., None])
+
+    return rows_of
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int8_seg(codes: jax.Array, scales: jax.Array,
+                            corpus_f32: jax.Array, valid: jax.Array,
+                            queries: jax.Array, k: int
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """int8 scan with segment-granular candidate selection + exact
+    whole-segment full-precision rescore — the round-3 default
+    (1.56 -> 1.15 ms p50 at 1M x 512 on v5e). See _int8_segscan."""
+    corpus3 = corpus_f32.reshape(codes.shape[0] // _SEG_W, _SEG_W, -1)
+    return _int8_segscan(codes, scales, valid, queries, k,
+                         lambda seg_idx: corpus3[seg_idx])
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -304,39 +332,10 @@ def _search_kernel_int8_pure(codes: jax.Array, scales: jax.Array,
                              valid: jax.Array, queries: jax.Array, k: int
                              ) -> Tuple[jax.Array, jax.Array]:
     """int8-ONLY storage (--corpus-dtype int8): the scan codes ARE the
-    corpus — 1 B/dim, ~5x the f32 capacity per chip. Same transposed
-    scan + segment-max candidate selection as _search_kernel_int8_seg;
-    the rescore dequantizes the candidate rows (codes * per-row scale)
-    and accumulates in f32, so the query-side quantization error of the
-    scan cancels and the returned scores carry only the corpus rounding
-    error (per-element step max|x|/127 -> score RMS error ~5e-4 for
-    unit-norm CLIP embeddings — same order as bf16 storage at half the
-    bytes; recall gated in test_quality_gate)."""
-    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
-                          1e-12) / 127.0
-    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
-                       ).astype(jnp.int8)
-    raw = jax.lax.dot_general(codes, q_codes, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.int32)   # (N, Q)
-    approx = raw.astype(jnp.float32) * scales[:, None]
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
-    approx = jnp.where(row_ids < valid, approx, -jnp.inf)
-    nq = queries.shape[0]
-    segmax = approx.reshape(-1, _SEG_W, nq).max(axis=1)      # (segs, Q)
-    segs = segmax.shape[0]
-    s = min(k, segs)
-    _, seg_idx = jax.lax.top_k(segmax.T, s)                  # (Q, s)
-    codes3 = codes.reshape(segs, _SEG_W, -1)
-    rows = (codes3[seg_idx].astype(jnp.float32)
-            * scales.reshape(segs, _SEG_W)[seg_idx][..., None])
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
-                       preferred_element_type=jnp.float32)
-    gids = (seg_idx[:, :, None] * _SEG_W
-            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
-    exact = jnp.where(gids < valid, exact, -jnp.inf)
-    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), k)
-    return d, jnp.take_along_axis(gids.reshape(nq, s * _SEG_W), sel,
-                                  axis=1)
+    corpus — 1 B/dim, ~5x the f32 capacity per chip. _int8_segscan with
+    the dequantized rescore (_dequant_rows_of)."""
+    return _int8_segscan(codes, scales, valid, queries, k,
+                         _dequant_rows_of(codes, scales))
 
 
 def _int8_impl() -> str:
@@ -617,6 +616,51 @@ def write_index(index: VectorIndex, path: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+
+
+class IndexWriter:
+    """Streaming sidecar writer: same on-disk format as ``write_index``
+    but chunks flow host-RAM -> disk, so the index build phase needs no
+    device corpus at any size (the reference loads everything into one
+    faiss ``add``, reference:build-index.py:73-100; our build ceiling is
+    disk). Full f32 fidelity regardless of --corpus-dtype — the lossy
+    storage tiers are query-time placement only. Atomic: data lands in
+    ``path + '.tmp'`` and renames into place on ``close()``; abandoning
+    the writer leaves any previous index untouched."""
+
+    def __init__(self, path: str, ntotal: int, dim: int):
+        if not (0 <= ntotal and 0 < dim <= 65536):
+            raise ValueError(f"bad index shape ({ntotal}, {dim})")
+        self._path = path
+        self._tmp = path + ".tmp"
+        self._dim = dim
+        self._remaining = ntotal
+        self._f = open(self._tmp, "wb")
+        self._f.write(_MAGIC)
+        self._f.write(struct.pack("<qq", ntotal, dim))
+
+    def write(self, rows: np.ndarray) -> None:
+        rows = np.ascontiguousarray(rows, dtype=np.float32)
+        if rows.ndim != 2 or rows.shape[1] != self._dim:
+            raise ValueError(f"expected (n, {self._dim}) rows, "
+                             f"got {rows.shape}")
+        if rows.shape[0] > self._remaining:
+            raise ValueError(f"wrote past the declared ntotal "
+                             f"({rows.shape[0]} rows, "
+                             f"{self._remaining} remaining)")
+        self._f.write(rows.tobytes())
+        self._remaining -= rows.shape[0]
+
+    def close(self) -> None:
+        if self._remaining:
+            self._f.close()
+            os.unlink(self._tmp)
+            raise ValueError(f"index incomplete: {self._remaining} of "
+                             "the declared rows were never written")
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._f.close()
+        os.replace(self._tmp, self._path)
 
 
 def read_index_vectors(path: str) -> np.ndarray:

@@ -276,7 +276,15 @@ class IVFIndex:
         self.quantized = quantized
         # storage dtype of the device-resident rows (f32 exact, or bf16
         # to halve HBM — the rescore still accumulates in f32; see
-        # --corpus-dtype in clipx/cli/common.py for the trade)
+        # --corpus-dtype in clipx/cli/common.py for the trade). int8
+        # STORAGE is a flat-index-only tier: IVF rescores from stored
+        # rows, and silently int8-truncating unit-norm f32 rows here
+        # would zero the whole corpus
+        if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                    jnp.dtype(jnp.bfloat16)):
+            raise ValueError("IVF corpus dtype must be f32 or bf16, got "
+                             f"{jnp.dtype(dtype).name} (int8 storage is "
+                             "flat/sharded-flat only)")
         self.dtype = dtype
         self.ntotal = 0
         self._nprobe = 32  # reference:query-index.py:30

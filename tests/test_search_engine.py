@@ -1,5 +1,7 @@
 """Flat MIPS engine vs numpy oracle (SURVEY.md section 4 item 2)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -302,3 +304,36 @@ def test_q_padding_quantized_path():
         D1, I1 = idx.search(queries[row: row + 1], k=8)
         np.testing.assert_array_equal(I3[row], I1[0])
         np.testing.assert_allclose(D3[row], D1[0], rtol=1e-5, atol=1e-6)
+
+
+def test_index_writer_streams_identical_sidecar(tmp_path):
+    """IndexWriter (the indexer's device-free streaming sidecar path)
+    must produce byte-identical files to write_index, validate row
+    shape, and refuse to finalize an incomplete index."""
+    from clipx.search.engine import IndexWriter
+
+    rng = np.random.RandomState(42)
+    data = rng.randn(1000, 32).astype(np.float32)
+    ref_path = str(tmp_path / "ref.index")
+    write_index(VectorIndex.from_vectors(data), ref_path)
+
+    stream_path = str(tmp_path / "stream.index")
+    w = IndexWriter(stream_path, 1000, 32)
+    for i in range(0, 1000, 300):
+        w.write(data[i: i + 300])
+    w.close()
+    with open(ref_path, "rb") as a, open(stream_path, "rb") as b:
+        assert a.read() == b.read()
+
+    # wrong dim rejected
+    w = IndexWriter(str(tmp_path / "x.index"), 10, 32)
+    with pytest.raises(ValueError):
+        w.write(data[:5, :16])
+    # overflow rejected
+    with pytest.raises(ValueError):
+        w.write(data[:11])
+    # incomplete close rejected, tmp removed, no index file left behind
+    with pytest.raises(ValueError):
+        w.close()
+    assert not os.path.exists(str(tmp_path / "x.index"))
+    assert not os.path.exists(str(tmp_path / "x.index.tmp"))
