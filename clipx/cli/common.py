@@ -54,9 +54,10 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                              "(1 B/dim, ~5x the f32 capacity); the scan "
                              "is always quantized and candidates "
                              "rescore from dequantized rows in f32 "
-                             "(score error ~5e-4; not available with "
-                             "--search-mode ivf). The on-disk sidecar "
-                             "stays f32 either way")
+                             "(score error ~5e-4); composes with "
+                             "--search-mode ivf for probed search at "
+                             "the 1 B/dim capacity tier. The on-disk "
+                             "sidecar stays f32 either way")
     parser.add_argument("--search-mode",
                         choices=("exact", "quant", "auto", "ivf"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
@@ -99,12 +100,6 @@ def build_index_from_vectors(vectors, args):
     import jax
 
     if search_mode == "ivf":
-        import jax.numpy as jnp
-
-        if dtype == jnp.int8:
-            raise SystemExit("--corpus-dtype int8 does not compose with "
-                             "--search-mode ivf (IVF rescores from "
-                             "stored rows); use bf16 or f32")
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
         cls = IVFIndex

@@ -28,7 +28,9 @@ TPU-native design — no ragged cell lists, no data-dependent shapes:
   kernels. Scoring within probed segments is exact f32 (IVFFlat
   semantics); with ``quantized`` the probed segments are scanned in
   int8 and the top-k segments rescored in exact f32, mirroring the
-  engine's quant mode.
+  engine's quant mode. With ``--corpus-dtype int8`` the codes ARE the
+  corpus (1 B/dim, ~5x f32 capacity) and the rescore dequantizes
+  candidates in f32 — probed search over 20M+ rows on one chip.
 - **Exact tail for adds.** Appended rows (serve's incremental reload)
   go to a small flat exact index merged into every search; k-means is
   not retrained per add.
@@ -58,7 +60,8 @@ _TRAIN_CAP = 131072
 _GATHER_BUDGET = 1 << 30
 
 
-def _qcap(P: int, dim: int, quantized: bool, k: int) -> int:
+def _qcap(P: int, dim: int, quantized: bool, k: int,
+          int8_storage: bool = False) -> int:
     """Max query rows per probe-kernel call, power-of-two (so chunk
     sizes land on the engine Q buckets — one compile per bucket, not
     per fill), bounded by the gather-byte budget.
@@ -67,8 +70,14 @@ def _qcap(P: int, dim: int, quantized: bool, k: int) -> int:
     int8 kernel materializes TWO: the (Q, P, W, D) int8 probe rows AND
     a (Q, s, W, D) float32 rescore gather, s = min(k-bucket, P) — at
     large k/nprobe the f32 side is up to 4x the int8 bytes, so both
-    must be budgeted or device transients reach ~5x the intended cap."""
-    if quantized:
+    must be budgeted or device transients reach ~5x the intended cap.
+    int8 STORAGE rescoring gathers int8 candidate rows and dequantizes
+    them to f32 (1 + 4 bytes per element) instead of gathering stored
+    f32 rows."""
+    if int8_storage:
+        s = min(engine._bucket_k(k), P * _SEG_W, P)
+        per_q = _SEG_W * dim * (P + 5 * s)
+    elif quantized:
         s = min(engine._bucket_k(k), P * _SEG_W, P)
         per_q = _SEG_W * dim * (P + 4 * s)
     else:
@@ -232,6 +241,47 @@ def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
     return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("P", "k"))
+def _ivf_kernel_int8_pure(codes3: jax.Array, scales2: jax.Array,
+                          seg_cent: jax.Array, valid2: jax.Array,
+                          queries: jax.Array,
+                          P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """IVF over int8 STORAGE (--corpus-dtype int8): the codes ARE the
+    corpus — no f32/bf16 rows exist on device. The probed scan is the
+    same int8 matvec as _ivf_kernel_int8; the top-k segments rescore
+    from DEQUANTIZED candidate rows in f32, so the query-side
+    quantization error of the scan cancels and only corpus rounding
+    (~5e-4 score RMS) remains — identical semantics to the flat
+    engine's _search_kernel_int8_pure."""
+    nq = queries.shape[0]
+    cs = jnp.dot(queries, seg_cent.T,
+                 preferred_element_type=jnp.float32)
+    _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
+    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
+                     preferred_element_type=jnp.int32)
+    approx = raw.astype(jnp.float32) * scales2[seg_idx]
+    approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
+    segmax = approx.max(axis=2)                               # (Q, P)
+    s = min(k, P)
+    _, local = jax.lax.top_k(segmax, s)                       # (Q, s)
+    chosen = jnp.take_along_axis(seg_idx, local, axis=1)      # (Q, s)
+    rows = (codes3[chosen].astype(jnp.float32)
+            * scales2[chosen][..., None])                     # (Q,s,W,D)
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    g2 = (chosen[:, :, None] * _SEG_W
+          + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(valid2[chosen], exact, -jnp.inf)
+    kk = min(k, s * _SEG_W)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), kk)
+    return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
+
+
 @jax.jit
 def _segment_stats(corpus3: jax.Array, counts: jax.Array) -> jax.Array:
     """Per-segment mean over VALID rows (padding rows are zero and
@@ -273,18 +323,21 @@ class IVFIndex:
     def __init__(self, dim: int, quantized: bool = False,
                  dtype=jnp.float32):
         self.dim = dim
-        self.quantized = quantized
         # storage dtype of the device-resident rows (f32 exact, or bf16
         # to halve HBM — the rescore still accumulates in f32; see
         # --corpus-dtype in clipx/cli/common.py for the trade). int8
-        # STORAGE is a flat-index-only tier: IVF rescores from stored
-        # rows, and silently int8-truncating unit-norm f32 rows here
-        # would zero the whole corpus
+        # STORAGE stores only the per-row-quantized codes (1 B/dim):
+        # the probed scan is int8 and candidates rescore from
+        # DEQUANTIZED rows in f32 (_ivf_kernel_int8_pure) — probed
+        # search at the flat int8 tier's ~5x capacity.
         if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
-                                    jnp.dtype(jnp.bfloat16)):
-            raise ValueError("IVF corpus dtype must be f32 or bf16, got "
-                             f"{jnp.dtype(dtype).name} (int8 storage is "
-                             "flat/sharded-flat only)")
+                                    jnp.dtype(jnp.bfloat16),
+                                    jnp.dtype(jnp.int8)):
+            raise ValueError("IVF corpus dtype must be f32, bf16 or int8, "
+                             f"got {jnp.dtype(dtype).name}")
+        self.int8_storage = jnp.dtype(dtype) == jnp.dtype(jnp.int8)
+        # codes-as-corpus has no unquantized scan to fall back to
+        self.quantized = True if self.int8_storage else quantized
         self.dtype = dtype
         self.ntotal = 0
         self._nprobe = 32  # reference:query-index.py:30
@@ -335,12 +388,28 @@ class IVFIndex:
         live = row_ext >= 0
         padded = np.zeros((segs * _SEG_W, self.dim), np.float32)
         padded[live] = vectors[row_ext[live]]
-        corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim),
-                              dtype=self.dtype)
         valid2 = live.reshape(segs, _SEG_W)
         counts = valid2.sum(axis=1).astype(np.float32)
-        self._corpus3 = corpus3
-        self._seg_cent = _segment_stats(corpus3, jnp.asarray(counts))
+        if self.int8_storage:
+            # codes ARE the corpus: quantize on the HOST so a full f32
+            # copy never has to exist in HBM (the whole point of the
+            # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
+            # segment centroids likewise reduce host-side
+            codes, scales = engine.quantize_rows(padded)
+            self._corpus3 = None
+            self._codes3 = jnp.asarray(
+                codes.reshape(segs, _SEG_W, self.dim))
+            self._scales2 = jnp.asarray(scales.reshape(segs, _SEG_W))
+            sums = padded.reshape(segs, _SEG_W, self.dim).sum(axis=1)
+            self._seg_cent = jnp.asarray(
+                sums / np.maximum(counts[:, None], 1.0), jnp.float32)
+        else:
+            corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim),
+                                  dtype=self.dtype)
+            self._corpus3 = corpus3
+            self._seg_cent = _segment_stats(corpus3, jnp.asarray(counts))
+            self._codes3 = None
+            self._scales2 = None
         self._valid2 = jnp.asarray(valid2)
         self._row_ext = row_ext.astype(np.int64)
         pos = np.flatnonzero(live)
@@ -348,8 +417,6 @@ class IVFIndex:
         self._pos_of_ext[row_ext[pos]] = pos
         self._base_n = n
         self.ntotal = n + (self._tail.ntotal if self._tail else 0)
-        self._codes3 = None
-        self._scales2 = None
 
     def add(self, vectors: np.ndarray) -> None:
         """Append rows to the exact tail (ids continue from ntotal).
@@ -380,11 +447,20 @@ class IVFIndex:
         self._codes3 = codes.reshape(segs, _SEG_W, self.dim)
         self._scales2 = scales.reshape(segs, _SEG_W)
 
+    def _segs(self) -> int:
+        """Segment count of the clustered base (0 when empty)."""
+        arr = self._codes3 if self.int8_storage else self._corpus3
+        return 0 if arr is None else arr.shape[0]
+
     def _probe(self, qj: jax.Array, P: int, kk: int
                ) -> Tuple[jax.Array, jax.Array]:
         """One probed-scan device call (Q already chunked by the
         caller). Returns (Q, kk) scores + INTERNAL row ids.
         ShardedIVFIndex overrides this with the shard_map variant."""
+        if self.int8_storage:
+            return _ivf_kernel_int8_pure(
+                self._codes3, self._scales2, self._seg_cent,
+                self._valid2, qj, P, kk)
         if self.quantized:
             self._ensure_codes()
             return _ivf_kernel_int8(
@@ -404,17 +480,18 @@ class IVFIndex:
         queries = np.ascontiguousarray(np.atleast_2d(queries),
                                        dtype=np.float32)
         nq = queries.shape[0]
-        if self.ntotal == 0 or self._corpus3 is None:
+        segs = self._segs()
+        if self.ntotal == 0 or segs == 0:
             if self._tail is not None and self._tail.ntotal:
                 return self._tail.search(queries, k)
             return (np.full((nq, k), -np.inf, np.float32),
                     np.full((nq, k), -1, np.int64))
-        segs = self._corpus3.shape[0]
         eff = (self._nprobe if nprobe is None
                else int(np.clip(int(nprobe), 1, 100)))
         P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
         P = min(P, segs)
-        qcap = _qcap(P, self.dim, self.quantized, k)
+        qcap = _qcap(P, self.dim, self.quantized, k,
+                     int8_storage=self.int8_storage)
         if nq > qcap:
             parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]
@@ -450,15 +527,27 @@ class IVFIndex:
             raise IndexError(row)
         if row < self._base_n:
             pos = int(self._pos_of_ext[row])
+            if self.int8_storage:
+                flat_c = self._codes3.reshape(-1, self.dim)
+                flat_s = self._scales2.reshape(-1)
+                return (np.asarray(flat_c[pos], dtype=np.float32)
+                        * float(flat_s[pos]))
             flat = self._corpus3.reshape(-1, self.dim)
             return np.asarray(flat[pos], dtype=np.float32)
         return self._tail.reconstruct(row - self._base_n)
 
     def vectors(self) -> np.ndarray:
         """Rows in EXTERNAL id order (the sidecar order — serve's
-        incremental-reload fingerprint depends on it)."""
-        if self._corpus3 is None:
+        incremental-reload fingerprint depends on it). int8 storage
+        returns DEQUANTIZED rows (corpus rounding applies, same as the
+        flat engine's int8 tier)."""
+        if self._segs() == 0:
             base = np.zeros((0, self.dim), np.float32)
+        elif self.int8_storage:
+            flat = (np.asarray(self._codes3, dtype=np.float32)
+                    * np.asarray(self._scales2, dtype=np.float32)[..., None]
+                    ).reshape(-1, self.dim)
+            base = flat[self._pos_of_ext]
         else:
             flat = np.asarray(self._corpus3.reshape(-1, self.dim),
                               dtype=np.float32)
@@ -587,15 +676,32 @@ class ShardedIVFIndex(IVFIndex):
         live = row_ext >= 0
         padded = np.zeros((segs_pad * _SEG_W, self.dim), np.float32)
         padded[live] = vectors[row_ext[live]]
-        corpus3 = jax.device_put(
-            padded.reshape(segs_pad, _SEG_W, self.dim).astype(self.dtype),
-            self._spec(2))
         valid2 = live.reshape(segs_pad, _SEG_W)
-        counts = jax.device_put(
-            valid2.sum(axis=1).astype(np.float32), self._spec(0))
-        self._corpus3 = corpus3
-        self._seg_cent = jax.lax.with_sharding_constraint(
-            _segment_stats(corpus3, counts), self._spec(1))
+        counts_host = valid2.sum(axis=1).astype(np.float32)
+        if self.int8_storage:
+            # host quantize + host centroids: no f32 copy of the corpus
+            # ever reaches HBM (see the single-device _install)
+            codes, scales = engine.quantize_rows(padded)
+            self._corpus3 = None
+            self._codes3 = jax.device_put(
+                codes.reshape(segs_pad, _SEG_W, self.dim), self._spec(2))
+            self._scales2 = jax.device_put(
+                scales.reshape(segs_pad, _SEG_W), self._spec(1))
+            sums = padded.reshape(segs_pad, _SEG_W, self.dim).sum(axis=1)
+            self._seg_cent = jax.device_put(
+                (sums / np.maximum(counts_host[:, None], 1.0)
+                 ).astype(np.float32), self._spec(1))
+        else:
+            corpus3 = jax.device_put(
+                padded.reshape(segs_pad, _SEG_W,
+                               self.dim).astype(self.dtype),
+                self._spec(2))
+            counts = jax.device_put(counts_host, self._spec(0))
+            self._corpus3 = corpus3
+            self._seg_cent = jax.lax.with_sharding_constraint(
+                _segment_stats(corpus3, counts), self._spec(1))
+            self._codes3 = None
+            self._scales2 = None
         self._valid2 = jax.device_put(valid2, self._spec(1))
         # fully-dead alignment segments exist here (unlike the
         # single-device layout): mask them out of the coarse scoring
@@ -606,8 +712,6 @@ class ShardedIVFIndex(IVFIndex):
         self._pos_of_ext[row_ext[pos]] = pos
         self._base_n = n_rows
         self.ntotal = n_rows + (self._tail.ntotal if self._tail else 0)
-        self._codes3 = None
-        self._scales2 = None
 
     def _ensure_codes(self) -> None:
         if self._codes3 is not None:
@@ -620,15 +724,20 @@ class ShardedIVFIndex(IVFIndex):
 
     def _probe(self, qj: jax.Array, P: int, kk: int
                ) -> Tuple[jax.Array, jax.Array]:
-        S = self._corpus3.shape[0]
+        S = self._segs()
         S_local = S // self._n_shards
         P_local = min(_bucket_probe(-(-P // self._n_shards)), S_local)
         kk_local = min(kk, P_local * _SEG_W)
-        key = (self.quantized, P_local, kk_local, kk)
+        mode = ("int8_storage" if self.int8_storage
+                else "quant" if self.quantized else "f32")
+        key = (mode, P_local, kk_local, kk)
         fn = self._probe_fns.get(key)
         if fn is None:
-            fn = self._build_probe_fn(self.quantized, P_local, kk_local, kk)
+            fn = self._build_probe_fn(mode, P_local, kk_local, kk)
             self._probe_fns[key] = fn
+        if self.int8_storage:
+            return fn(self._codes3, self._scales2, self._seg_cent,
+                      self._valid2, self._seg_valid, qj)
         if self.quantized:
             self._ensure_codes()
             return fn(self._codes3, self._scales2, self._corpus3,
@@ -636,7 +745,7 @@ class ShardedIVFIndex(IVFIndex):
         return fn(self._corpus3, self._seg_cent, self._valid2,
                   self._seg_valid, qj)
 
-    def _build_probe_fn(self, quantized: bool, P_local: int,
+    def _build_probe_fn(self, mode: str, P_local: int,
                         kk_local: int, kk: int):
         from jax.sharding import PartitionSpec as PS
 
@@ -693,9 +802,42 @@ class ShardedIVFIndex(IVFIndex):
             gi = jnp.take_along_axis(gids.reshape(nq, s * W), sel, axis=1)
             return _merge_across_shards(d, gi, kk)
 
+        def local_int8_pure(codes3, scales2, cent_l, v2, sv_l, q):
+            # int8 STORAGE: same probed scan as local_int8, rescore
+            # from dequantized candidate rows (no stored f32/bf16 rows)
+            nq = q.shape[0]
+            seg_idx = _coarse(cent_l, sv_l, q)
+            q_scale = jnp.maximum(jnp.abs(q).max(axis=1, keepdims=True),
+                                  1e-12) / 127.0
+            q_codes = jnp.clip(jnp.rint(q / q_scale), -127, 127
+                               ).astype(jnp.int8)
+            crows = codes3[seg_idx]                           # (Q,P,W,D) i8
+            raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
+                             preferred_element_type=jnp.int32)
+            approx = raw.astype(jnp.float32) * scales2[seg_idx]
+            approx = jnp.where(v2[seg_idx], approx, -jnp.inf)
+            s = min(kk, P_local)
+            _, local = jax.lax.top_k(approx.max(axis=2), s)   # (Q, s)
+            chosen = jnp.take_along_axis(seg_idx, local, axis=1)
+            rows = (codes3[chosen].astype(jnp.float32)
+                    * scales2[chosen][..., None])             # (Q,s,W,D)
+            exact = jnp.einsum("qd,qswd->qsw", q, rows,
+                               preferred_element_type=jnp.float32)
+            exact = jnp.where(v2[chosen], exact, -jnp.inf)
+            gids = _gids(chosen, codes3.shape[0])
+            kk2 = min(kk_local, s * W)
+            d, sel = jax.lax.top_k(exact.reshape(nq, s * W), kk2)
+            gi = jnp.take_along_axis(gids.reshape(nq, s * W), sel, axis=1)
+            return _merge_across_shards(d, gi, kk)
+
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
         # seg_valid 1-D, queries replicated)
-        if quantized:
+        if mode == "int8_storage":
+            fn = local_int8_pure
+            in_specs = (PS(AXIS, None, None), PS(AXIS, None),
+                        PS(AXIS, None), PS(AXIS, None),
+                        PS(AXIS), PS())
+        elif mode == "quant":
             fn = local_int8
             in_specs = (PS(AXIS, None, None), PS(AXIS, None),
                         PS(AXIS, None, None), PS(AXIS, None),

@@ -263,7 +263,15 @@ def test_int8_flag_plumbs_and_search_mode_is_fixed(tmp_path):
         vecs, _args(corpus_dtype="int8", sharded="on"))
     assert idx.int8_storage
 
-    with pytest.raises(SystemExit):
-        common.build_index_from_vectors(
-            vecs, _args(corpus_dtype="int8", search_mode="ivf",
-                        index=str(tmp_path / "i.index")))
+    # composes with IVF: codes are the corpus, probed scan + dequantized
+    # rescore (clipx/search/ivf.py _ivf_kernel_int8_pure)
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int8", search_mode="ivf",
+                    index=str(tmp_path / "i.index")))
+    assert idx.int8_storage and idx.quantized
+    assert idx._corpus3 is None and idx._codes3 is not None
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int8", search_mode="ivf", sharded="on",
+                    index=str(tmp_path / "i2.index")))
+    assert idx.int8_storage and idx._corpus3 is None

@@ -362,3 +362,125 @@ def test_qcap_budgets_the_int8_rescore_gather():
     # always at least one query per call, and a power of two
     tiny = _qcap(100_000, 1024, quantized=True, k=4096)
     assert tiny == 1
+
+
+# ---------------------------------------------------------------------------
+# --corpus-dtype int8 x IVF: codes-as-corpus probed search
+# ---------------------------------------------------------------------------
+
+def _planted_gap(rng, n, d=64, k=10, gap=0.02):
+    """Corpus + query whose true top-k is separated by score gaps far
+    above the int8 corpus-rounding noise (~5e-4), so the dequantized
+    rescore must reproduce the exact oracle ranking."""
+    q = rng.randn(d).astype(np.float32)
+    q /= np.linalg.norm(q)
+    noise = rng.randn(n, d).astype(np.float32)
+    noise -= np.outer(noise @ q, q)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    noise = 0.9 * noise + np.outer(
+        0.2 * rng.rand(n).astype(np.float32), q)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    planted = np.zeros((k, d), np.float32)
+    for i in range(k):
+        s = 0.9 - i * gap
+        r = rng.randn(d).astype(np.float32)
+        r -= (r @ q) * q
+        r /= np.linalg.norm(r)
+        planted[i] = s * q + np.sqrt(1.0 - s * s) * r
+    corpus = np.concatenate([noise, planted]).astype(np.float32)
+    expect = np.arange(n, n + k, dtype=np.int64)
+    return corpus, q[None, :], expect
+
+
+def test_int8_storage_full_probe_matches_oracle():
+    """nprobe=100 over int8 STORAGE: the probed scan covers everything
+    and the dequantized rescore carries only corpus rounding (~5e-4),
+    so on a gap-separated corpus the ranking equals the exact oracle."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    corpus, q, expect = _planted_gap(rng, 3000)
+    idx = IVFIndex.from_vectors(corpus, dtype=jnp.int8)
+    assert idx.int8_storage and idx.quantized
+    assert idx._corpus3 is None  # no f32/bf16 rows on device
+    idx.nprobe = 100
+    D, I = idx.search(q, 10)
+    np.testing.assert_array_equal(I[0], expect)
+    ref = (q @ corpus.T)[0][expect]
+    np.testing.assert_allclose(D[0], ref, atol=5e-3)
+
+
+def test_int8_storage_recall_at_default_nprobe(corpus, queries):
+    import jax.numpy as jnp
+
+    exact = VectorIndex.from_vectors(corpus)
+    idx = IVFIndex.from_vectors(corpus, dtype=jnp.int8)
+    assert idx.nprobe == 32
+    _, Ie = exact.search(queries, 10)
+    _, Ia = idx.search(queries, 10)
+    hits = sum(len(set(a) & set(e)) for a, e in zip(Ia, Ie))
+    assert hits / Ie.size >= 0.9
+
+
+def test_int8_storage_tail_add_reconstruct_vectors(corpus):
+    """add() goes to an int8-storage exact tail; reconstruct/vectors
+    dequantize (corpus rounding ~max|x|/254 per element)."""
+    import jax.numpy as jnp
+
+    idx = IVFIndex.from_vectors(corpus, dtype=jnp.int8)
+    idx.nprobe = 100
+    n0 = idx.ntotal
+    rng = np.random.RandomState(5)
+    extra = rng.randn(4, corpus.shape[1]).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.add(extra)
+    assert idx.ntotal == n0 + 4
+    assert idx._tail.int8_storage  # tail stays at the 1 B/dim tier
+    D, I = idx.search(extra[1][None], 1)
+    assert I[0, 0] == n0 + 1
+    step = np.abs(corpus).max() / 127.0
+    np.testing.assert_allclose(idx.reconstruct(7), corpus[7], atol=step)
+    np.testing.assert_allclose(idx.reconstruct(n0 + 1), extra[1], atol=step)
+    v = idx.vectors()
+    assert v.shape == (n0 + 4, corpus.shape[1])
+    np.testing.assert_allclose(v[:n0], corpus, atol=step)
+    np.testing.assert_allclose(v[n0:], extra, atol=step)
+
+
+def test_sharded_int8_storage_full_probe_matches_oracle():
+    """Sharded codes-as-corpus probe: the per-shard pool at nprobe=100
+    is a superset of the single-device pool, and per-row quantization is
+    layout-independent, so the gap-separated oracle ranking holds."""
+    import jax.numpy as jnp
+
+    from clipx.search.ivf import ShardedIVFIndex
+
+    rng = np.random.RandomState(13)
+    corpus, q, expect = _planted_gap(rng, 3000)
+    idx = ShardedIVFIndex.from_vectors(corpus, dtype=jnp.int8)
+    assert idx.int8_storage and idx._corpus3 is None
+    idx.nprobe = 100
+    D, I = idx.search(q, 10)
+    np.testing.assert_array_equal(I[0], expect)
+    ref = (q @ corpus.T)[0][expect]
+    np.testing.assert_allclose(D[0], ref, atol=5e-3)
+
+
+def test_sharded_int8_storage_recall_and_add(corpus, queries):
+    import jax.numpy as jnp
+
+    from clipx.search.ivf import ShardedIVFIndex
+
+    exact = VectorIndex.from_vectors(corpus)
+    idx = ShardedIVFIndex.from_vectors(corpus, dtype=jnp.int8)
+    _, Ie = exact.search(queries, 10)
+    _, Ia = idx.search(queries, 10)
+    hits = sum(len(set(a) & set(e)) for a, e in zip(Ia, Ie))
+    assert hits / Ie.size >= 0.9
+    n0 = idx.ntotal
+    rng = np.random.RandomState(9)
+    extra = rng.randn(3, corpus.shape[1]).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    idx.add(extra)
+    D, I = idx.search(extra[0][None], 1, nprobe=100)
+    assert I[0, 0] == n0

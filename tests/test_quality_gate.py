@@ -59,6 +59,12 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
     m = _parse(r"ivf-int8 vs exact: recall@50 ([0-9.]+) at nprobe=100",
                out)
     assert float(m.group(1)) >= 0.95
+    # codes-as-corpus IVF (--corpus-dtype int8 + --search-mode ivf):
+    # the same probed-segment pool plus ~5e-4 corpus-rounding noise in
+    # the rescore — same gross-regression gate as the tiers above
+    m = _parse(r"ivf-int8-storage vs exact f32: recall@50 ([0-9.]+) "
+               r"at nprobe=100", out)
+    assert float(m.group(1)) >= 0.95
     # bf16 corpus storage (--corpus-dtype bf16): drift is bf16 rounding
     # of the stored rows (measured ~3e-4 score delta). A random corpus
     # is the adversarial case — adjacent rank-50 gaps are sub-1e-3, the

@@ -129,6 +129,14 @@ def main(argv=None) -> int:
     r_fullq = np.mean([len(set(Ie[i]) & set(Ifq[i])) / k
                        for i in range(len(sample))])
     print(f"ivf-int8 vs exact: recall@{k} {r_fullq:.4f} at nprobe=100")
+    # ... and the codes-as-corpus capacity tier (--corpus-dtype int8
+    # with --search-mode ivf): probed scan + dequantized rescore
+    ivf_s = cls.from_vectors(index.vectors(), dtype=jnp.int8)
+    _, Ifs = ivf_s.search(queries, k=k, nprobe=100)
+    r_fulls = np.mean([len(set(Ie[i]) & set(Ifs[i])) / k
+                       for i in range(len(sample))])
+    print(f"ivf-int8-storage vs exact f32: recall@{k} {r_fulls:.4f} "
+          f"at nprobe=100")
 
     if args.photos:
         _preprocess_drift(args, index, sample)
