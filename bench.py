@@ -309,51 +309,115 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
 
 
 def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
-              probes=(2, 8, 32)) -> dict:
+              probes=(2, 8, 32), storage: str = "f32") -> dict:
     """IVF probed-scan latency (--search-mode ivf, clipx/search/ivf.py):
     the production int8 kernel over a device-generated cluster-ordered
     corpus. Kernel-level like bench_search — layout construction is
     bypassed (kernel time is independent of how the layout was derived;
     recall is CPU-tested in test_ivf), which also avoids a 2 GB host
-    round-trip through the tunnel."""
+    round-trip through the tunnel.
+
+    storage="int8" measures the codes-as-corpus tier
+    (--corpus-dtype int8 + --search-mode ivf, _ivf_kernel_int8_pure):
+    the corpus is generated and quantized CHUNK-WISE so the f32
+    transient never exceeds one chunk — at the 20M+ row scales this
+    tier exists for, a whole f32 corpus cannot fit in HBM. Probe-gather
+    transients are (Q, P, 64, dim) int8: ~4 GiB at 24M rows nprobe=32,
+    so capacity-scale runs should stick to --ivf-probes 2,8.
+    storage="bf16" keeps the f32 kernels (corpus HBM isn't what this
+    bench varies; the bf16 IVF path reuses the f32/quant kernels)."""
     import jax
     import jax.numpy as jnp
 
     from clipx.search.engine import _SEG_W, _bucket_k, _quantize_device
     from clipx.search.ivf import (_bucket_probe, _ivf_kernel_int8,
-                                  _segment_stats)
+                                  _ivf_kernel_int8_pure, _segment_stats)
 
     S = n_vectors // _SEG_W
     C = 4096  # generation clusters (the builder's default at this scale)
-    log(f"building clustered {S * _SEG_W:,} x {dim} corpus on device ...")
-
-    @jax.jit
-    def make(key):
-        kc, kn = jax.random.split(key)
-        centers = jax.random.normal(kc, (C, dim), jnp.float32)
-        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
-        seg_c = (jnp.arange(S) * C) // S
-        x = (centers[seg_c][:, None, :]
-             + 0.15 * jax.random.normal(kn, (S, _SEG_W, dim)))
-        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-
-    corpus3 = make(jax.random.PRNGKey(2))
-    seg_cent = _segment_stats(corpus3, jnp.full((S,), float(_SEG_W)))
-    valid2 = jnp.ones((S, _SEG_W), bool)
-    codes, scales = _quantize_device(corpus3.reshape(-1, dim))
-    codes3 = codes.reshape(S, _SEG_W, dim)
-    scales2 = scales.reshape(S, _SEG_W)
     kk = _bucket_k(k)
-    queries = [corpus3[i, 0][None] for i in range(32)]
-
     out = {}
+
+    if storage == "int8":
+        ch_rows = min(max(n_vectors, _SEG_W),
+                      int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
+                                         1 << 20)))
+        ch_seg = max(1, ch_rows // _SEG_W)
+        S = -(-S // ch_seg) * ch_seg
+        log(f"building clustered {S * _SEG_W:,} x {dim} int8-code "
+            "corpus on device (chunked) ...")
+
+        @jax.jit
+        def make_centers(key):
+            c = jax.random.normal(key, (C, dim), jnp.float32)
+            return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+        centers = make_centers(jax.random.PRNGKey(3))
+
+        @jax.jit
+        def make_chunk(key, seg0):
+            seg_ids = seg0 + jnp.arange(ch_seg)
+            seg_c = (seg_ids * C) // S
+            x = (centers[seg_c][:, None, :]
+                 + 0.15 * jax.random.normal(key, (ch_seg, _SEG_W, dim)))
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            scales = jnp.maximum(jnp.abs(x).max(axis=2), 1e-12) / 127.0
+            codes = jnp.clip(jnp.rint(x / scales[..., None]), -127, 127
+                             ).astype(jnp.int8)
+            return codes, scales, x.mean(axis=1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def place(c3, s2, cent, uc, us, ucent, start):
+            return (jax.lax.dynamic_update_slice(c3, uc, (start, 0, 0)),
+                    jax.lax.dynamic_update_slice(s2, us, (start, 0)),
+                    jax.lax.dynamic_update_slice(cent, ucent, (start, 0)))
+
+        codes3 = jnp.zeros((S, _SEG_W, dim), jnp.int8)
+        scales2 = jnp.full((S, _SEG_W), 1e-12, jnp.float32)
+        seg_cent = jnp.zeros((S, dim), jnp.float32)
+        for i in range(S // ch_seg):
+            uc, us, ucent = make_chunk(jax.random.PRNGKey(200 + i),
+                                       jnp.int32(i * ch_seg))
+            codes3, scales2, seg_cent = place(
+                codes3, scales2, seg_cent, uc, us, ucent,
+                jnp.int32(i * ch_seg))
+        valid2 = jnp.ones((S, _SEG_W), bool)
+        # f32 queries dequantized from stored rows, like production
+        queries = [(codes3[i, 0].astype(jnp.float32)
+                    * scales2[i, 0])[None] for i in range(32)]
+
+        def make_fn(P):
+            return lambda q: _ivf_kernel_int8_pure(
+                codes3, scales2, seg_cent, valid2, q, P, kk)
+    else:
+        log(f"building clustered {S * _SEG_W:,} x {dim} corpus "
+            "on device ...")
+
+        @jax.jit
+        def make(key):
+            kc, kn = jax.random.split(key)
+            centers = jax.random.normal(kc, (C, dim), jnp.float32)
+            centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+            seg_c = (jnp.arange(S) * C) // S
+            x = (centers[seg_c][:, None, :]
+                 + 0.15 * jax.random.normal(kn, (S, _SEG_W, dim)))
+            return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+        corpus3 = make(jax.random.PRNGKey(2))
+        seg_cent = _segment_stats(corpus3, jnp.full((S,), float(_SEG_W)))
+        valid2 = jnp.ones((S, _SEG_W), bool)
+        codes, scales = _quantize_device(corpus3.reshape(-1, dim))
+        codes3 = codes.reshape(S, _SEG_W, dim)
+        scales2 = scales.reshape(S, _SEG_W)
+        queries = [corpus3[i, 0][None] for i in range(32)]
+
+        def make_fn(P):
+            return lambda q: _ivf_kernel_int8(
+                codes3, scales2, corpus3, seg_cent, valid2, q, P, kk)
+
     for nprobe in probes:
         P = min(_bucket_probe(max(1, -(-nprobe * S // 100))), S)
-
-        def fn(q, P=P):
-            return _ivf_kernel_int8(codes3, scales2, corpus3, seg_cent,
-                                    valid2, q, P, kk)
-
+        fn = make_fn(P)
         np.asarray(fn(queries[0])[0])  # compile
         state = {"i": 0}
 
@@ -362,7 +426,8 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
             return fn(queries[state["i"] % 32])[0]
 
         ms = _slope_time(one, np.asarray, max(trials // 8, 2), trials) * 1e3
-        log(f"  ivf nprobe={nprobe} (P={P} of {S} segments): {ms:.3f} ms")
+        log(f"  ivf nprobe={nprobe} (P={P} of {S} segments, {storage} "
+            f"storage): {ms:.3f} ms")
         out[f"ivf_p50_ms_nprobe{nprobe}"] = ms
     return out
 
@@ -463,7 +528,8 @@ def main() -> int:
     ivf = ({} if args.skip_search or args.skip_ivf
            else bench_ivf(args.corpus, args.dim, 50, args.trials,
                           probes=tuple(int(p) for p in
-                                       args.ivf_probes.split(","))))
+                                       args.ivf_probes.split(",")),
+                          storage=args.corpus_dtype))
     # full trial count: halved trials under-saturated the pipelined
     # slope timing at 5M (measured 5.3 ms vs 3.7 ms reproducible at 50
     # trials — the short run never fills the dispatch pipeline)
@@ -517,9 +583,13 @@ def main() -> int:
         # number but say loudly that the timing is not trustworthy
         result["encode_above_roofline"] = True
     for key, v in ivf.items():
-        # bench_ivf stores its clustered corpus in f32 regardless of
-        # --corpus-dtype, so its labels never carry the dtype suffix
-        result[f"query_{key}_{size_lab}"] = round(v, 3)
+        # int8 storage runs the codes-as-corpus IVF kernel and is
+        # labeled as such; f32/bf16 both measure the f32-rows kernel
+        # (bf16 only changes corpus HBM, not this kernel), so those
+        # labels carry no dtype suffix
+        ivf_lab = (size_lab + "_int8" if args.corpus_dtype == "int8"
+                   else size_lab)
+        result[f"query_{key}_{ivf_lab}"] = round(v, 3)
     if search5m:
         put_search(result, "5M" + suffix, search5m)
     if stress:

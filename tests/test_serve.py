@@ -1052,3 +1052,50 @@ def test_serve_corpus_dtype_search_and_incremental_reload(
         assert status == 200 and sim["results"][0]["id"] == 6
     finally:
         server.shutdown()
+
+
+def test_serve_ivf_int8_storage_search_and_reload(tmp_path, monkeypatch):
+    """--search-mode ivf + --corpus-dtype int8 (the codes-as-corpus
+    capacity tier with a functional nprobe) behind HTTP: probed search
+    answers, per-request nprobe binds, and append-only rebuilds reload
+    incrementally into the int8 exact tail."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(21)
+    for i in range(5):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0", "--search-mode", "ivf",
+         "--corpus-dtype", "int8"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        svc = server.RequestHandlerClass.service
+        assert svc.index.int8_storage and svc.index.supports_nprobe
+        assert svc.index._corpus3 is None  # codes are the corpus
+        status, data = _get(port, "/search?q=anything&k=2&nprobe=100")
+        assert status == 200 and len(data["results"]) == 2
+        status, sim = _get(port, "/similar?id=1&k=1&nprobe=100")
+        assert status == 200 and sim["results"][0]["id"] == 1
+
+        for i in range(5, 8):
+            Image.fromarray(rng.randint(0, 255, (32, 32, 3),
+                                        dtype=np.uint8)
+                            ).save(photos / f"p{i}.jpg")
+        assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+        status, r = _post(port, "/reload", {})
+        assert status == 200 and r["mode"] == "incremental", r
+        assert r["ntotal"] == 8
+        assert svc.index._tail is not None and svc.index._tail.int8_storage
+        status, sim = _get(port, "/similar?id=7&k=1&nprobe=100")
+        assert status == 200 and sim["results"][0]["id"] == 7
+    finally:
+        server.shutdown()
