@@ -342,8 +342,7 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         ch_rows = min(max(n_vectors, _SEG_W),
                       int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
                                          1 << 20)))
-        ch_seg = max(1, ch_rows // _SEG_W)
-        S = -(-S // ch_seg) * ch_seg
+        ch_seg = max(1, min(ch_rows // _SEG_W, S))
         log(f"building clustered {S * _SEG_W:,} x {dim} int8-code "
             "corpus on device (chunked) ...")
 
@@ -354,11 +353,14 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
 
         centers = make_centers(jax.random.PRNGKey(3))
 
+        # centers is passed as an argument, NOT closed over: a closed-over
+        # device array lowers as an HLO constant and the remote compile
+        # service rejects big requests (CLAUDE.md HTTP 413 rule).
         @jax.jit
-        def make_chunk(key, seg0):
+        def make_chunk(cent, key, seg0):
             seg_ids = seg0 + jnp.arange(ch_seg)
             seg_c = (seg_ids * C) // S
-            x = (centers[seg_c][:, None, :]
+            x = (cent[seg_c][:, None, :]
                  + 0.15 * jax.random.normal(key, (ch_seg, _SEG_W, dim)))
             x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
             scales = jnp.maximum(jnp.abs(x).max(axis=2), 1e-12) / 127.0
@@ -375,12 +377,21 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         codes3 = jnp.zeros((S, _SEG_W, dim), jnp.int8)
         scales2 = jnp.full((S, _SEG_W), 1e-12, jnp.float32)
         seg_cent = jnp.zeros((S, dim), jnp.float32)
-        for i in range(S // ch_seg):
-            uc, us, ucent = make_chunk(jax.random.PRNGKey(200 + i),
-                                       jnp.int32(i * ch_seg))
+        # Exactly S segments, one compiled chunk shape: a ragged final
+        # chunk restarts at S - ch_seg (overwriting a few already-built
+        # segments — harmless for a synthetic corpus, and it avoids the
+        # old round-S-up-to-whole-chunks behavior that could time up to
+        # ~2x the requested --corpus while labeling it the nominal size.
+        starts = list(range(0, S - ch_seg + 1, ch_seg))
+        if S % ch_seg:
+            starts.append(S - ch_seg)
+        for i, s0 in enumerate(starts):
+            uc, us, ucent = make_chunk(centers,
+                                       jax.random.PRNGKey(200 + i),
+                                       jnp.int32(s0))
             codes3, scales2, seg_cent = place(
                 codes3, scales2, seg_cent, uc, us, ucent,
-                jnp.int32(i * ch_seg))
+                jnp.int32(s0))
         valid2 = jnp.ones((S, _SEG_W), bool)
         # f32 queries dequantized from stored rows, like production
         queries = [(codes3[i, 0].astype(jnp.float32)
@@ -426,7 +437,10 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
             return fn(queries[state["i"] % 32])[0]
 
         ms = _slope_time(one, np.asarray, max(trials // 8, 2), trials) * 1e3
-        log(f"  ivf nprobe={nprobe} (P={P} of {S} segments, {storage} "
+        # log the dtype actually built: the bf16 IVF path reuses the
+        # f32/quant kernels, so labeling it "bf16 storage" would be a lie
+        built = "int8" if storage == "int8" else "f32"
+        log(f"  ivf nprobe={nprobe} (P={P} of {S} segments, {built} "
             f"storage): {ms:.3f} ms")
         out[f"ivf_p50_ms_nprobe{nprobe}"] = ms
     return out

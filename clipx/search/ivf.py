@@ -205,6 +205,50 @@ def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
                                   axis=1)
 
 
+def _int8_probe_body(codes3: jax.Array, scales2: jax.Array,
+                     valid2: jax.Array, queries: jax.Array,
+                     seg_idx: jax.Array, rescore_rows, s: int, k: int,
+                     seg_offset=0) -> Tuple[jax.Array, jax.Array]:
+    """Shared body of every int8 probed kernel (single-device and
+    sharded): quantize the queries, int8-scan the probed segments,
+    keep the top-``s`` segments by per-segment max, rescore their rows
+    in exact f32 (rows supplied by ``rescore_rows(chosen)`` — stored
+    f32/bf16 rows in quant mode, dequantized codes in int8-storage
+    mode), final top-k. ``seg_offset`` shifts segment ids to global
+    (sharded callers pass ``axis_index * S_local``)."""
+    nq = queries.shape[0]
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
+    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
+                     preferred_element_type=jnp.int32)
+    approx = raw.astype(jnp.float32) * scales2[seg_idx]
+    approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
+    segmax = approx.max(axis=2)                               # (Q, P)
+    _, local = jax.lax.top_k(segmax, s)                       # (Q, s)
+    chosen = jnp.take_along_axis(seg_idx, local, axis=1)      # (Q, s)
+    rows = rescore_rows(chosen)                               # (Q,s,W,D) f32
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    g2 = ((chosen + seg_offset)[:, :, None] * _SEG_W
+          + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(valid2[chosen], exact, -jnp.inf)
+    kk = min(k, s * _SEG_W)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), kk)
+    return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
+
+
+def _dequant_rows(codes3: jax.Array, scales2: jax.Array):
+    """rescore_rows callback for int8 STORAGE: dequantize the chosen
+    candidate rows in f32, so the query-side quantization error of the
+    scan cancels and only corpus rounding (~5e-4 score RMS) remains —
+    identical semantics to the flat engine's _search_kernel_int8_pure."""
+    return lambda chosen: (codes3[chosen].astype(jnp.float32)
+                           * scales2[chosen][..., None])
+
+
 @functools.partial(jax.jit, static_argnames=("P", "k"))
 def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
                      corpus3: jax.Array, seg_cent: jax.Array,
@@ -213,32 +257,12 @@ def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
     """int8 probed scan + exact f32 rescore of the top-k segments —
     the quant-mode composition applied only to the probed fraction.
     codes3: (S, 64, D) int8; scales2: (S, 64) per-row scales."""
-    nq = queries.shape[0]
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
-    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
-                          1e-12) / 127.0
-    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
-                       ).astype(jnp.int8)
-    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
-    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
-                     preferred_element_type=jnp.int32)
-    approx = raw.astype(jnp.float32) * scales2[seg_idx]
-    approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
-    segmax = approx.max(axis=2)                               # (Q, P)
-    s = min(k, P)
-    _, local = jax.lax.top_k(segmax, s)                       # (Q, s)
-    chosen = jnp.take_along_axis(seg_idx, local, axis=1)      # (Q, s)
-    rows = corpus3[chosen]                                    # (Q,s,W,D) f32
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
-                       preferred_element_type=jnp.float32)
-    g2 = (chosen[:, :, None] * _SEG_W
-          + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
-    exact = jnp.where(valid2[chosen], exact, -jnp.inf)
-    kk = min(k, s * _SEG_W)
-    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), kk)
-    return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
+    return _int8_probe_body(codes3, scales2, valid2, queries, seg_idx,
+                            lambda chosen: corpus3[chosen],
+                            min(k, P), k)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "k"))
@@ -247,39 +271,14 @@ def _ivf_kernel_int8_pure(codes3: jax.Array, scales2: jax.Array,
                           queries: jax.Array,
                           P: int, k: int) -> Tuple[jax.Array, jax.Array]:
     """IVF over int8 STORAGE (--corpus-dtype int8): the codes ARE the
-    corpus — no f32/bf16 rows exist on device. The probed scan is the
-    same int8 matvec as _ivf_kernel_int8; the top-k segments rescore
-    from DEQUANTIZED candidate rows in f32, so the query-side
-    quantization error of the scan cancels and only corpus rounding
-    (~5e-4 score RMS) remains — identical semantics to the flat
-    engine's _search_kernel_int8_pure."""
-    nq = queries.shape[0]
+    corpus — no f32/bf16 rows exist on device. Same probed scan as
+    _ivf_kernel_int8; rescore from dequantized candidates."""
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
-    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
-                          1e-12) / 127.0
-    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
-                       ).astype(jnp.int8)
-    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
-    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
-                     preferred_element_type=jnp.int32)
-    approx = raw.astype(jnp.float32) * scales2[seg_idx]
-    approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
-    segmax = approx.max(axis=2)                               # (Q, P)
-    s = min(k, P)
-    _, local = jax.lax.top_k(segmax, s)                       # (Q, s)
-    chosen = jnp.take_along_axis(seg_idx, local, axis=1)      # (Q, s)
-    rows = (codes3[chosen].astype(jnp.float32)
-            * scales2[chosen][..., None])                     # (Q,s,W,D)
-    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
-                       preferred_element_type=jnp.float32)
-    g2 = (chosen[:, :, None] * _SEG_W
-          + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
-    exact = jnp.where(valid2[chosen], exact, -jnp.inf)
-    kk = min(k, s * _SEG_W)
-    d, sel = jax.lax.top_k(exact.reshape(nq, s * _SEG_W), kk)
-    return d, jnp.take_along_axis(g2.reshape(nq, s * _SEG_W), sel, axis=1)
+    return _int8_probe_body(codes3, scales2, valid2, queries, seg_idx,
+                            _dequant_rows(codes3, scales2),
+                            min(k, P), k)
 
 
 @jax.jit
@@ -544,10 +543,21 @@ class IVFIndex:
         if self._segs() == 0:
             base = np.zeros((0, self.dim), np.float32)
         elif self.int8_storage:
-            flat = (np.asarray(self._codes3, dtype=np.float32)
-                    * np.asarray(self._scales2, dtype=np.float32)[..., None]
-                    ).reshape(-1, self.dim)
-            base = flat[self._pos_of_ext]
+            # Dequantize chunk-wise straight into the output: the
+            # one-shot (rows, dim) f32 product would transiently hold
+            # ~3x the full f32 corpus in host RAM at this tier's 24M-row
+            # design scale (the tier exists because f32 doesn't fit).
+            codes = np.asarray(self._codes3).reshape(-1, self.dim)
+            scales = np.asarray(self._scales2,
+                                dtype=np.float32).reshape(-1)
+            pos = self._pos_of_ext
+            base = np.empty((len(pos), self.dim), np.float32)
+            step = 1 << 18
+            for i in range(0, len(pos), step):
+                p = pos[i:i + step]
+                chunk = codes[p].astype(np.float32)
+                chunk *= scales[p][:, None]
+                base[i:i + len(p)] = chunk
         else:
             flat = np.asarray(self._corpus3.reshape(-1, self.dim),
                               dtype=np.float32)
@@ -778,56 +788,23 @@ class ShardedIVFIndex(IVFIndex):
             return _merge_across_shards(d, gi, kk)
 
         def local_int8(codes3, scales2, c3, cent_l, v2, sv_l, q):
-            nq = q.shape[0]
             seg_idx = _coarse(cent_l, sv_l, q)
-            q_scale = jnp.maximum(jnp.abs(q).max(axis=1, keepdims=True),
-                                  1e-12) / 127.0
-            q_codes = jnp.clip(jnp.rint(q / q_scale), -127, 127
-                               ).astype(jnp.int8)
-            crows = codes3[seg_idx]                           # (Q,P,W,D) i8
-            raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
-                             preferred_element_type=jnp.int32)
-            approx = raw.astype(jnp.float32) * scales2[seg_idx]
-            approx = jnp.where(v2[seg_idx], approx, -jnp.inf)
-            s = min(kk, P_local)
-            _, local = jax.lax.top_k(approx.max(axis=2), s)   # (Q, s)
-            chosen = jnp.take_along_axis(seg_idx, local, axis=1)
-            rows = c3[chosen]                                 # (Q,s,W,D) f32
-            exact = jnp.einsum("qd,qswd->qsw", q, rows,
-                               preferred_element_type=jnp.float32)
-            exact = jnp.where(v2[chosen], exact, -jnp.inf)
-            gids = _gids(chosen, c3.shape[0])
-            kk2 = min(kk_local, s * W)
-            d, sel = jax.lax.top_k(exact.reshape(nq, s * W), kk2)
-            gi = jnp.take_along_axis(gids.reshape(nq, s * W), sel, axis=1)
+            base = jax.lax.axis_index(AXIS) * codes3.shape[0]
+            d, gi = _int8_probe_body(codes3, scales2, v2, q, seg_idx,
+                                     lambda chosen: c3[chosen],
+                                     min(kk, P_local), kk_local,
+                                     seg_offset=base)
             return _merge_across_shards(d, gi, kk)
 
         def local_int8_pure(codes3, scales2, cent_l, v2, sv_l, q):
             # int8 STORAGE: same probed scan as local_int8, rescore
             # from dequantized candidate rows (no stored f32/bf16 rows)
-            nq = q.shape[0]
             seg_idx = _coarse(cent_l, sv_l, q)
-            q_scale = jnp.maximum(jnp.abs(q).max(axis=1, keepdims=True),
-                                  1e-12) / 127.0
-            q_codes = jnp.clip(jnp.rint(q / q_scale), -127, 127
-                               ).astype(jnp.int8)
-            crows = codes3[seg_idx]                           # (Q,P,W,D) i8
-            raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
-                             preferred_element_type=jnp.int32)
-            approx = raw.astype(jnp.float32) * scales2[seg_idx]
-            approx = jnp.where(v2[seg_idx], approx, -jnp.inf)
-            s = min(kk, P_local)
-            _, local = jax.lax.top_k(approx.max(axis=2), s)   # (Q, s)
-            chosen = jnp.take_along_axis(seg_idx, local, axis=1)
-            rows = (codes3[chosen].astype(jnp.float32)
-                    * scales2[chosen][..., None])             # (Q,s,W,D)
-            exact = jnp.einsum("qd,qswd->qsw", q, rows,
-                               preferred_element_type=jnp.float32)
-            exact = jnp.where(v2[chosen], exact, -jnp.inf)
-            gids = _gids(chosen, codes3.shape[0])
-            kk2 = min(kk_local, s * W)
-            d, sel = jax.lax.top_k(exact.reshape(nq, s * W), kk2)
-            gi = jnp.take_along_axis(gids.reshape(nq, s * W), sel, axis=1)
+            base = jax.lax.axis_index(AXIS) * codes3.shape[0]
+            d, gi = _int8_probe_body(codes3, scales2, v2, q, seg_idx,
+                                     _dequant_rows(codes3, scales2),
+                                     min(kk, P_local), kk_local,
+                                     seg_offset=base)
             return _merge_across_shards(d, gi, kk)
 
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
