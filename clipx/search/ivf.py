@@ -488,7 +488,13 @@ class IVFIndex:
         eff = (self._nprobe if nprobe is None
                else int(np.clip(int(nprobe), 1, 100)))
         P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
-        P = min(P, segs)
+        # Probe (and rescore) at least k segments when the corpus has
+        # them: on tiny corpora ceil(nprobe% * segs) picks fewer
+        # segments than k, so a k the corpus could satisfy came back
+        # padded with -1 rows (found driving the 5-image REPL). Worst
+        # case one valid row per segment, so k segments suffice; at
+        # scale P >> k and the clamp never binds.
+        P = min(max(P, engine._bucket_k(k)), segs)
         qcap = _qcap(P, self.dim, self.quantized, k,
                      int8_storage=self.int8_storage)
         if nq > qcap:

@@ -147,6 +147,25 @@ def test_empty_and_tiny_corpora():
     assert set(I[0, :10]) == set(range(10))
 
 
+def test_tiny_corpus_low_nprobe_still_fills_k():
+    """Probing clamps to >= k segments: a 5-image index at the REPL's
+    default nprobe=32 used to probe ceil(0.32*5)=2 single-row segments
+    and pad a k=3 request with -1 rows the corpus could satisfy
+    (found driving query-index.py on a 5-image folder)."""
+    rng = np.random.default_rng(7)
+    tiny = rng.normal(size=(5, 16)).astype(np.float32)
+    tiny /= np.linalg.norm(tiny, axis=1, keepdims=True)
+    for quantized in (False, True):
+        idx = IVFIndex.from_vectors(tiny, quantized=quantized)
+        for nprobe in (1, 32):
+            idx.nprobe = nprobe
+            D, I = idx.search(tiny[1][None], 3)
+            assert (I[0] >= 0).all(), (quantized, nprobe, I)
+            assert I[0, 0] == 1
+            D, I = idx.search(tiny[1][None], 5)
+            assert set(I[0]) == set(range(5)), (quantized, nprobe, I)
+
+
 def test_cache_roundtrip_and_invalidation(tmp_path, corpus):
     cache = str(tmp_path / "images.index.ivf")
     idx1 = IVFIndex.from_vectors(corpus, cache_path=cache)
