@@ -107,13 +107,14 @@ def _encode_tflops(cfg, batch: int):
 
 
 def bench_encode(batch_size: int, iters: int, model: str,
-                 mesh=None) -> dict:
+                 mesh=None, compute: str | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
     from clipx.runtime.encoder import Encoder
 
-    enc = Encoder.create(model, batch_buckets=(batch_size,), mesh=mesh)
+    enc = Encoder.create(model, batch_buckets=(batch_size,), mesh=mesh,
+                         compute_quant=compute)
     size = enc.image_size
 
     # distinct per-dispatch inputs, generated on device (H2D rides a slow
@@ -146,6 +147,8 @@ def bench_encode(batch_size: int, iters: int, model: str,
     # timing artifact by definition (per-chip peak; a dp mesh scales it)
     tf = _encode_tflops(enc.cfg, batch_size)
     peak = float(os.environ.get("CLIPX_BENCH_PEAK_TFLOPS", "197"))
+    if enc.compute_quant == "int8":
+        peak *= 2  # int8 MXU rate (394 TOPS on v5e) bounds the W8A8 path
     peak *= mesh.size if mesh is not None else 1
     suspect = False
     if tf is not None and tf / per_batch > peak:
@@ -527,13 +530,17 @@ def main() -> int:
     ap.add_argument("--skip-stress", action="store_true",
                     help="skip the ViT-L/14@336 + 5M-corpus stress "
                          "measurements")
+    ap.add_argument("--compute", choices=("bf16", "int8"), default=None,
+                    help="encode arithmetic for the throughput metric "
+                         "(int8 = W8A8 MLP GEMMs, clipx/models/quant.py)")
     ap.add_argument("--dp", type=int, default=0,
                     help="also measure data-parallel encode scaling over "
                          "this many devices (needs a multi-chip platform)")
     args = ap.parse_args()
 
     _wait_for_device()
-    enc = bench_encode(args.batch_size, args.iters, args.model)
+    enc = bench_encode(args.batch_size, args.iters, args.model,
+                       compute=args.compute)
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials,
@@ -590,6 +597,10 @@ def main() -> int:
         "text_encode_ms": round(text["text_ms"], 3),
         "batch_size": args.batch_size,
     }
+    if args.compute == "int8":
+        # a --compute override must be visible in the artifact: this is
+        # the W8A8 fast path, not the default-bf16 headline number
+        result["encode_compute"] = "int8"
     if search:
         put_search(result, nlab, search)
     if enc.get("suspect"):

@@ -35,6 +35,15 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                         default=os.environ.get("CLIPX_CHECKPOINT"),
                         help="converted .npz params or torch .pt state "
                              "dict; random init when omitted")
+    parser.add_argument("--compute",
+                        choices=("bf16", "int8"),
+                        default=os.environ.get("CLIPX_COMPUTE") or None,
+                        help="encode arithmetic: bf16 (default) or int8 "
+                             "W8A8 MLP GEMMs on the ViT image tower — "
+                             "the MXU runs int8 at 2x the bf16 rate; "
+                             "embedding drift is bounded and gated "
+                             "(clipx/models/quant.py). Text encode "
+                             "stays bf16 either way")
     parser.add_argument("--db", default=os.environ.get("CLIPX_DB",
                                                        DEFAULT_DB_PATH))
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
@@ -165,7 +174,8 @@ def make_encoder(args, mesh=None):
 
     from clipx.runtime.encoder import Encoder
 
-    enc = Encoder.create(args.model, checkpoint=args.checkpoint, mesh=mesh)
+    enc = Encoder.create(args.model, checkpoint=args.checkpoint, mesh=mesh,
+                         compute_quant=getattr(args, "compute", None))
     if args.checkpoint is None and args.model != "tiny-test":
         print("(no checkpoint given — using randomly initialized weights; "
               "pass --checkpoint or set $CLIPX_CHECKPOINT for real "

@@ -174,6 +174,18 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
 def mlp_block(x: jax.Array, p: Params, use_quick_gelu: bool) -> jax.Array:
     import os
 
+    if "w1_q" in p:
+        # W8A8 inference MLP (CLIPX_COMPUTE=int8): both GEMMs run
+        # int8 on the MXU at 2x the bf16 rate; GELU between them in
+        # the compute dtype from the f32-dequantized fc1 output
+        # (clipx.models.quant — drift gated in test_quant)
+        from clipx.models.quant import dense_w8a8
+
+        h = dense_w8a8(x, p["w1_q"], p["s1"], p["b1"])
+        h = (quick_gelu(h) if use_quick_gelu
+             else jax.nn.gelu(h, approximate=False))
+        return dense_w8a8(h, p["w2_q"], p["s2"], p["b2"])
+
     # default off: unlike the attention sublayer (whose separate GEMMs
     # measured ~29% MFU), XLA already runs the MLP at ~74% MFU and the
     # fused kernel measured no end-to-end win (A/B at ViT-B/32 b256:

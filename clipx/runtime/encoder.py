@@ -18,6 +18,7 @@ at reference:query-index.py:108). Differences by design:
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -108,7 +109,8 @@ class Encoder:
                  compute_dtype=None, attn_impl: str = "auto",
                  batch_buckets: Sequence[int] = _DEFAULT_BUCKETS,
                  tokenizer: Optional[ClipTokenizer] = None,
-                 mesh=None, tp: Optional[str] = None):
+                 mesh=None, tp: Optional[str] = None,
+                 compute_quant: Optional[str] = None):
         enable_persistent_compile_cache()
         self.cfg = cfg
         self.mesh = mesh
@@ -136,6 +138,31 @@ class Encoder:
         self.attn_impl = attn_impl
         self.tokenizer = tokenizer or ClipTokenizer()
 
+        quant = compute_quant if compute_quant is not None else os.environ.get(
+            "CLIPX_COMPUTE", "")
+        if quant not in ("", "bf16", "int8"):
+            raise ValueError(f"unknown compute mode {quant!r} "
+                             "(CLIPX_COMPUTE: bf16 or int8)")
+        self.compute_quant = quant if quant == "int8" else None
+        qmlp = None
+        if self.compute_quant:
+            # W8A8 image-tower MLP (clipx.models.quant): quantize from
+            # the ORIGINAL f32 weights (not the bf16 copies) so the only
+            # rounding is the int8 step itself. Image tower only — text
+            # encode is ~0.5 ms and stays bf16 for ranking stability.
+            if getattr(cfg.vision, "tower", "vit") != "vit":
+                raise ValueError("CLIPX_COMPUTE=int8 is implemented for "
+                                 "the ViT towers (the RN family fits its "
+                                 "budget in bf16)")
+            if tp is not None:
+                raise ValueError("CLIPX_COMPUTE=int8 with tensor "
+                                 "parallelism is not supported (no TP "
+                                 "sharding rules for the quantized MLP)")
+            from clipx.models import quant as quant_lib
+
+            qmlp = quant_lib.quantize_mlp_stack(
+                params["visual"]["blocks"]["mlp"])
+
         if self.dtype == jnp.bfloat16:
             # Store matrices in the compute dtype: every 2-D+ param is
             # cast to bf16 at its point of use anyway (dense / explicit
@@ -147,6 +174,17 @@ class Encoder:
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if getattr(x, "ndim", 0) >= 2 else x, params)
+
+        if qmlp is not None:
+            # reattach AFTER the bf16 cast: int8 codes and f32 scales
+            # must keep their dtypes (shallow-copy along the path so the
+            # caller's tree is untouched)
+            params = dict(params)
+            visual = dict(params["visual"])
+            blocks = dict(visual["blocks"])
+            blocks["mlp"] = qmlp
+            visual["blocks"] = blocks
+            params["visual"] = visual
 
         self._batch_sh = None
         out_sh = None
