@@ -113,7 +113,13 @@ def encode_image(params: Params, cfg: CLIPConfig, pixels: jax.Array,
     v = cfg.vision
     p = params["visual"]
     x = _patchify(pixels.astype(dtype), v.patch_size)
-    x = dense(x, p["patch_embed"]["kernel"])  # (B, N, W) — the big MXU matmul
+    pe = p["patch_embed"]
+    if "kernel_q" in pe:  # W8A8 fast path (clipx.models.quant)
+        from clipx.models.quant import dense_w8a8
+
+        x = dense_w8a8(x, pe["kernel_q"], pe["scale"])
+    else:
+        x = dense(x, pe["kernel"])  # (B, N, W) — the big MXU matmul
     cls = jnp.broadcast_to(p["class_embedding"].astype(dtype),
                            (x.shape[0], 1, v.width))
     x = jnp.concatenate([cls, x], axis=1)

@@ -78,6 +78,29 @@ def mha_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     b, s, w = x.shape
     d = w // heads
 
+    if "wq_q" in p:
+        # W8A8 projections (CLIPX_INT8_ATTN, clipx.models.quant): int8
+        # q/k/v/out GEMMs + the SDPA-only Pallas kernel in place of the
+        # fused bf16 sublayer kernel (which needs bf16 VMEM weights)
+        from clipx.models.quant import dense_w8a8
+        from clipx.ops.packed_sdpa import packed_sdpa, packed_sdpa_rows
+
+        q = dense_w8a8(x, p["wq_q"], p["sq"], p["bq"])
+        k = dense_w8a8(x, p["wk_q"], p["sk"], p["bk"])
+        v = dense_w8a8(x, p["wv_q"], p["sv"], p["bv"])
+        fits = s <= 64 and d == 64 and not causal and _on_tpu()
+        if fits and b % 2 == 0:
+            o = packed_sdpa_rows(q, k, v, heads=heads)
+        elif fits and heads % 2 == 0:
+            o = packed_sdpa(q, k, v, heads=heads)
+        else:
+            def split(t):
+                return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+            o = xla_attention(split(q), split(k), split(v), causal=causal)
+            o = o.transpose(0, 2, 1, 3).reshape(b, s, w)
+        return dense_w8a8(o, p["wo_q"], p["so"], p["bo"])
+
     use_packed = (s <= 64 and d == 64 and (heads % 2 == 0 or b % 2 == 0))
     # K/V must fit VMEM alongside scores for the long kernel
     use_long = (s > 64 and (-(-s // 128) * 128) * w * 2 * 2 < 8 * 2 ** 20)
@@ -210,6 +233,7 @@ def residual_block(x: jax.Array, p: Params, heads: int, *, causal: bool,
     d = w // heads
     if (not causal and s <= 64 and d == 64 and b % 2 == 0
             and attn_impl == "xla" and _on_tpu()
+            and "wq_q" not in p["attn"]
             and _sdpa_variant() == "sublayer"):
         # opt-in: whole pre-LN sublayer (LN -> attn -> +residual) in one
         # kernel. Measured a wash vs fused_attn_block at ViT-B/32 b256

@@ -76,6 +76,28 @@ def dense_w8a8(x: jax.Array, w_i8: jax.Array, w_scale: jax.Array,
     return y.astype(x.dtype)
 
 
+def quantize_patch_embed(pe: Params) -> Params:
+    """int8 patch-embedding GEMM (the (B, N, patch^2*3) x (in, W)
+    matmul — ~10% of ViT encode FLOPs). Normalized pixels are
+    outlier-free, so the per-token dynamic scale loses nothing."""
+    k_q, s = quantize_weight(pe["kernel"])
+    return {"kernel_q": k_q, "scale": s}
+
+
+def quantize_attn_stack(attn: Params) -> Params:
+    """int8 q/k/v/out projections (opt-in via CLIPX_INT8_ATTN — see
+    Encoder): replaces the fused-bf16-sublayer kernel's GEMMs with
+    W8A8 XLA GEMMs + the SDPA-only Pallas kernel. Kept separate from
+    the MLP switch so the two can be A/B-measured independently."""
+    out = {}
+    for name in ("wq", "wk", "wv", "wo"):
+        w_q, s = quantize_weight(attn[name])
+        out[name + "_q"] = w_q
+        out["s" + name[1:]] = s
+        out["b" + name[1:]] = attn["b" + name[1:]]
+    return out
+
+
 def quantize_mlp_stack(mlp: Params) -> Params:
     """Swap a (possibly layer-stacked) MLP param group to int8 storage.
 

@@ -162,6 +162,22 @@ class Encoder:
 
             qmlp = quant_lib.quantize_mlp_stack(
                 params["visual"]["blocks"]["mlp"])
+            # Both extensions below MEASURED SLOWER on chip and default
+            # off (ViT-B/32 b256, docs/ARCHITECTURE.md): patchify
+            # 15.30 -> 16.61 ms (XLA fuses the preprocess epilogue into
+            # the bf16 patchify GEMM; the quant round-trip breaks that
+            # fusion for a GEMM that was only ~10% of FLOPs), attention
+            # projections 15.30 -> 24.24 ms (separate W8A8 GEMMs lose
+            # the fused bf16 sublayer kernel — the same ~29%-MFU
+            # separate-GEMM wall the fusion was built to avoid).
+            qpatch = None
+            if os.environ.get("CLIPX_INT8_PATCH", "off") == "on":
+                qpatch = quant_lib.quantize_patch_embed(
+                    params["visual"]["patch_embed"])
+            qattn = None
+            if os.environ.get("CLIPX_INT8_ATTN", "off") == "on":
+                qattn = quant_lib.quantize_attn_stack(
+                    params["visual"]["blocks"]["attn"])
 
         if self.dtype == jnp.bfloat16:
             # Store matrices in the compute dtype: every 2-D+ param is
@@ -183,7 +199,11 @@ class Encoder:
             visual = dict(params["visual"])
             blocks = dict(visual["blocks"])
             blocks["mlp"] = qmlp
+            if qattn is not None:
+                blocks["attn"] = qattn
             visual["blocks"] = blocks
+            if qpatch is not None:
+                visual["patch_embed"] = qpatch
             params["visual"] = visual
 
         self._batch_sh = None

@@ -64,9 +64,32 @@ def test_encoder_int8_structure(encoders):
     assert mlp["w1_q"].dtype == jnp.int8
     assert mlp["s1"].dtype == jnp.float32
     assert "w1" not in mlp
+    # patchify + attention stay bf16 unless CLIPX_INT8_PATCH/_ATTN=on
+    # (both measured slower on chip — see encoder.py)
+    assert "kernel" in q.params["visual"]["patch_embed"]
+    assert "wq" in q.params["visual"]["blocks"]["attn"]
     # text tower untouched
     assert "w1" in q.params["text"]["blocks"]["mlp"]
     assert q.compute_quant == "int8"
+
+
+def test_encoder_int8_attn_opt_in(monkeypatch):
+    from clipx.runtime.encoder import Encoder
+
+    monkeypatch.setenv("CLIPX_INT8_ATTN", "on")
+    monkeypatch.setenv("CLIPX_INT8_PATCH", "on")
+    base = Encoder.create("tiny-test", batch_buckets=(4,))
+    q = Encoder.create("tiny-test", batch_buckets=(4,),
+                       compute_quant="int8")
+    attn = q.params["visual"]["blocks"]["attn"]
+    assert attn["wq_q"].dtype == jnp.int8 and "wq" not in attn
+    pe = q.params["visual"]["patch_embed"]
+    assert pe["kernel_q"].dtype == jnp.int8 and "kernel" not in pe
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 255, (4, base.image_size, base.image_size, 3),
+                         dtype=np.uint8)
+    cos = (base.encode_images(batch) * q.encode_images(batch)).sum(axis=1)
+    assert (cos > 0.98).all(), cos
 
 
 def test_encoder_int8_embedding_drift(encoders):
