@@ -112,6 +112,10 @@ def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):
     pil_min, cv2_min = float(m.group(1)), float(m.group(2))
     assert cv2_min >= 0.9999, out  # same decode + same resize kernel
     assert pil_min >= 0.90, out    # different antialias kernel, bounded
+    # --compute int8 drift on identical pixels (W8A8 MLP only)
+    m = _parse(r"int8-compute drift vs bf16 \(cosine, n=\d+\): "
+               r"min ([0-9.-]+)", out)
+    assert float(m.group(1)) >= 0.99, out
 
 
 def test_int8_rescore_on_near_duplicate_cluster():

@@ -152,7 +152,13 @@ def _preprocess_drift(args, index, sample) -> None:
     idx_db = env.open_db(b"idx_db")
     fn_db = env.open_db(b"fn_db")
     enc = Encoder.create(args.model, checkpoint=args.checkpoint)
-    cos_pil, cos_cv2 = [], []
+    enc8 = None
+    if getattr(enc.cfg.vision, "tower", "vit") == "vit":
+        # --compute int8 drift on the SAME pixels: isolates the W8A8
+        # MLP quantization from decode/resample differences
+        enc8 = Encoder.create(args.model, checkpoint=args.checkpoint,
+                              compute_quant="int8")
+    cos_pil, cos_cv2, cos_int8 = [], [], []
     from PIL import Image
 
     with env.begin() as txn:
@@ -173,11 +179,17 @@ def _preprocess_drift(args, index, sample) -> None:
             e_cv = enc.encode_images(cv[None])[0]
             cos_pil.append(float(stored @ e_pil))
             cos_cv2.append(float(stored @ e_cv))
+            if enc8 is not None:
+                e8 = enc8.encode_images(pil[None])[0]
+                cos_int8.append(float(e_pil @ e8))
     env.close()
     if cos_pil:
         print(f"preprocess drift vs stored (cosine, n={len(cos_pil)}): "
               f"pil min {min(cos_pil):.4f} mean {np.mean(cos_pil):.4f}; "
               f"cv2 min {min(cos_cv2):.4f} mean {np.mean(cos_cv2):.4f}")
+    if cos_int8:
+        print(f"int8-compute drift vs bf16 (cosine, n={len(cos_int8)}): "
+              f"min {min(cos_int8):.4f} mean {np.mean(cos_int8):.4f}")
 
 
 if __name__ == "__main__":
