@@ -587,7 +587,10 @@ def main() -> int:
                 and args.corpus >= 1_000_000 else str(args.corpus))
     nlab = size_lab + suffix
     result = {
-        "metric": "images/sec/chip (ViT-B/32 indexing encode)",
+        # the default metric name stays stable for the driver; --model
+        # overrides rename it so an ad-hoc run can't masquerade as the
+        # ViT-B/32 headline artifact
+        "metric": f"images/sec/chip ({args.model} indexing encode)",
         "value": value,
         "unit": "images/sec/chip",
         # reference publishes no numbers (BASELINE.md); baseline is the

@@ -327,6 +327,25 @@ def test_dp_encode_bitwise_matches_single_device():
                                   dp.encode_images(batch))
 
 
+def test_dp_encode_int8_compute_matches_single_device():
+    """--compute int8 under the dp shard_map: the quantized param tree
+    (int8 codes + f32 scales) replicates over the mesh and dp encode
+    stays bitwise-equal to the single-device int8 encoder."""
+    from clipx.runtime.encoder import Encoder
+
+    cfg = tiny_test()
+    params = model_lib.init_params(cfg, jax.random.PRNGKey(0))
+    single = Encoder(cfg, params, compute_quant="int8")
+    mesh = mesh_lib.make_mesh({"dp": 8})
+    dp = Encoder(cfg, params, mesh=mesh, compute_quant="int8")
+    assert dp.params["visual"]["blocks"]["mlp"]["w1_q"].dtype == jnp.int8
+    rng = np.random.RandomState(1)
+    s = cfg.vision.image_size
+    batch = rng.randint(0, 256, (20, s, s, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(single.encode_images(batch),
+                                  dp.encode_images(batch))
+
+
 def test_dp_encode_batch_actually_sharded():
     """The compiled dp encode must consume a dp-sharded batch and produce
     a dp-sharded output — not silently replicate onto one device."""

@@ -475,6 +475,41 @@ def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
         service.env.close()
 
 
+def test_serve_compute_int8(tmp_path, monkeypatch):
+    """serve --compute int8: the encoder quantizes its image-tower MLP
+    and every endpoint still answers (text encode is byte-identical by
+    design, so search results match the bf16 server's for text
+    queries)."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(3)
+    for name in ["a.jpg", "b.jpg", "c.png"]:
+        Image.fromarray(rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+                        ).save(photos / name)
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0", "--compute", "int8"])
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, data = _get(port, "/search?q=a+red+photo&k=2")
+        assert status == 200 and len(data["results"]) == 2
+        enc = server.RequestHandlerClass.service.encoder()
+        assert enc.compute_quant == "int8"
+        import jax.numpy as jnp
+
+        assert enc.params["visual"]["blocks"]["mlp"]["w1_q"
+                                                     ].dtype == jnp.int8
+        status, data = _post(port, "/encode_text", {"texts": ["x"]})
+        assert status == 200 and len(data["embeddings"]) == 1
+    finally:
+        server.shutdown()
+
+
 def test_serve_sharded_index(served):
     """On the 8-device test mesh the default --sharded auto serves from
     the corpus-sharded index (the pod path), same results contract."""
