@@ -113,8 +113,11 @@ def bench_encode(batch_size: int, iters: int, model: str,
 
     from clipx.runtime.encoder import Encoder
 
+    # compute is always pinned explicitly: a CLIPX_COMPUTE=int8 in the
+    # caller's environment must not silently turn the unmarked headline
+    # number into the int8 fast path
     enc = Encoder.create(model, batch_buckets=(batch_size,), mesh=mesh,
-                         compute_quant=compute)
+                         compute_quant=compute or "bf16")
     size = enc.image_size
 
     # distinct per-dispatch inputs, generated on device (H2D rides a slow
@@ -148,7 +151,11 @@ def bench_encode(batch_size: int, iters: int, model: str,
     tf = _encode_tflops(enc.cfg, batch_size)
     peak = float(os.environ.get("CLIPX_BENCH_PEAK_TFLOPS", "197"))
     if enc.compute_quant == "int8":
-        peak *= 2  # int8 MXU rate (394 TOPS on v5e) bounds the W8A8 path
+        # mixed-precision bound: the MLP (~2/3 of FLOPs) runs at the
+        # 394 TOPS int8 rate, attention/patchify stay bf16 —
+        # 1/((1/3)/197 + (2/3)/394) = 1.5x. (Conservative if the
+        # CLIPX_INT8_ATTN/_PATCH A/B knobs widen the int8 share.)
+        peak *= 1.5
     peak *= mesh.size if mesh is not None else 1
     suspect = False
     if tf is not None and tf / per_batch > peak:
@@ -174,7 +181,7 @@ def bench_text_encode(model: str) -> dict:
     host CPU, reference:query-index.py:108)."""
     from clipx.runtime.encoder import Encoder
 
-    enc = Encoder.create(model, batch_buckets=(1,))
+    enc = Encoder.create(model, batch_buckets=(1,), compute_quant="bf16")
     enc.encode_texts(["warmup"])  # compile
     ids = [enc.tokenizer([f"a photo of thing {i}"],
                          context_length=enc.cfg.text.context_length)
@@ -541,6 +548,12 @@ def main() -> int:
     _wait_for_device()
     enc = bench_encode(args.batch_size, args.iters, args.model,
                        compute=args.compute)
+    # the opt-in W8A8 path is part of the standard artifact (keys
+    # suffixed _int8); the headline value stays the default-bf16 config
+    enc_int8 = {}
+    if args.compute is None and args.model.startswith("ViT"):
+        enc_int8 = bench_encode(args.batch_size, args.iters, args.model,
+                                compute="int8")
     text = bench_text_encode(args.model)
     search = ({} if args.skip_search
               else bench_search(args.corpus, args.dim, 50, args.trials,
@@ -604,6 +617,11 @@ def main() -> int:
         # a --compute override must be visible in the artifact: this is
         # the W8A8 fast path, not the default-bf16 headline number
         result["encode_compute"] = "int8"
+    if enc_int8:
+        result["images_per_sec_int8"] = round(enc_int8["images_per_sec"], 1)
+        result["ms_per_batch_int8"] = round(enc_int8["ms_per_batch"], 2)
+        if enc_int8.get("suspect"):
+            result["encode_above_roofline_int8"] = True
     if search:
         put_search(result, nlab, search)
     if enc.get("suspect"):

@@ -186,25 +186,36 @@ class Encoder:
             # chip) while halving weight HBM (~175 MB on ViT-B/32,
             # ~850 MB on ViT-L) and the per-batch cast traffic. 1-D
             # params (LN scales, biases) stay f32 — those are consumed
-            # in f32.
+            # in f32. The subtree qmlp replaces is excluded first:
+            # casting the largest stacks in the tower only to drop them
+            # one statement later is wasted device work and a transient
+            # HBM spike at every serve start/reload.
+            if qmlp is not None:
+                params = dict(params)
+                params["visual"] = dict(params["visual"])
+                params["visual"]["blocks"] = {
+                    k: v for k, v in params["visual"]["blocks"].items()
+                    if k != "mlp"}
             params = jax.tree_util.tree_map(
                 lambda x: x.astype(jnp.bfloat16)
                 if getattr(x, "ndim", 0) >= 2 else x, params)
 
         if qmlp is not None:
-            # reattach AFTER the bf16 cast: int8 codes and f32 scales
-            # must keep their dtypes (shallow-copy along the path so the
-            # caller's tree is untouched)
-            params = dict(params)
-            visual = dict(params["visual"])
-            blocks = dict(visual["blocks"])
-            blocks["mlp"] = qmlp
+            # reattach AFTER the bf16 cast so int8 codes and f32 scales
+            # keep their dtypes; the cast's tree_map rebuilt every
+            # container, so the tree is ours to mutate (the bf16-off
+            # path never reaches here with a caller-owned tree: quant
+            # requires the shallow copies made above)
+            if self.dtype != jnp.bfloat16:
+                params = dict(params)
+                params["visual"] = dict(params["visual"])
+                params["visual"]["blocks"] = dict(
+                    params["visual"]["blocks"])
+            params["visual"]["blocks"]["mlp"] = qmlp
             if qattn is not None:
-                blocks["attn"] = qattn
-            visual["blocks"] = blocks
+                params["visual"]["blocks"]["attn"] = qattn
             if qpatch is not None:
-                visual["patch_embed"] = qpatch
-            params["visual"] = visual
+                params["visual"]["patch_embed"] = qpatch
 
         self._batch_sh = None
         out_sh = None

@@ -348,6 +348,9 @@ class IVFIndex:
         self._scales2: Optional[jax.Array] = None
         self._base_n = 0
         self._tail: Optional[engine.VectorIndex] = None
+        # ascending cumulative sums of live-segment occupancies — feeds
+        # the adversarial probe floor (_probe_floor)
+        self._live_count_cumsum: Optional[np.ndarray] = None
 
     # nprobe is clamped like the reference REPL clamps it (1..100)
     @property
@@ -379,6 +382,18 @@ class IVFIndex:
         idx._install(vectors, layout)
         return idx
 
+    def _probe_floor(self, k: int) -> int:
+        """Smallest probe count that ADVERSARIALLY guarantees k valid
+        rows: the s emptiest live segments must together hold >= k rows
+        (the probe ranks live segments first — dead alignment segments
+        score -inf — so any s probed+rescored segments hold at least
+        this many). 1 on dense corpora (every segment ~full), up to k
+        on a one-row-per-segment tiny corpus."""
+        cs = self._live_count_cumsum
+        if cs is None or not len(cs):
+            return 1
+        return int(min(np.searchsorted(cs, k) + 1, len(cs)))
+
     def _install(self, vectors: np.ndarray, row_ext: np.ndarray) -> None:
         """row_ext: internal-row -> external-id map (-1 = dead padding
         row), length a multiple of _SEG_W (see cluster_layout)."""
@@ -389,6 +404,9 @@ class IVFIndex:
         padded[live] = vectors[row_ext[live]]
         valid2 = live.reshape(segs, _SEG_W)
         counts = valid2.sum(axis=1).astype(np.float32)
+        live_counts = valid2.sum(axis=1)
+        self._live_count_cumsum = np.cumsum(
+            np.sort(live_counts[live_counts > 0]))
         if self.int8_storage:
             # codes ARE the corpus: quantize on the HOST so a full f32
             # copy never has to exist in HBM (the whole point of the
@@ -488,13 +506,14 @@ class IVFIndex:
         eff = (self._nprobe if nprobe is None
                else int(np.clip(int(nprobe), 1, 100)))
         P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
-        # Probe (and rescore) at least k segments when the corpus has
-        # them: on tiny corpora ceil(nprobe% * segs) picks fewer
-        # segments than k, so a k the corpus could satisfy came back
-        # padded with -1 rows (found driving the 5-image REPL). Worst
-        # case one valid row per segment, so k segments suffice; at
-        # scale P >> k and the clamp never binds.
-        P = min(max(P, engine._bucket_k(k)), segs)
+        # Probe at least enough segments that the k smallest-occupancy
+        # live segments still hold k rows (on tiny corpora segments can
+        # be nearly empty, and ceil(nprobe% * segs) then returned -1
+        # rows for a k the corpus could satisfy — found driving the
+        # 5-image REPL). The floor comes from the measured per-segment
+        # occupancy, so on dense corpora it is 1 and a low-nprobe
+        # request keeps its contracted scan fraction.
+        P = min(max(P, _bucket_probe(self._probe_floor(k))), segs)
         qcap = _qcap(P, self.dim, self.quantized, k,
                      int8_storage=self.int8_storage)
         if nq > qcap:
@@ -694,6 +713,9 @@ class ShardedIVFIndex(IVFIndex):
         padded[live] = vectors[row_ext[live]]
         valid2 = live.reshape(segs_pad, _SEG_W)
         counts_host = valid2.sum(axis=1).astype(np.float32)
+        live_counts = valid2.sum(axis=1)
+        self._live_count_cumsum = np.cumsum(
+            np.sort(live_counts[live_counts > 0]))
         if self.int8_storage:
             # host quantize + host centroids: no f32 copy of the corpus
             # ever reaches HBM (see the single-device _install)

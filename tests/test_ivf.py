@@ -166,6 +166,22 @@ def test_tiny_corpus_low_nprobe_still_fills_k():
             assert set(I[0]) == set(range(5)), (quantized, nprobe, I)
 
 
+def test_probe_floor_dense_corpus_keeps_nprobe_contract():
+    """The k-fill floor must come from measured segment occupancy: on a
+    sizeable corpus only the cluster-boundary partial segments bind it,
+    so a low-nprobe request keeps (most of) its contracted scan
+    fraction, while a one-row-per-segment tiny corpus needs k
+    segments."""
+    big = _clustered_corpus(20000, 64, 32, seed=3)
+    idx = IVFIndex.from_vectors(big)
+    floor = idx._probe_floor(50)
+    assert floor < 20 and floor < idx._segs() * 0.05
+    rng = np.random.default_rng(11)
+    tiny = rng.normal(size=(5, 16)).astype(np.float32)
+    t = IVFIndex.from_vectors(tiny)
+    assert t._probe_floor(3) == 3 and t._probe_floor(20) == 5
+
+
 def test_cache_roundtrip_and_invalidation(tmp_path, corpus):
     cache = str(tmp_path / "images.index.ivf")
     idx1 = IVFIndex.from_vectors(corpus, cache_path=cache)

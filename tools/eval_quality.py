@@ -151,7 +151,10 @@ def _preprocess_drift(args, index, sample) -> None:
     env = open_env(args.db)
     idx_db = env.open_db(b"idx_db")
     fn_db = env.open_db(b"fn_db")
-    enc = Encoder.create(args.model, checkpoint=args.checkpoint)
+    # baseline pinned to bf16: with CLIPX_COMPUTE=int8 in the env the
+    # drift gate would otherwise compare the int8 encoder to itself
+    enc = Encoder.create(args.model, checkpoint=args.checkpoint,
+                         compute_quant="bf16")
     enc8 = None
     if getattr(enc.cfg.vision, "tower", "vit") == "vit":
         # --compute int8 drift on the SAME pixels: isolates the W8A8
