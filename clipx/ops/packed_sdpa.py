@@ -405,6 +405,83 @@ def mlp_fusible(width: int, hidden: int, dtype) -> bool:
     return weights + tiles < _MLP_VMEM_BUDGET
 
 
+def _mlp_w8a8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                     b2_ref, o_ref, *, quick: bool):
+    """W8A8 MLP, one program = _MLP_ROWS token rows: dynamic per-row
+    activation quant -> int8 MXU GEMM -> f32 dequant -> activation ->
+    requant -> int8 GEMM -> dequant. Both int8 weight matrices are
+    VMEM-resident (HALF the bf16 kernel's footprint). Per-row scale
+    semantics mirror clipx.models.quant.dense_w8a8; the activation runs
+    in f32 (Mosaic transcendentals are f32 on the VPU)."""
+
+    def quant_rows(v32):
+        s = jnp.maximum(jnp.abs(v32).max(axis=1, keepdims=True), 1e-12
+                        ) / 127.0
+        q = jnp.clip(jnp.rint(v32 / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    xq, xs = quant_rows(x_ref[...].astype(jnp.float32))
+    acc = jax.lax.dot_general(xq, w1_ref[...], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    h = (acc.astype(jnp.float32) * (xs * s1_ref[...])
+         + b1_ref[...])                                     # (R, H) f32
+    if quick:
+        h = h * jax.nn.sigmoid(1.702 * h)
+    else:
+        h = jax.nn.gelu(h, approximate=False)
+    hq, hs = quant_rows(h)
+    acc2 = jax.lax.dot_general(hq, w2_ref[...], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    out = acc2.astype(jnp.float32) * (hs * s2_ref[...]) + b2_ref[...]
+    o_ref[...] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("quick", "interpret"))
+def fused_mlp_w8a8(x: jax.Array, w1_q: jax.Array, s1: jax.Array,
+                   b1: jax.Array, w2_q: jax.Array, s2: jax.Array,
+                   b2: jax.Array, *, quick: bool = True,
+                   interpret: bool | None = None) -> jax.Array:
+    """Fused W8A8 transformer MLP (see _mlp_w8a8_kernel). Weights are
+    pre-quantized int8 with per-output-channel scales
+    (clipx.models.quant.quantize_weight layout)."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    width, hidden = w1_q.shape
+    shape = x.shape
+    rows = 1
+    for dim in shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, width)
+    rows_pad = _round_up(rows, _MLP_ROWS)
+    if rows_pad != rows:
+        x2 = jnp.pad(x2, ((0, rows_pad - rows), (0, 0)))
+    s1 = s1.reshape(1, hidden).astype(jnp.float32)
+    s2 = s2.reshape(1, width).astype(jnp.float32)
+    b1 = b1.reshape(1, hidden).astype(jnp.float32)
+    b2 = b2.reshape(1, width).astype(jnp.float32)
+
+    xspec = pl.BlockSpec((_MLP_ROWS, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(
+        0 for _ in shape), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_w8a8_kernel, quick=quick),
+        grid=(rows_pad // _MLP_ROWS,),
+        in_specs=[xspec, const((width, hidden)), const((1, hidden)),
+                  const((1, hidden)), const((hidden, width)),
+                  const((1, width)), const((1, width))],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((rows_pad, width), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows_pad * width * hidden,
+            bytes_accessed=2 * rows_pad * width * 2 + 2 * width * hidden,
+            transcendentals=rows_pad * hidden,
+        ),
+        interpret=interpret,
+    )(x2, w1_q, s1, b1, w2_q, s2, b2)
+    return out[:rows].reshape(shape)
+
+
 @functools.partial(jax.jit, static_argnames=("quick", "interpret"))
 def fused_mlp(x: jax.Array, w1: jax.Array, b1: jax.Array, w2: jax.Array,
               b2: jax.Array, *, quick: bool = True,

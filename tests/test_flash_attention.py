@@ -252,6 +252,35 @@ def test_fused_mlp_matches_unfused():
         np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_fused_mlp_w8a8_matches_unfused_quant_path():
+    """The fused W8A8 kernel must track the unfused dense_w8a8 + gelu
+    composition. Not bit-identical by design (the kernel's activation
+    runs in f32, the unfused path's in the compute dtype), so the bound
+    is a small fraction of the W8A8 quantization error itself."""
+    from clipx.models.quant import dense_w8a8, quantize_weight
+    from clipx.ops.packed_sdpa import fused_mlp_w8a8
+
+    rng = np.random.RandomState(14)
+    b, s, w = 3, 33, 768  # odd row count exercises padding
+    hid = 4 * w
+    x = jnp.asarray(rng.randn(b, s, w).astype(np.float32) * 0.1)
+    w1_q, s1 = quantize_weight(rng.randn(w, hid).astype(np.float32) * 0.02)
+    b1 = jnp.asarray(rng.randn(hid).astype(np.float32) * 0.01)
+    w2_q, s2 = quantize_weight(rng.randn(hid, w).astype(np.float32) * 0.02)
+    b2 = jnp.asarray(rng.randn(w).astype(np.float32) * 0.01)
+
+    for quick in (True, False):
+        h = dense_w8a8(x, w1_q, s1, b1)
+        hf = h.astype(jnp.float32)
+        hf = (hf * jax.nn.sigmoid(1.702 * hf) if quick
+              else jax.nn.gelu(hf, approximate=False))
+        ref = np.asarray(dense_w8a8(hf.astype(x.dtype), w2_q, s2, b2))
+        out = np.asarray(fused_mlp_w8a8(x, w1_q, s1, b1, w2_q, s2, b2,
+                                        quick=quick, interpret=True))
+        denom = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(out - ref).max() / denom < 0.01
+
+
 def test_packed_sdpa_qkv_matches_pairs():
     from clipx.ops.packed_sdpa import packed_sdpa, packed_sdpa_qkv
 
