@@ -514,7 +514,11 @@ def _wait_for_device(budget_s: float = None) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="ViT-B/32")
-    ap.add_argument("--batch-size", type=int, default=256)
+    # 128 matches the indexer's own default (CLIPX_BATCH_SIZE) and
+    # measured best for BOTH compute modes in the round-3 sweep
+    # (int8: 6.95-7.34 ms/b128 = 17.4-18.4k img/s vs 16.5-17.5k at 256;
+    # bf16: 8.66 ms/b128 = 14.8k, at least par with 256; 384/512 worse)
+    ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--corpus", type=int, default=1_000_000)
     ap.add_argument("--corpus-dtype", choices=("f32", "bf16", "int8"),
