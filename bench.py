@@ -655,7 +655,13 @@ def main() -> int:
         result["dp_images_per_sec_per_chip"] = round(
             dp["images_per_sec_per_chip"], 1)
     print(json.dumps(result), flush=True)
-    return 0
+    # skip interpreter finalization: native teardown can SIGABRT
+    # nondeterministically AFTER the artifact line is printed
+    # (terminate-after-forced-unwind in a static destructor — same
+    # signature handled in tests/conftest.py), which would turn a
+    # successful run's exit code to 134
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -20,3 +20,26 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_exit_status = [0]
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _exit_status[0] = int(exitstatus)
+
+
+def pytest_unconfigure(config):
+    """Skip CPython interpreter finalization, keeping pytest's own exit
+    status. A native teardown crash — `terminate called after throwing
+    an instance of ''` + `FATAL: exception not rethrown`, i.e. a C++
+    forced-unwind caught without rethrow in a static destructor — turns
+    a fully green run into SIGABRT(134) nondeterministically. It needs
+    pytest's teardown ordering to trigger (the same serve/reload
+    operations in a plain script exit 0), reproduces at older known-good
+    commits, and leaves no Python frame (faulthandler shows only the
+    finalizing main thread), so it is native-library exit-time behavior,
+    not a test failure. Runs after the terminal summary, so no output is
+    lost; exitstatus still reports real failures."""
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_exit_status[0])
