@@ -12,6 +12,12 @@ Endpoints (all JSON):
     GET  /search?q=TEXT&k=K[&offset=N]     -> ranked text-query results
     GET  /similar?id=ID&k=K[&offset=N]     -> image-similarity by stored id
     POST /encode_text   {"texts": [...]}   -> embeddings
+    POST /encode_image  {"images_b64": [...]} -> embeddings (<=64/request;
+                                              same decode+preprocess path
+                                              as the indexer)
+    POST /search_image  {"image_b64": "...", "k": K} -> search by a NEW
+                                              image (the REPL's `i ID`
+                                              only reaches indexed ids)
     POST /search_vector {"vector": [...], "k": K}
     POST /reload                           -> swap in the rebuilt on-disk
                                               index without a restart
@@ -206,6 +212,7 @@ class SearchService:
         self._enc_lock = threading.Lock()
         self._stats_lock = threading.Lock()
         self.counters = {"search": 0, "similar": 0, "encode_text": 0,
+                         "encode_image": 0, "search_image": 0,
                          "search_vector": 0, "errors": 0, "reloads": 0}
         self._latency_sum = 0.0
         self._latency_n = 0
@@ -258,6 +265,34 @@ class SearchService:
         if self._text_co is not None and len(texts) == 1:
             return self._text_co.submit(str(texts[0]))
         return self.encoder().encode_texts([str(t) for t in texts])
+
+    def encode_images_b64(self, images_b64) -> np.ndarray:
+        """base64 image bytes -> embedding rows, through the SAME decode
+        + preprocess path as the indexer (cv2 decode, BGR->RGB,
+        cv2_resize_crop — clipx/data/pipeline.py:_decode_one), so a
+        posted copy of an indexed file reproduces its stored vector."""
+        import base64
+
+        import cv2
+
+        from clipx.ops.preprocess import cv2_resize_crop
+
+        enc = self.encoder()
+        out = []
+        for i, b in enumerate(images_b64):
+            try:
+                raw = base64.b64decode(b, validate=True)
+                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
+                                   cv2.IMREAD_COLOR)
+                if img is None:
+                    raise ValueError("undecodable image bytes")
+                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                out.append(cv2_resize_crop(rgb, enc.image_size))
+            except Exception as exc:
+                raise ValueError(
+                    f"images_b64[{i}]: {type(exc).__name__}: {exc}"
+                ) from exc
+        return enc.encode_images(np.stack(out))
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
@@ -587,6 +622,27 @@ class Handler(BaseHTTPRequestHandler):
                     return self._bad(f"vector must have dim {dim}")
                 self.service.count("search_vector")
                 self._json(200, self.service.search(arr, k, nprobe=nprobe))
+            elif url.path == "/encode_image":
+                images = payload.get("images_b64")
+                if (not isinstance(images, list) or not images
+                        or not all(isinstance(t, str) for t in images)):
+                    return self._bad("images_b64 must be a non-empty "
+                                     "list of base64 strings")
+                if len(images) > 64:
+                    return self._bad("at most 64 images per request")
+                self.service.count("encode_image")
+                emb = self.service.encode_images_b64(images)
+                self._json(200, {"embeddings": emb.tolist()})
+            elif url.path == "/search_image":
+                image = payload.get("image_b64")
+                if not isinstance(image, str) or not image:
+                    return self._bad("image_b64 must be a base64 string")
+                k, _ = _validated_k_offset(payload.get("k", 50), 0)
+                nprobe = _validated_nprobe(payload.get("nprobe"))
+                self.service.count("search_image")
+                feats = self.service.encode_images_b64([image])
+                self._json(200, self.service.search(feats, k,
+                                                    nprobe=nprobe))
             elif url.path == "/reload":
                 self._json(200, self.service.reload())
             else:

@@ -475,6 +475,45 @@ def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
         service.env.close()
 
 
+def test_encode_image_and_search_image(served, tmp_path):
+    """Image bytes over HTTP ride the indexer's decode+preprocess path:
+    posting a copy of an indexed photo must reproduce its stored vector
+    (top hit = itself, score ~1) — a capability the reference REPL
+    lacks entirely (`i ID` only reaches already-indexed ids)."""
+    import base64
+
+    rng = np.random.RandomState(0)  # same seed as the fixture photos
+    img = rng.randint(0, 255, (40, 40, 3), dtype=np.uint8)
+    buf = tmp_path / "copy.jpg"
+    Image.fromarray(img).save(buf)  # byte-identical re-encode of a.jpg
+    b64 = base64.b64encode(buf.read_bytes()).decode()
+
+    status, data = _post(served, "/encode_image", {"images_b64": [b64]})
+    assert status == 200
+    emb = np.asarray(data["embeddings"], np.float32)
+    assert emb.shape == (1, 32)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0,
+                               rtol=1e-4)
+
+    status, data = _post(served, "/search_image",
+                         {"image_b64": b64, "k": 2})
+    assert status == 200
+    top = data["results"][0]
+    assert top["path"].endswith("a.jpg") and top["score"] > 0.999
+
+    # error surface
+    status, _ = _post(served, "/encode_image", {"images_b64": []})
+    assert status == 400
+    status, _ = _post(served, "/encode_image",
+                      {"images_b64": ["!!!not-base64!!!"]})
+    assert status == 400
+    status, _ = _post(served, "/search_image",
+                      {"image_b64": base64.b64encode(b"junk").decode()})
+    assert status == 400
+    status, _ = _post(served, "/encode_image", {"images_b64": [b64] * 65})
+    assert status == 400
+
+
 def test_serve_compute_int8(tmp_path, monkeypatch):
     """serve --compute int8: the encoder quantizes its image-tower MLP
     and every endpoint still answers (text encode is byte-identical by
