@@ -731,6 +731,20 @@ def make_server(args) -> ThreadingHTTPServer:
                     q *= 2
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
+            # pre-compile the N=1 IMAGE bucket so the first
+            # /encode_image / /search_image doesn't pay the image-tower
+            # compile inside a live request (same cliff as above; the
+            # image tower is the expensive compile — ViT-B/16 measured
+            # 33 min on a never-seen shape through the remote service)
+            try:
+                if not stop_warm.is_set():
+                    enc = service.encoder()
+                    zero = np.zeros(
+                        (1, enc.image_size, enc.image_size, 3), np.uint8)
+                    enc.encode_images(zero)
+                    service.count("warmup_image_shapes")
+            except Exception:  # noqa: BLE001 — warmup is best-effort
+                pass
 
         t = threading.Thread(target=_warm, daemon=True,
                              name="clipx-warmup")

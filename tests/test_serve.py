@@ -442,14 +442,17 @@ def test_warmup_precompiles_text_path(served):
     while time.time() < deadline:
         _, m = _get(served, "/metrics")
         if (m["counters"].get("warmup_search_shapes", 0) >= 5
-                and m["counters"].get("warmup_text_shapes", 0) >= 3):
+                and m["counters"].get("warmup_text_shapes", 0) >= 3
+                and m["counters"].get("warmup_image_shapes", 0) >= 1):
             return
         time.sleep(0.5)
     raise AssertionError(
         f"warmup compiled {m['counters'].get('warmup_text_shapes', 0)} "
-        f"text shapes (expected 3) and "
+        f"text shapes (expected 3), "
         f"{m['counters'].get('warmup_search_shapes', 0)} search Q shapes "
-        f"(expected 5)")
+        f"(expected 5) and "
+        f"{m['counters'].get('warmup_image_shapes', 0)} image shapes "
+        f"(expected 1)")
 
 
 def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):
