@@ -77,6 +77,21 @@ def _reduced_jpeg_flag(path: str, size: int):
     return cv2.IMREAD_COLOR
 
 
+def decode_bytes_rgb(data: np.ndarray, size: int, flag=None) -> np.ndarray:
+    """Compressed image bytes -> (size, size, 3) RGB uint8 through the
+    cv2 decode path (imdecode, BGR->RGB, cv2_resize_crop). The ONE
+    implementation of the indexer's default preprocessing — serve's
+    /encode_image calls it too, so HTTP-posted bytes reproduce indexed
+    vectors by construction rather than by parallel code."""
+    import cv2
+
+    img = cv2.imdecode(data, cv2.IMREAD_COLOR if flag is None else flag)
+    if img is None:
+        raise ValueError("cv2 could not decode")
+    rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return cv2_resize_crop(rgb, size)
+
+
 def _decode_one(path: str, size: int, backend: str,
                 fast: bool = False) -> DecodeItem:
     try:
@@ -86,11 +101,7 @@ def _decode_one(path: str, size: int, backend: str,
             flag = (_reduced_jpeg_flag(path, size) if fast
                     else cv2.IMREAD_COLOR)
             data = np.fromfile(path, dtype=np.uint8)
-            img = cv2.imdecode(data, flag)
-            if img is None:
-                raise ValueError("cv2 could not decode")
-            rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-            return DecodeItem(path, cv2_resize_crop(rgb, size))
+            return DecodeItem(path, decode_bytes_rgb(data, size, flag))
         else:
             from PIL import Image
 

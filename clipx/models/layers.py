@@ -208,10 +208,11 @@ def mlp_block(x: jax.Array, p: Params, use_quick_gelu: bool) -> jax.Array:
                 and os.environ.get("CLIPX_FUSED_MLP_INT8", "off") == "on"):
             # fused variant: quant + both int8 GEMMs + activation in one
             # kernel, int8 weights VMEM-resident (A/B knob)
-            from clipx.ops.packed_sdpa import fused_mlp_w8a8, mlp_fusible
+            from clipx.ops.packed_sdpa import (fused_mlp_w8a8,
+                                               mlp_w8a8_fusible)
 
             w, hidden = p["w1_q"].shape
-            if mlp_fusible(w, hidden, jnp.int8):
+            if mlp_w8a8_fusible(w, hidden):
                 return fused_mlp_w8a8(x, p["w1_q"], p["s1"], p["b1"],
                                       p["w2_q"], p["s2"], p["b2"],
                                       quick=use_quick_gelu)

@@ -405,6 +405,24 @@ def mlp_fusible(width: int, hidden: int, dtype) -> bool:
     return weights + tiles < _MLP_VMEM_BUDGET
 
 
+def mlp_w8a8_fusible(width: int, hidden: int) -> bool:
+    """VMEM check for the W8A8 kernel with ITS working set — int8
+    weights, but bf16 x/out tiles plus f32 activations AND int32
+    accumulators at (R, H); mlp_fusible's bf16 accounting undercounts
+    those and would wave ViT-L (1024x4096, ~14.7 MB real) through the
+    12 MB budget."""
+    weights = 2 * width * hidden                       # int8
+    r = _MLP_ROWS
+    tiles = (r * width * 2      # x in (bf16)
+             + r * width        # xq (int8)
+             + r * hidden * 4   # acc1 (int32)
+             + r * hidden * 4   # h (f32, activation)
+             + r * hidden       # hq (int8)
+             + r * width * 4    # acc2 (int32)
+             + r * width * 2)   # out (bf16)
+    return weights + tiles < _MLP_VMEM_BUDGET
+
+
 def _mlp_w8a8_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
                      b2_ref, o_ref, *, quick: bool):
     """W8A8 MLP, one program = _MLP_ROWS token rows: dynamic per-row

@@ -266,33 +266,40 @@ class SearchService:
             return self._text_co.submit(str(texts[0]))
         return self.encoder().encode_texts([str(t) for t in texts])
 
+    # rows per device encode call: requests chunk to this, so the only
+    # image shapes a live request can compile are the {1, _IMG_CHUNK}
+    # buckets — both pre-compiled by warmup (any other bucket would pay
+    # a first-ever image-tower compile, minutes to ~33 min, mid-request)
+    _IMG_CHUNK = 8
+
     def encode_images_b64(self, images_b64) -> np.ndarray:
-        """base64 image bytes -> embedding rows, through the SAME decode
-        + preprocess path as the indexer (cv2 decode, BGR->RGB,
-        cv2_resize_crop — clipx/data/pipeline.py:_decode_one), so a
-        posted copy of an indexed file reproduces its stored vector."""
+        """base64 image bytes -> embedding rows, through the indexer's
+        decode+preprocess implementation itself
+        (clipx.data.pipeline.decode_bytes_rgb), so a posted copy of an
+        indexed file reproduces its stored vector — for indexes built
+        with the DEFAULT decode (cv2, no --fast-decode, host
+        preprocess); other build modes store vectors from different
+        pixels by design, and a posted copy lands within the documented
+        preprocess-drift band instead of exactly."""
         import base64
 
-        import cv2
-
-        from clipx.ops.preprocess import cv2_resize_crop
+        from clipx.data.pipeline import decode_bytes_rgb
 
         enc = self.encoder()
         out = []
         for i, b in enumerate(images_b64):
             try:
                 raw = base64.b64decode(b, validate=True)
-                img = cv2.imdecode(np.frombuffer(raw, np.uint8),
-                                   cv2.IMREAD_COLOR)
-                if img is None:
-                    raise ValueError("undecodable image bytes")
-                rgb = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                out.append(cv2_resize_crop(rgb, enc.image_size))
+                out.append(decode_bytes_rgb(
+                    np.frombuffer(raw, np.uint8), enc.image_size))
             except Exception as exc:
                 raise ValueError(
                     f"images_b64[{i}]: {type(exc).__name__}: {exc}"
                 ) from exc
-        return enc.encode_images(np.stack(out))
+        batch = np.stack(out)
+        step = self._IMG_CHUNK
+        return np.concatenate([enc.encode_images(batch[i: i + step])
+                               for i in range(0, len(out), step)])
 
     # encoder is built on first text query (similar queries never need it)
     def encoder(self):
@@ -731,16 +738,19 @@ def make_server(args) -> ThreadingHTTPServer:
                     q *= 2
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
-            # pre-compile the N=1 IMAGE bucket so the first
-            # /encode_image / /search_image doesn't pay the image-tower
-            # compile inside a live request (same cliff as above; the
-            # image tower is the expensive compile — ViT-B/16 measured
-            # 33 min on a never-seen shape through the remote service)
+            # pre-compile BOTH image buckets live requests can reach —
+            # encode_images_b64 chunks to {1, _IMG_CHUNK} rows — so no
+            # /encode_image / /search_image pays the image-tower compile
+            # inside a live request (the expensive compile: ViT-B/16
+            # measured 33 min on a never-seen shape through the remote
+            # service)
             try:
-                if not stop_warm.is_set():
-                    enc = service.encoder()
+                enc = service.encoder()
+                for n in (1, SearchService._IMG_CHUNK):
+                    if stop_warm.is_set():
+                        break
                     zero = np.zeros(
-                        (1, enc.image_size, enc.image_size, 3), np.uint8)
+                        (n, enc.image_size, enc.image_size, 3), np.uint8)
                     enc.encode_images(zero)
                     service.count("warmup_image_shapes")
             except Exception:  # noqa: BLE001 — warmup is best-effort

@@ -30,7 +30,10 @@ def pytest_sessionfinish(session, exitstatus):
 
 def pytest_unconfigure(config):
     """Skip CPython interpreter finalization, keeping pytest's own exit
-    status. A native teardown crash — `terminate called after throwing
+    status. Constraint: conftest hooks run first (pluggy LIFO), so
+    later plugins' unconfigure work is skipped (e.g. pytest-cov would
+    write no data) and a process embedding pytest.main() never gets
+    control back — set CLIPX_NO_EXIT_GUARD=1 for those workflows. A native teardown crash — `terminate called after throwing
     an instance of ''` + `FATAL: exception not rethrown`, i.e. a C++
     forced-unwind caught without rethrow in a static destructor — turns
     a fully green run into SIGABRT(134) nondeterministically. It needs
@@ -40,6 +43,8 @@ def pytest_unconfigure(config):
     finalizing main thread), so it is native-library exit-time behavior,
     not a test failure. Runs after the terminal summary, so no output is
     lost; exitstatus still reports real failures."""
+    if os.environ.get("CLIPX_NO_EXIT_GUARD"):
+        return
     sys.stdout.flush()
     sys.stderr.flush()
     os._exit(_exit_status[0])

@@ -443,7 +443,7 @@ def test_warmup_precompiles_text_path(served):
         _, m = _get(served, "/metrics")
         if (m["counters"].get("warmup_search_shapes", 0) >= 5
                 and m["counters"].get("warmup_text_shapes", 0) >= 3
-                and m["counters"].get("warmup_image_shapes", 0) >= 1):
+                and m["counters"].get("warmup_image_shapes", 0) >= 2):
             return
         time.sleep(0.5)
     raise AssertionError(
@@ -452,7 +452,8 @@ def test_warmup_precompiles_text_path(served):
         f"{m['counters'].get('warmup_search_shapes', 0)} search Q shapes "
         f"(expected 5) and "
         f"{m['counters'].get('warmup_image_shapes', 0)} image shapes "
-        f"(expected 1)")
+        f"(expected 2: the N=1 and N=_IMG_CHUNK buckets requests "
+        f"chunk to)")
 
 
 def test_current_index_times_out_when_reload_stalls(tmp_path, monkeypatch):

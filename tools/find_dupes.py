@@ -67,6 +67,10 @@ def dupe_groups(vectors: np.ndarray, threshold: float, k: int = 16,
     groups: dict = {}
     for i in range(n):
         groups.setdefault(_find(parent, i), []).append(i)
+    degree: dict = {}
+    for (a, b) in score_sum:
+        degree[a] = degree.get(a, 0) + 1
+        degree[b] = degree.get(b, 0) + 1
     out = []
     for members in groups.values():
         if len(members) < 2:
@@ -75,6 +79,9 @@ def dupe_groups(vectors: np.ndarray, threshold: float, k: int = 16,
         pair_scores = [v for (a, b), v in score_sum.items()
                        if a in ms and b in ms]
         mean = float(np.mean(pair_scores)) if pair_scores else 0.0
+        # best-connected member first (the printed contract: keeping
+        # the first line of each block keeps the group's hub)
+        members.sort(key=lambda i: (-degree.get(i, 0), i))
         out.append((members, mean))
     out.sort(key=lambda g: -len(g[0]))
     return out
@@ -100,16 +107,19 @@ def main(argv=None) -> int:
     from clipx.store.kv import open_env
 
     vectors = read_index_vectors(args.index)
+    groups = dupe_groups(vectors, args.threshold, k=args.neighbors)
+    # resolve paths only for group members: point-looking-up every row
+    # of a 28M-corpus index would cost GBs of host RAM and minutes
+    # before any grouping happened
+    paths = {}
     env = open_env(args.db)
     idx_db = env.open_db(b"idx_db")
-    paths = {}
     with env.begin(db=idx_db) as txn:
-        for i in range(vectors.shape[0]):
-            raw = txn.get(str(i).encode())
-            paths[i] = raw.decode() if raw else f"<id {i}>"
+        for members, _ in groups:
+            for i in members:
+                raw = txn.get(str(i).encode())
+                paths[i] = raw.decode() if raw else f"<id {i}>"
     env.close()
-
-    groups = dupe_groups(vectors, args.threshold, k=args.neighbors)
     for members, mean in groups:
         print(f"# group of {len(members)} (mean pair score {mean:.4f})")
         for i in members:
