@@ -209,6 +209,67 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
     valid = jnp.int32(n_vectors)
     kk = _bucket_k(k)
 
+    if dtype == "int4":
+        # int4-STORAGE capacity probe (--corpus-dtype int4): packed
+        # 4-bit codes are the corpus at 0.5 B/dim (~10x f32 capacity).
+        # Chunked generation like the int8 branch; chunks are
+        # _INT4_CHUNK-sized so n_pad stays a scan-chunk multiple
+        # (engine._int4_segscan maps the nibble unpack over fixed
+        # chunks and rejects ragged capacities).
+        from clipx.search.engine import (_INT4_CHUNK, _unpack_int4,
+                                         _search_kernel_int4_pure)
+
+        if dim % 2:
+            raise SystemExit("int4 bench needs an even --dim")
+        ch = min(n_pad, _INT4_CHUNK)
+        n_pad = -(-n_pad // ch) * ch
+
+        @jax.jit
+        def make_chunk4(key):
+            c = jax.random.normal(key, (ch, dim), jnp.float32)
+            c = c / jnp.linalg.norm(c, axis=1, keepdims=True)
+            scales = jnp.maximum(jnp.abs(c).max(axis=1, keepdims=True),
+                                 1e-12) / 7.0
+            codes = jnp.clip(jnp.rint(c / scales), -7, 7).astype(jnp.int8)
+            # device twin of engine.pack_int4: low nibble = even dim.
+            # int8 left-shift wraps mod 256, which IS the packed byte
+            packed = jnp.bitwise_or(
+                jnp.bitwise_and(codes[:, 0::2], 0x0F),
+                jnp.left_shift(jnp.bitwise_and(codes[:, 1::2], 0x0F), 4))
+            return packed, scales[:, 0]
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def place4(c, s, uc, us, start):
+            return (jax.lax.dynamic_update_slice(c, uc, (start, 0)),
+                    jax.lax.dynamic_update_slice(s, us, (start,)))
+
+        codes = jnp.zeros((n_pad, dim // 2), jnp.int8)
+        scales = jnp.full((n_pad,), 1e-12, jnp.float32)
+        for i in range(n_pad // ch):
+            uc, us = make_chunk4(jax.random.PRNGKey(300 + i))
+            codes, scales = place4(codes, scales, uc, us,
+                                   jnp.int32(i * ch))
+        # f32 queries dequantized from stored rows, like production
+        queries = [(_unpack_int4(codes[i: i + 1]).astype(jnp.float32)
+                    * scales[i, None, None]) for i in range(32)]
+
+        def timed4(fn):
+            np.asarray(fn(queries[0])[0])  # compile
+            state = {"i": 0}
+
+            def one():
+                state["i"] += 1
+                return fn(queries[state["i"] % 32])[0]
+
+            return _slope_time(one, np.asarray, max(trials // 8, 2),
+                               trials)
+
+        p50 = timed4(lambda q: _search_kernel_int4_pure(
+            codes, scales, valid, q, kk)) * 1e3
+        log(f"  search over {n_vectors:,}: {p50:.3f} ms int4-storage "
+            "(dequantized rescore)")
+        return {"p50_ms": p50, "p50_ms_f32": None}  # no exact scan ran
+
     if dtype == "int8":
         # int8-STORAGE capacity probe (--corpus-dtype int8): codes are
         # the corpus. Generate + quantize in chunks with donating
@@ -340,7 +401,8 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
     import jax.numpy as jnp
 
     from clipx.search.engine import _SEG_W, _bucket_k, _quantize_device
-    from clipx.search.ivf import (_bucket_probe, _ivf_kernel_int8,
+    from clipx.search.ivf import (_bucket_probe, _ivf_kernel_int4_pure,
+                                  _ivf_kernel_int8,
                                   _ivf_kernel_int8_pure, _segment_stats)
 
     S = n_vectors // _SEG_W
@@ -348,7 +410,68 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
     kk = _bucket_k(k)
     out = {}
 
-    if storage == "int8":
+    if storage == "int4":
+        # IVF over int4 STORAGE (--corpus-dtype int4 + --search-mode
+        # ivf): packed codes are the corpus; probe gathers PACKED
+        # segments (half the int8 tier's gather bytes). Chunked
+        # clustered generation like the int8 branch below.
+        ch_rows = min(max(n_vectors, _SEG_W),
+                      int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
+                                         1 << 20)))
+        ch_seg = max(1, min(ch_rows // _SEG_W, S))
+        log(f"building clustered {S * _SEG_W:,} x {dim} int4-code "
+            "corpus on device (chunked) ...")
+
+        @jax.jit
+        def make_centers4(key):
+            c = jax.random.normal(key, (C, dim), jnp.float32)
+            return c / jnp.linalg.norm(c, axis=1, keepdims=True)
+
+        centers = make_centers4(jax.random.PRNGKey(5))
+
+        @jax.jit
+        def make_chunk4(cent, key, seg0):
+            seg_ids = seg0 + jnp.arange(ch_seg)
+            seg_c = (seg_ids * C) // S
+            x = (cent[seg_c][:, None, :]
+                 + 0.15 * jax.random.normal(key, (ch_seg, _SEG_W, dim)))
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            scales = jnp.maximum(jnp.abs(x).max(axis=2), 1e-12) / 7.0
+            codes = jnp.clip(jnp.rint(x / scales[..., None]), -7, 7
+                             ).astype(jnp.int8)
+            packed = jnp.bitwise_or(
+                jnp.bitwise_and(codes[..., 0::2], 0x0F),
+                jnp.left_shift(jnp.bitwise_and(codes[..., 1::2], 0x0F),
+                               4))
+            return packed, scales, x.mean(axis=1)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def place4(c3, s2, cent, uc, us, ucent, start):
+            return (jax.lax.dynamic_update_slice(c3, uc, (start, 0, 0)),
+                    jax.lax.dynamic_update_slice(s2, us, (start, 0)),
+                    jax.lax.dynamic_update_slice(cent, ucent, (start, 0)))
+
+        packed3 = jnp.zeros((S, _SEG_W, dim // 2), jnp.int8)
+        scales2 = jnp.full((S, _SEG_W), 1e-12, jnp.float32)
+        seg_cent = jnp.zeros((S, dim), jnp.float32)
+        starts = list(range(0, S - ch_seg + 1, ch_seg))
+        if S % ch_seg:
+            starts.append(S - ch_seg)
+        for i, s0 in enumerate(starts):
+            uc, us, ucent = make_chunk4(centers,
+                                        jax.random.PRNGKey(400 + i),
+                                        jnp.int32(s0))
+            packed3, scales2, seg_cent = place4(
+                packed3, scales2, seg_cent, uc, us, ucent, jnp.int32(s0))
+        valid2 = jnp.ones((S, _SEG_W), bool)
+        from clipx.search.engine import _unpack_int4
+        queries = [(_unpack_int4(packed3[i, 0][None]).astype(jnp.float32)
+                    * scales2[i, 0]) for i in range(32)]
+
+        def make_fn(P):
+            return lambda q: _ivf_kernel_int4_pure(
+                packed3, scales2, seg_cent, valid2, q, P, kk)
+    elif storage == "int8":
         ch_rows = min(max(n_vectors, _SEG_W),
                       int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
                                          1 << 20)))
@@ -449,7 +572,7 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         ms = _slope_time(one, np.asarray, max(trials // 8, 2), trials) * 1e3
         # log the dtype actually built: the bf16 IVF path reuses the
         # f32/quant kernels, so labeling it "bf16 storage" would be a lie
-        built = "int8" if storage == "int8" else "f32"
+        built = storage if storage in ("int8", "int4") else "f32"
         log(f"  ivf nprobe={nprobe} (P={P} of {S} segments, {built} "
             f"storage): {ms:.3f} ms")
         out[f"ivf_p50_ms_nprobe{nprobe}"] = ms
@@ -521,11 +644,12 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--corpus", type=int, default=1_000_000)
-    ap.add_argument("--corpus-dtype", choices=("f32", "bf16", "int8"),
+    ap.add_argument("--corpus-dtype",
+                    choices=("f32", "bf16", "int8", "int4"),
                     default="f32",
                     help="storage dtype of the benchmark search corpora "
-                         "(the --corpus-dtype capacity knob); bf16/int8 "
-                         "metrics are labeled distinctly in the JSON")
+                         "(the --corpus-dtype capacity knob); bf16/int8/"
+                         "int4 metrics are labeled distinctly in the JSON")
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
@@ -633,11 +757,12 @@ def main() -> int:
         # number but say loudly that the timing is not trustworthy
         result["encode_above_roofline"] = True
     for key, v in ivf.items():
-        # int8 storage runs the codes-as-corpus IVF kernel and is
+        # int8/int4 storage runs the codes-as-corpus IVF kernel and is
         # labeled as such; f32/bf16 both measure the f32-rows kernel
         # (bf16 only changes corpus HBM, not this kernel), so those
         # labels carry no dtype suffix
-        ivf_lab = (size_lab + "_int8" if args.corpus_dtype == "int8"
+        ivf_lab = (size_lab + f"_{args.corpus_dtype}"
+                   if args.corpus_dtype in ("int8", "int4")
                    else size_lab)
         result[f"query_{key}_{ivf_lab}"] = round(v, 3)
     if search5m:

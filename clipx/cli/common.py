@@ -48,7 +48,8 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                                                        DEFAULT_DB_PATH))
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
                                                           DEFAULT_INDEX_PATH))
-    parser.add_argument("--corpus-dtype", choices=("f32", "bf16", "int8"),
+    parser.add_argument("--corpus-dtype",
+                        choices=("f32", "bf16", "int8", "int4"),
                         default=os.environ.get("CLIPX_CORPUS_DTYPE", "f32"),
                         help="device storage dtype of the search corpus. "
                              "bf16 halves HBM (roughly doubles the "
@@ -65,7 +66,11 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                              "rescore from dequantized rows in f32 "
                              "(score error ~5e-4); composes with "
                              "--search-mode ivf for probed search at "
-                             "the 1 B/dim capacity tier. The on-disk "
+                             "the 1 B/dim capacity tier. int4 packs "
+                             "two 4-bit codes per byte (0.5 B/dim, "
+                             "~10x the f32 capacity) — the faiss-SQ4 "
+                             "recall trade (score error ~1e-2, gated "
+                             "in tools/eval_quality.py). The on-disk "
                              "sidecar stays f32 either way")
     parser.add_argument("--search-mode",
                         choices=("exact", "quant", "auto", "ivf"),
@@ -140,10 +145,11 @@ def corpus_dtype(args):
 
     name = getattr(args, "corpus_dtype",
                    os.environ.get("CLIPX_CORPUS_DTYPE", "f32"))
-    table = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8}
+    table = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8,
+             "int4": jnp.int4}
     if name not in table:
         raise SystemExit(f"unknown corpus dtype {name!r} "
-                         f"(f32, bf16 or int8)")
+                         f"(f32, bf16, int8 or int4)")
     return table[name]
 
 
@@ -156,7 +162,8 @@ def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
 
 def apply_search_mode(index, mode: str):
     """Configure an index's scan mode per the --search-mode flag."""
-    if getattr(index, "int8_storage", False):
+    if (getattr(index, "int8_storage", False)
+            or getattr(index, "int4_storage", False)):
         return index  # codes are the corpus: the scan is always quantized
     if hasattr(index, "quantized"):
         if mode == "ivf":

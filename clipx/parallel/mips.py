@@ -26,13 +26,27 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from clipx.search.engine import (_MAX_Q, _SEG_W, _bucket_k, _bucket_rows,
-                                 _dequant_rows_of, _int8_append,
-                                 _int8_segscan, _pad_q, _padded_append,
+from clipx.search.engine import (_INT4_CHUNK, _MAX_Q, _SEG_W, _bucket_k,
+                                 _bucket_rows, _dequant_rows_of,
+                                 _int4_segscan, _int8_append, _int8_segscan,
+                                 _is_int4, _pad_q, _padded_append,
                                  _exact_topk, _quantize_device, clamp_k,
-                                 quantize_rows)
+                                 quantize_rows, quantize_rows_int4)
 
 AXIS = "shard"
+
+
+def _shard_rows(n: int, n_shards: int, int4: bool = False) -> int:
+    """Rows per shard for n total rows: equal static shards, lane-aligned
+    to 128. int4 shards that exceed one scan chunk must also be a chunk
+    MULTIPLE (engine._int4_segscan maps the unpack over fixed-size
+    chunks) — a shard row count like 2.25 chunks would otherwise be
+    unsliceable."""
+    rows = -(-max(n, 1) // n_shards)
+    rows = max(128, -(-rows // 128) * 128)
+    if int4 and rows > _INT4_CHUNK:
+        rows = -(-rows // _INT4_CHUNK) * _INT4_CHUNK
+    return rows
 
 
 def _merge_across_shards(d, gi, k):
@@ -98,6 +112,22 @@ def _local_topk_kernel_int8_pure(codes_local: jax.Array,
     return _merge_across_shards(d, gi, merge_k)
 
 
+def _local_topk_kernel_int4_pure(codes_local: jax.Array,
+                                 scales_local: jax.Array,
+                                 queries: jax.Array,
+                                 valid_total: jax.Array, k: int,
+                                 merge_k: int
+                                 ) -> Tuple[jax.Array, jax.Array]:
+    """int4-STORAGE shard kernel (--corpus-dtype int4): the packed
+    codes are the corpus (0.5 B/dim per shard); the chunked
+    unpack-scan + dequantized rescore of engine._int4_segscan runs with
+    this shard's global row base."""
+    base = jax.lax.axis_index(AXIS) * codes_local.shape[0]
+    d, gi = _int4_segscan(codes_local, scales_local, valid_total,
+                          queries, k, base=base)
+    return _merge_across_shards(d, gi, merge_k)
+
+
 class ShardedVectorIndex:
     """Flat exact MIPS with the corpus row-sharded over a 1D mesh axis."""
 
@@ -109,29 +139,43 @@ class ShardedVectorIndex:
             raise ValueError(f"mesh must have a {AXIS!r} axis")
         self.mesh = mesh
         self.dtype = dtype
-        # int8 STORAGE (--corpus-dtype int8): codes are the corpus, scan
-        # always quantized, rescore dequantizes (engine notes)
-        self.int8_storage = jnp.dtype(dtype) == jnp.int8
-        self.quantized = True if self.int8_storage else quantized
+        # coded STORAGE (--corpus-dtype int8/int4): codes are the
+        # corpus, scan always quantized, rescore dequantizes (engine
+        # notes)
+        self.int4_storage = _is_int4(dtype)
+        self.int8_storage = (not self.int4_storage
+                             and jnp.dtype(dtype) == jnp.int8)
+        self.quantized = (True if (self.int8_storage or self.int4_storage)
+                          else quantized)
         self._codes = None
         self._scales = None
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.ntotal, self.dim = vectors.shape
+        if self.int4_storage and self.dim % 2:
+            raise ValueError(f"int4 storage needs an even dim, "
+                             f"got {self.dim}")
+        self._code_dim = self.dim // 2 if self.int4_storage else self.dim
         self._search_fns = {}
         self._update_fns = {}
-        if self.int8_storage:
+        if self.coded_storage:
             self._corpus = None
-            codes, scales = quantize_rows(vectors)
+            quantize = (quantize_rows_int4 if self.int4_storage
+                        else quantize_rows)
+            codes, scales = quantize(vectors)
             self._place_int8(codes, scales)
             return
         n_shards = mesh.shape[AXIS]
         # pad so every shard holds the same row count (static shapes)
-        rows = -(-max(self.ntotal, 1) // n_shards)
-        rows = max(128, -(-rows // 128) * 128)  # lane-aligned shards
+        rows = _shard_rows(self.ntotal, n_shards)
         padded = np.zeros((rows * n_shards, self.dim), np.float32)
         padded[: self.ntotal] = vectors
         self._corpus = jax.device_put(
             padded.astype(dtype), self._sharding())
+
+    @property
+    def coded_storage(self) -> bool:
+        """True when the quantized codes ARE the corpus (int8/int4)."""
+        return self.int8_storage or self.int4_storage
 
     def _sharding(self):
         return NamedSharding(self.mesh, P(AXIS, None))
@@ -155,7 +199,7 @@ class ShardedVectorIndex:
         n_new = vectors.shape[0]
         if n_new == 0:
             return
-        if self.int8_storage:
+        if self.coded_storage:
             _int8_append(self, vectors)
             return
         _padded_append(self, vectors)
@@ -176,9 +220,8 @@ class ShardedVectorIndex:
     def _place_int8(self, codes: np.ndarray, scales: np.ndarray) -> None:
         n_shards = self.mesh.shape[AXIS]
         n = codes.shape[0]
-        rows = -(-max(n, 1) // n_shards)
-        rows = max(128, -(-rows // 128) * 128)
-        pc = np.zeros((rows * n_shards, self.dim), np.int8)
+        rows = _shard_rows(n, n_shards, self.int4_storage)
+        pc = np.zeros((rows * n_shards, self._code_dim), np.int8)
         pc[:n] = codes
         ps = np.full((rows * n_shards,), 1e-12, np.float32)
         ps[:n] = scales
@@ -204,17 +247,18 @@ class ShardedVectorIndex:
         ids while GSPMD reshuffles rows across shards over ICI — no
         host round-trip of the corpus."""
         n_shards = self.mesh.shape[AXIS]
-        rows = -(-_bucket_rows(need) // n_shards)
-        rows = max(128, -(-rows // 128) * 128)
+        rows = _shard_rows(_bucket_rows(need), n_shards, self.int4_storage)
         new_cap = rows * n_shards
         dim, dtype, sharding = self.dim, self.dtype, self._sharding()
 
-        if self.int8_storage:
+        if self.coded_storage:
+            cdim = self._code_dim
+
             @functools.partial(
                 jax.jit, out_shardings=(sharding,
                                         self._scales_sharding()))
             def regrow8(c, s):
-                nc = jnp.zeros((new_cap, dim), jnp.int8)
+                nc = jnp.zeros((new_cap, cdim), jnp.int8)
                 ns = jnp.full((new_cap,), 1e-12, jnp.float32)
                 return (jax.lax.dynamic_update_slice(nc, c, (0, 0)),
                         jax.lax.dynamic_update_slice(ns, s, (0,)))
@@ -238,14 +282,17 @@ class ShardedVectorIndex:
         self._scales = None
 
     def _compiled(self, k: int, merge_k: int):
-        key = (k, merge_k, self.quantized, self.int8_storage)
+        key = (k, merge_k, self.quantized, self.int8_storage,
+               self.int4_storage)
         if key not in self._search_fns:
             # outputs are replicated by construction (every shard computes
             # the same merge after the all_gather); the static vma checker
             # can't see that through axis_index, hence check_vma=False
-            if self.int8_storage:
-                fn = functools.partial(_local_topk_kernel_int8_pure, k=k,
-                                       merge_k=merge_k)
+            if self.coded_storage:
+                fn = functools.partial(
+                    (_local_topk_kernel_int4_pure if self.int4_storage
+                     else _local_topk_kernel_int8_pure),
+                    k=k, merge_k=merge_k)
                 in_specs = (P(AXIS, None), P(AXIS), P(None, None), P())
             elif self.quantized:
                 fn = functools.partial(_local_topk_kernel_int8, k=k,
@@ -264,7 +311,7 @@ class ShardedVectorIndex:
         return self._search_fns[key]
 
     def _ensure_codes(self):
-        if self.int8_storage:
+        if self.coded_storage:
             return  # the codes ARE the corpus
         if self._codes is None:
             if self.dtype not in (jnp.float32, jnp.bfloat16):
@@ -296,14 +343,14 @@ class ShardedVectorIndex:
                     np.concatenate([p[1] for p in parts]))
         queries, nq = _pad_q(queries)  # Q buckets: one compile per
         n_shards = self.mesh.shape[AXIS]  # power-of-two fill, not per N
-        cap = (self._codes if self.int8_storage else self._corpus).shape[0]
+        cap = (self._codes if self.coded_storage else self._corpus).shape[0]
         rows_per_shard = cap // n_shards
         kk = min(_bucket_k(k), rows_per_shard)
         # merge over the gathered n_shards * kk pool, not just kk: when
         # k > rows_per_shard every shard still contributes its full top
         # list, so all valid rows are returned (single-device parity)
         merge_k = min(_bucket_k(k), n_shards * kk)
-        if self.int8_storage:
+        if self.coded_storage:
             d, i = self._compiled(kk, merge_k)(
                 self._codes, self._scales,
                 jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))

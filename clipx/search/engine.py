@@ -347,6 +347,167 @@ def _int8_impl() -> str:
     return v if v in ("seg", "element") else "seg"
 
 
+# -- int4 STORAGE (--corpus-dtype int4) ---------------------------------------
+#
+# The faiss-SQ4 analog of the int8 tier: symmetric per-row 4-bit codes
+# packed two per byte ARE the corpus — 0.5 B/dim, ~2x the int8-storage
+# capacity (~10x f32; the capacity ladder the reference delegates to
+# faiss's scalar quantizers). The scan unpacks nibbles to int8 in row
+# CHUNKS under ``lax.map`` — unpacking the whole corpus at once would
+# materialize the N x D int8 array whose HBM cost is exactly what int4
+# exists to avoid — then reduces each chunk to per-segment maxima, and
+# rescores the top segments from dequantized candidates in f32. As in
+# the int8-pure path the query-side quantization error cancels in that
+# rescore, leaving corpus rounding only; at 4 bits the rounding step is
+# max|x|/7 — ~18x coarser than int8, score RMS ~1e-2 on unit-norm CLIP
+# rows vs int8's ~5e-4. That is the faiss SQ4-vs-SQ8 recall trade, made
+# explicit per tier in tools/eval_quality.py and test_quality_gate.
+# Candidate selection compensates with a 2x segment margin
+# (_INT4_SEG_MARGIN) over the int8 path's k segments.
+
+_INT4_CHUNK = 1 << 19   # scan rows per lax.map step: 256 MB unpacked
+                        # int8 transient at D=512. Every _bucket_rows
+                        # capacity is either <= one chunk (pow-2 below
+                        # 2^19) or a multiple of it (pow-2 above, and
+                        # the 512k-row steps past 1M rows).
+_INT4_SEG_MARGIN = 2
+
+
+def _is_int4(dtype) -> bool:
+    try:
+        return jnp.dtype(dtype) == jnp.dtype(jnp.int4)
+    except TypeError:
+        return False
+
+
+def pack_int4(codes: np.ndarray) -> np.ndarray:
+    """(N, D) int8 codes in [-8, 7] -> (N, D/2) packed int8: low nibble
+    holds the even dim, high nibble the odd dim."""
+    lo = codes[:, 0::2].astype(np.uint8) & 0x0F
+    hi = (codes[:, 1::2].astype(np.uint8) & 0x0F) << 4
+    return (lo | hi).view(np.int8)
+
+
+def unpack_int4_host(packed: np.ndarray) -> np.ndarray:
+    """numpy twin of ``_unpack_int4`` (reconstruct()/vectors())."""
+    u = packed.view(np.uint8)
+    lo = (u & 0x0F).astype(np.int16)
+    hi = (u >> 4).astype(np.int16)
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    return np.stack([lo, hi], axis=-1).reshape(
+        packed.shape[0], -1).astype(np.int8)
+
+
+# Per-row scale candidates for the 4-bit quantizer, as fractions of
+# max|x|/7. At 16 levels the MSE-optimal uniform quantizer CLIPS
+# outliers rather than covering them (max/7 wastes half the codebook on
+# the tail of a ~gaussian coordinate distribution): the cheap 4-point
+# search below measured recall@50 0.843 -> 0.874 on the adversarial
+# random 512-d corpus (oracle = pipeline — candidate selection loses
+# nothing; corpus rounding is the whole error). An 8-point search
+# added only +0.003.
+_INT4_SCALE_ALPHAS = (1.0, 0.9, 0.8, 0.7)
+
+
+def quantize_rows_int4(vectors: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row 4-bit quantization, packed two codes per byte.
+    Host-side like ``quantize_rows`` — the H2D upload is 0.5 B/dim.
+    The per-row scale is picked by a small MSE search over clipped
+    candidates (``_INT4_SCALE_ALPHAS``)."""
+    if vectors.shape[1] % 2:
+        raise ValueError("int4 storage needs an even dim, "
+                         f"got {vectors.shape[1]}")
+    v = np.ascontiguousarray(vectors, dtype=np.float32)
+    base = np.maximum(np.abs(v).max(axis=1), 1e-12) / 7.0
+    best_codes, best_scales, best_err = None, None, None
+    for a in _INT4_SCALE_ALPHAS:
+        scales = (base * a).astype(np.float32)
+        codes = np.clip(np.rint(v / scales[:, None]), -7, 7
+                        ).astype(np.int8)
+        err = ((codes * scales[:, None] - v) ** 2).sum(axis=1)
+        if best_err is None:
+            best_codes, best_scales, best_err = codes, scales, err
+        else:
+            better = err < best_err
+            best_codes[better] = codes[better]
+            best_scales[better] = scales[better]
+            best_err[better] = err[better]
+    return pack_int4(best_codes), best_scales
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """(..., D/2) packed int8 -> (..., D) int8 in [-8, 7]. Sign comes
+    free from arithmetic shifts: left-shift-4 then arithmetic
+    right-shift-4 sign-extends the low nibble; the high nibble needs
+    only the right shift."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    out = jnp.stack([lo, hi], axis=-1)
+    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+
+
+def _int4_segscan(packed: jax.Array, scales: jax.Array, valid: jax.Array,
+                  queries: jax.Array, k: int, base=0
+                  ) -> Tuple[jax.Array, jax.Array]:
+    """int4-STORAGE segment scan: _int8_segscan's structure with the
+    unpack chunked under ``lax.map`` (bounds the int8 transient to
+    ``_INT4_CHUNK`` rows) and a dequantized-candidate rescore. ``base``
+    offsets row ids for sharded callers (clipx/parallel/mips.py)."""
+    q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
+                          1e-12) / 127.0
+    q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
+                       ).astype(jnp.int8)
+    n, nq = packed.shape[0], queries.shape[0]
+    chunk = min(n, _INT4_CHUNK)
+    if n % chunk:
+        raise ValueError(f"int4 capacity {n} not a chunk multiple "
+                         f"({chunk}) — placement must pad to "
+                         "_bucket_rows")
+
+    def seg_chunk(start):
+        p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
+        s = jax.lax.dynamic_slice_in_dim(scales, start, chunk)
+        raw = jax.lax.dot_general(_unpack_int4(p), q_codes,
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        approx = raw.astype(jnp.float32) * s[:, None]       # (chunk, Q)
+        rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+               + base + start)
+        approx = jnp.where(rid < valid, approx, -jnp.inf)
+        return approx.reshape(-1, _SEG_W, nq).max(axis=1)
+
+    if n == chunk:
+        segmax = seg_chunk(jnp.int32(0))
+    else:
+        starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
+        segmax = jax.lax.map(seg_chunk, starts).reshape(-1, nq)
+    segs = segmax.shape[0]
+    s_cnt = min(_INT4_SEG_MARGIN * k, segs)
+    _, seg_idx = jax.lax.top_k(segmax.T, s_cnt)             # (Q, s)
+    packed3 = packed.reshape(segs, _SEG_W, -1)
+    scales2 = scales.reshape(segs, _SEG_W)
+    rows = (_unpack_int4(packed3[seg_idx]).astype(jnp.float32)
+            * scales2[seg_idx][..., None])
+    exact = jnp.einsum("qd,qswd->qsw", queries, rows,
+                       preferred_element_type=jnp.float32)
+    gids = (base + seg_idx[:, :, None] * _SEG_W
+            + jnp.arange(_SEG_W, dtype=jnp.int32)[None, None, :])
+    exact = jnp.where(gids < valid, exact, -jnp.inf)
+    d, sel = jax.lax.top_k(exact.reshape(nq, s_cnt * _SEG_W), k)
+    return d, jnp.take_along_axis(gids.reshape(nq, s_cnt * _SEG_W), sel,
+                                  axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _search_kernel_int4_pure(packed: jax.Array, scales: jax.Array,
+                             valid: jax.Array, queries: jax.Array, k: int
+                             ) -> Tuple[jax.Array, jax.Array]:
+    """int4-ONLY storage (--corpus-dtype int4): the packed codes ARE
+    the corpus — 0.5 B/dim, ~10x the f32 capacity per chip."""
+    return _int4_segscan(packed, scales, valid, queries, k)
+
+
 def _padded_append(index, vectors: np.ndarray) -> None:
     """Shared in-place append for VectorIndex and ShardedVectorIndex
     (clipx/parallel/mips.py): pad the update to a power-of-two row
@@ -373,16 +534,20 @@ def _padded_append(index, vectors: np.ndarray) -> None:
 
 
 def _int8_append(index, vectors: np.ndarray) -> None:
-    """Shared add() for int8-STORAGE indexes (VectorIndex and
-    clipx/parallel/mips.ShardedVectorIndex): quantize on the HOST so the
-    upload is 1 B/dim (the H2D path is the expensive part here), place
-    padded code/scale arrays on first add, and append in place with a
-    donating two-array ``dynamic_update_slice`` afterwards. ``index``
-    provides ``_place_int8(codes, scales)``, ``_grow(need)`` and
+    """Shared add() for the coded-STORAGE indexes (int8 and packed int4;
+    VectorIndex and clipx/parallel/mips.ShardedVectorIndex): quantize on
+    the HOST so the upload is 1 (int8) or 0.5 (int4) B/dim — the H2D
+    path is the expensive part here — place padded code/scale arrays on
+    first add, and append in place with a donating two-array
+    ``dynamic_update_slice`` afterwards. ``index`` provides
+    ``_place_int8(codes, scales)``, ``_grow(need)``,
     ``_update_int8_fn(pad_len)`` (where the sharded class pins
-    out_shardings). Padded scale slots hold the quantizer's epsilon so a
+    out_shardings) and ``_code_dim`` (dim for int8, dim/2 packed for
+    int4). Padded scale slots hold the quantizer's epsilon so a
     dequantized padding row is exactly zero."""
-    codes, scales = quantize_rows(vectors)
+    quantize = (quantize_rows_int4 if getattr(index, "int4_storage", False)
+                else quantize_rows)
+    codes, scales = quantize(vectors)
     n_new = vectors.shape[0]
     if index._codes is None:
         index._place_int8(codes, scales)
@@ -393,7 +558,7 @@ def _int8_append(index, vectors: np.ndarray) -> None:
         pad_len *= 2
     if index.ntotal + pad_len > index._codes.shape[0]:
         index._grow(index.ntotal + pad_len)
-    uc = np.zeros((pad_len, index.dim), np.int8)
+    uc = np.zeros((pad_len, index._code_dim), np.int8)
     uc[:n_new] = codes
     us = np.full((pad_len,), 1e-12, np.float32)
     us[:n_new] = scales
@@ -413,17 +578,29 @@ class VectorIndex:
     def __init__(self, dim: int, dtype=jnp.float32, quantized: bool = False):
         self.dim = dim
         self.dtype = dtype
-        # int8 STORAGE (--corpus-dtype int8): the codes are the corpus
-        # (1 B/dim, no full-precision rows on device); scan is always
-        # quantized and the rescore dequantizes candidates in f32
-        self.int8_storage = jnp.dtype(dtype) == jnp.int8
-        self.quantized = True if self.int8_storage else quantized
+        # coded STORAGE (--corpus-dtype int8/int4): the codes are the
+        # corpus (1 / 0.5 B/dim, no full-precision rows on device); the
+        # scan is always quantized and the rescore dequantizes
+        # candidates in f32
+        self.int4_storage = _is_int4(dtype)
+        self.int8_storage = (not self.int4_storage
+                             and jnp.dtype(dtype) == jnp.int8)
+        if self.int4_storage and dim % 2:
+            raise ValueError(f"int4 storage needs an even dim, got {dim}")
+        self._code_dim = dim // 2 if self.int4_storage else dim
+        self.quantized = (True if (self.int8_storage or self.int4_storage)
+                          else quantized)
         self.ntotal = 0
         self.nprobe = 32  # compatibility no-op (reference:query-index.py:30)
         self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
-        self._codes: Optional[jax.Array] = None   # int8 scan copy
+        self._codes: Optional[jax.Array] = None   # int8/packed-int4 codes
         self._scales: Optional[jax.Array] = None
         self._update_fns = {}
+
+    @property
+    def coded_storage(self) -> bool:
+        """True when the quantized codes ARE the corpus (int8/int4)."""
+        return self.int8_storage or self.int4_storage
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -453,7 +630,7 @@ class VectorIndex:
         n_new = vectors.shape[0]
         if n_new == 0:
             return
-        if self.int8_storage:
+        if self.coded_storage:
             _int8_append(self, vectors)
             return
         if self._corpus is None:
@@ -477,7 +654,7 @@ class VectorIndex:
 
     def _place_int8(self, codes: np.ndarray, scales: np.ndarray) -> None:
         bucket = _bucket_rows(codes.shape[0])
-        pc = np.zeros((bucket, self.dim), np.int8)
+        pc = np.zeros((bucket, self._code_dim), np.int8)
         pc[: codes.shape[0]] = codes
         ps = np.full((bucket,), 1e-12, np.float32)
         ps[: scales.shape[0]] = scales
@@ -498,10 +675,12 @@ class VectorIndex:
         dim, dtype = self.dim, self.dtype
         new_cap = _bucket_rows(need)
 
-        if self.int8_storage:
+        if self.coded_storage:
+            cdim = self._code_dim
+
             @jax.jit
             def regrow8(c, s):
-                nc = jnp.zeros((new_cap, dim), jnp.int8)
+                nc = jnp.zeros((new_cap, cdim), jnp.int8)
                 ns = jnp.full((new_cap,), 1e-12, jnp.float32)
                 return (jax.lax.dynamic_update_slice(nc, c, (0, 0)),
                         jax.lax.dynamic_update_slice(ns, s, (0,)))
@@ -541,10 +720,14 @@ class VectorIndex:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         queries, nq = _pad_q(queries)
-        cap_rows = (self._codes if self.int8_storage
+        cap_rows = (self._codes if self.coded_storage
                     else self._corpus).shape[0]
         kk = min(_bucket_k(k), cap_rows)
-        if self.int8_storage:
+        if self.int4_storage:
+            scores, ids = _search_kernel_int4_pure(
+                self._codes, self._scales, jnp.int32(self.ntotal),
+                jnp.asarray(queries), kk)
+        elif self.int8_storage:
             scores, ids = _search_kernel_int8_pure(
                 self._codes, self._scales, jnp.int32(self.ntotal),
                 jnp.asarray(queries), kk)
@@ -573,8 +756,8 @@ class VectorIndex:
     def _ensure_codes(self) -> None:
         if self._codes is not None:
             return
-        if self.int8_storage:
-            raise RuntimeError("int8-storage index has no codes — "
+        if self.coded_storage:
+            raise RuntimeError("coded-storage index has no codes — "
                                "nothing was added yet")
         if self.dtype not in (jnp.float32, jnp.bfloat16):
             raise ValueError("quantized search rescoring requires a float "
@@ -586,17 +769,23 @@ class VectorIndex:
     def reconstruct(self, row: int) -> np.ndarray:
         if not (0 <= row < self.ntotal):
             raise IndexError(row)
+        if self.int4_storage:
+            c = unpack_int4_host(np.asarray(self._codes[row])[None, :])
+            return c[0].astype(np.float32) * float(self._scales[row])
         if self.int8_storage:
             return (np.asarray(self._codes[row], dtype=np.float32)
                     * float(self._scales[row]))
         return np.asarray(self._corpus[row], dtype=np.float32)
 
     def vectors(self) -> np.ndarray:
-        if self.int8_storage:
+        if self.coded_storage:
             if self._codes is None:
                 return np.zeros((0, self.dim), dtype=np.float32)
-            c = np.asarray(self._codes[: self.ntotal], dtype=np.float32)
-            return c * np.asarray(self._scales[: self.ntotal])[:, None]
+            c = np.asarray(self._codes[: self.ntotal])
+            if self.int4_storage:
+                c = unpack_int4_host(c)
+            return (c.astype(np.float32)
+                    * np.asarray(self._scales[: self.ntotal])[:, None])
         if self._corpus is None:
             return np.zeros((0, self.dim), dtype=np.float32)
         return np.asarray(self._corpus[: self.ntotal], dtype=np.float32)

@@ -208,20 +208,24 @@ def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
 def _int8_probe_body(codes3: jax.Array, scales2: jax.Array,
                      valid2: jax.Array, queries: jax.Array,
                      seg_idx: jax.Array, rescore_rows, s: int, k: int,
-                     seg_offset=0) -> Tuple[jax.Array, jax.Array]:
+                     seg_offset=0, scan_rows=None
+                     ) -> Tuple[jax.Array, jax.Array]:
     """Shared body of every int8 probed kernel (single-device and
     sharded): quantize the queries, int8-scan the probed segments,
     keep the top-``s`` segments by per-segment max, rescore their rows
     in exact f32 (rows supplied by ``rescore_rows(chosen)`` — stored
     f32/bf16 rows in quant mode, dequantized codes in int8-storage
     mode), final top-k. ``seg_offset`` shifts segment ids to global
-    (sharded callers pass ``axis_index * S_local``)."""
+    (sharded callers pass ``axis_index * S_local``). ``scan_rows``
+    overrides the probe-row gather (int4 storage gathers PACKED
+    segments — half the gather bytes — and unpacks them to int8 here)."""
     nq = queries.shape[0]
     q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
                           1e-12) / 127.0
     q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
                        ).astype(jnp.int8)
-    crows = codes3[seg_idx]                                   # (Q,P,W,D) i8
+    crows = (scan_rows(seg_idx) if scan_rows is not None
+             else codes3[seg_idx])                            # (Q,P,W,D) i8
     raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
                      preferred_element_type=jnp.int32)
     approx = raw.astype(jnp.float32) * scales2[seg_idx]
@@ -247,6 +251,34 @@ def _dequant_rows(codes3: jax.Array, scales2: jax.Array):
     identical semantics to the flat engine's _search_kernel_int8_pure."""
     return lambda chosen: (codes3[chosen].astype(jnp.float32)
                            * scales2[chosen][..., None])
+
+
+def _dequant_rows_int4(packed3: jax.Array, scales2: jax.Array):
+    """rescore_rows callback for int4 STORAGE: gather the PACKED
+    candidate segments, unpack, dequantize (corpus rounding ~1e-2 score
+    RMS — the faiss-SQ4 trade, see engine's int4 section)."""
+    return lambda chosen: (
+        engine._unpack_int4(packed3[chosen]).astype(jnp.float32)
+        * scales2[chosen][..., None])
+
+
+@functools.partial(jax.jit, static_argnames=("P", "k"))
+def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
+                          seg_cent: jax.Array, valid2: jax.Array,
+                          queries: jax.Array,
+                          P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """IVF over int4 STORAGE (--corpus-dtype int4): the packed codes
+    ARE the corpus. packed3: (S, 64, D/2) int8 — the probe gathers
+    packed segments (half the int8 tier's gather bytes) and unpacks
+    them for the int8 scan; rescore from dequantized candidates."""
+    cs = jnp.dot(queries, seg_cent.T,
+                 preferred_element_type=jnp.float32)
+    _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    return _int8_probe_body(packed3, scales2, valid2, queries, seg_idx,
+                            _dequant_rows_int4(packed3, scales2),
+                            min(k, P), k,
+                            scan_rows=lambda si: engine._unpack_int4(
+                                packed3[si]))
 
 
 @functools.partial(jax.jit, static_argnames=("P", "k"))
@@ -329,14 +361,19 @@ class IVFIndex:
         # the probed scan is int8 and candidates rescore from
         # DEQUANTIZED rows in f32 (_ivf_kernel_int8_pure) — probed
         # search at the flat int8 tier's ~5x capacity.
-        if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
-                                    jnp.dtype(jnp.bfloat16),
-                                    jnp.dtype(jnp.int8)):
-            raise ValueError("IVF corpus dtype must be f32, bf16 or int8, "
-                             f"got {jnp.dtype(dtype).name}")
-        self.int8_storage = jnp.dtype(dtype) == jnp.dtype(jnp.int8)
+        self.int4_storage = engine._is_int4(dtype)
+        if not self.int4_storage and jnp.dtype(dtype) not in (
+                jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
+                jnp.dtype(jnp.int8)):
+            raise ValueError("IVF corpus dtype must be f32, bf16, int8 "
+                             f"or int4, got {jnp.dtype(dtype).name}")
+        self.int8_storage = (not self.int4_storage
+                             and jnp.dtype(dtype) == jnp.dtype(jnp.int8))
+        if self.int4_storage and dim % 2:
+            raise ValueError(f"int4 storage needs an even dim, got {dim}")
         # codes-as-corpus has no unquantized scan to fall back to
-        self.quantized = True if self.int8_storage else quantized
+        self.quantized = (True if (self.int8_storage or self.int4_storage)
+                          else quantized)
         self.dtype = dtype
         self.ntotal = 0
         self._nprobe = 32  # reference:query-index.py:30
@@ -351,6 +388,11 @@ class IVFIndex:
         # ascending cumulative sums of live-segment occupancies — feeds
         # the adversarial probe floor (_probe_floor)
         self._live_count_cumsum: Optional[np.ndarray] = None
+
+    @property
+    def coded_storage(self) -> bool:
+        """True when the quantized codes ARE the corpus (int8/int4)."""
+        return self.int8_storage or self.int4_storage
 
     # nprobe is clamped like the reference REPL clamps it (1..100)
     @property
@@ -407,15 +449,18 @@ class IVFIndex:
         live_counts = valid2.sum(axis=1)
         self._live_count_cumsum = np.cumsum(
             np.sort(live_counts[live_counts > 0]))
-        if self.int8_storage:
+        if self.coded_storage:
             # codes ARE the corpus: quantize on the HOST so a full f32
             # copy never has to exist in HBM (the whole point of the
             # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
-            # segment centroids likewise reduce host-side
-            codes, scales = engine.quantize_rows(padded)
+            # segment centroids likewise reduce host-side. int4 packs
+            # two codes per byte (the (S, 64, D/2) layout).
+            quantize = (engine.quantize_rows_int4 if self.int4_storage
+                        else engine.quantize_rows)
+            codes, scales = quantize(padded)
             self._corpus3 = None
             self._codes3 = jnp.asarray(
-                codes.reshape(segs, _SEG_W, self.dim))
+                codes.reshape(segs, _SEG_W, codes.shape[1]))
             self._scales2 = jnp.asarray(scales.reshape(segs, _SEG_W))
             sums = padded.reshape(segs, _SEG_W, self.dim).sum(axis=1)
             self._seg_cent = jnp.asarray(
@@ -466,7 +511,7 @@ class IVFIndex:
 
     def _segs(self) -> int:
         """Segment count of the clustered base (0 when empty)."""
-        arr = self._codes3 if self.int8_storage else self._corpus3
+        arr = self._codes3 if self.coded_storage else self._corpus3
         return 0 if arr is None else arr.shape[0]
 
     def _probe(self, qj: jax.Array, P: int, kk: int
@@ -474,6 +519,10 @@ class IVFIndex:
         """One probed-scan device call (Q already chunked by the
         caller). Returns (Q, kk) scores + INTERNAL row ids.
         ShardedIVFIndex overrides this with the shard_map variant."""
+        if self.int4_storage:
+            return _ivf_kernel_int4_pure(
+                self._codes3, self._scales2, self._seg_cent,
+                self._valid2, qj, P, kk)
         if self.int8_storage:
             return _ivf_kernel_int8_pure(
                 self._codes3, self._scales2, self._seg_cent,
@@ -515,7 +564,7 @@ class IVFIndex:
         # request keeps its contracted scan fraction.
         P = min(max(P, _bucket_probe(self._probe_floor(k))), segs)
         qcap = _qcap(P, self.dim, self.quantized, k,
-                     int8_storage=self.int8_storage)
+                     int8_storage=self.coded_storage)
         if nq > qcap:
             parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]
@@ -551,6 +600,12 @@ class IVFIndex:
             raise IndexError(row)
         if row < self._base_n:
             pos = int(self._pos_of_ext[row])
+            if self.int4_storage:
+                flat_c = self._codes3.reshape(-1, self.dim // 2)
+                flat_s = self._scales2.reshape(-1)
+                c = engine.unpack_int4_host(
+                    np.asarray(flat_c[pos])[None, :])
+                return c[0].astype(np.float32) * float(flat_s[pos])
             if self.int8_storage:
                 flat_c = self._codes3.reshape(-1, self.dim)
                 flat_s = self._scales2.reshape(-1)
@@ -567,12 +622,13 @@ class IVFIndex:
         flat engine's int8 tier)."""
         if self._segs() == 0:
             base = np.zeros((0, self.dim), np.float32)
-        elif self.int8_storage:
+        elif self.coded_storage:
             # Dequantize chunk-wise straight into the output: the
             # one-shot (rows, dim) f32 product would transiently hold
             # ~3x the full f32 corpus in host RAM at this tier's 24M-row
             # design scale (the tier exists because f32 doesn't fit).
-            codes = np.asarray(self._codes3).reshape(-1, self.dim)
+            code_dim = self.dim // 2 if self.int4_storage else self.dim
+            codes = np.asarray(self._codes3).reshape(-1, code_dim)
             scales = np.asarray(self._scales2,
                                 dtype=np.float32).reshape(-1)
             pos = self._pos_of_ext
@@ -580,7 +636,10 @@ class IVFIndex:
             step = 1 << 18
             for i in range(0, len(pos), step):
                 p = pos[i:i + step]
-                chunk = codes[p].astype(np.float32)
+                chunk = codes[p]
+                if self.int4_storage:
+                    chunk = engine.unpack_int4_host(chunk)
+                chunk = chunk.astype(np.float32)
                 chunk *= scales[p][:, None]
                 base[i:i + len(p)] = chunk
         else:
@@ -716,13 +775,16 @@ class ShardedIVFIndex(IVFIndex):
         live_counts = valid2.sum(axis=1)
         self._live_count_cumsum = np.cumsum(
             np.sort(live_counts[live_counts > 0]))
-        if self.int8_storage:
+        if self.coded_storage:
             # host quantize + host centroids: no f32 copy of the corpus
             # ever reaches HBM (see the single-device _install)
-            codes, scales = engine.quantize_rows(padded)
+            quantize = (engine.quantize_rows_int4 if self.int4_storage
+                        else engine.quantize_rows)
+            codes, scales = quantize(padded)
             self._corpus3 = None
             self._codes3 = jax.device_put(
-                codes.reshape(segs_pad, _SEG_W, self.dim), self._spec(2))
+                codes.reshape(segs_pad, _SEG_W, codes.shape[1]),
+                self._spec(2))
             self._scales2 = jax.device_put(
                 scales.reshape(segs_pad, _SEG_W), self._spec(1))
             sums = padded.reshape(segs_pad, _SEG_W, self.dim).sum(axis=1)
@@ -766,14 +828,15 @@ class ShardedIVFIndex(IVFIndex):
         S_local = S // self._n_shards
         P_local = min(_bucket_probe(-(-P // self._n_shards)), S_local)
         kk_local = min(kk, P_local * _SEG_W)
-        mode = ("int8_storage" if self.int8_storage
+        mode = ("int4_storage" if self.int4_storage
+                else "int8_storage" if self.int8_storage
                 else "quant" if self.quantized else "f32")
         key = (mode, P_local, kk_local, kk)
         fn = self._probe_fns.get(key)
         if fn is None:
             fn = self._build_probe_fn(mode, P_local, kk_local, kk)
             self._probe_fns[key] = fn
-        if self.int8_storage:
+        if self.coded_storage:
             return fn(self._codes3, self._scales2, self._seg_cent,
                       self._valid2, self._seg_valid, qj)
         if self.quantized:
@@ -835,10 +898,23 @@ class ShardedIVFIndex(IVFIndex):
                                      seg_offset=base)
             return _merge_across_shards(d, gi, kk)
 
+        def local_int4_pure(packed3, scales2, cent_l, v2, sv_l, q):
+            # int4 STORAGE: packed probe gather + unpack, dequantized
+            # rescore (_ivf_kernel_int4_pure, per shard)
+            seg_idx = _coarse(cent_l, sv_l, q)
+            base = jax.lax.axis_index(AXIS) * packed3.shape[0]
+            d, gi = _int8_probe_body(
+                packed3, scales2, v2, q, seg_idx,
+                _dequant_rows_int4(packed3, scales2),
+                min(kk, P_local), kk_local, seg_offset=base,
+                scan_rows=lambda si: engine._unpack_int4(packed3[si]))
+            return _merge_across_shards(d, gi, kk)
+
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
         # seg_valid 1-D, queries replicated)
-        if mode == "int8_storage":
-            fn = local_int8_pure
+        if mode in ("int8_storage", "int4_storage"):
+            fn = (local_int4_pure if mode == "int4_storage"
+                  else local_int8_pure)
             in_specs = (PS(AXIS, None, None), PS(AXIS, None),
                         PS(AXIS, None), PS(AXIS, None),
                         PS(AXIS), PS())

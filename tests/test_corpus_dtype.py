@@ -275,3 +275,208 @@ def test_int8_flag_plumbs_and_search_mode_is_fixed(tmp_path):
         vecs, _args(corpus_dtype="int8", search_mode="ivf", sharded="on",
                     index=str(tmp_path / "i2.index")))
     assert idx.int8_storage and idx._corpus3 is None
+
+
+# -- int4 STORAGE (--corpus-dtype int4): packed codes are the corpus ------
+#
+# The faiss-SQ4 analog: 0.5 B/dim, ~2x the int8 tier's capacity, with
+# the documented recall trade (engine's int4 section — measured 0.874
+# recall@50 / exact top-1 on the adversarial random corpus, gated in
+# test_quality_gate). These tests pin the mechanics: pack/unpack
+# round-trips, the chunked scan, ranking on gap-separated corpora where
+# quantization noise cannot reorder anything, growth, and parity of the
+# sharded/IVF compositions with the flat index.
+
+
+def test_int4_pack_unpack_round_trip():
+    from clipx.search.engine import (_unpack_int4, pack_int4,
+                                     unpack_int4_host)
+
+    rng = np.random.RandomState(20)
+    codes = rng.randint(-7, 8, size=(13, 22)).astype(np.int8)
+    p = pack_int4(codes)
+    assert p.shape == (13, 11) and p.dtype == np.int8
+    np.testing.assert_array_equal(unpack_int4_host(p), codes)
+    np.testing.assert_array_equal(
+        np.asarray(_unpack_int4(jnp.asarray(p))), codes)
+
+
+def test_int4_quantize_dequant_cosine():
+    from clipx.search.engine import quantize_rows_int4, unpack_int4_host
+
+    rng = np.random.RandomState(21)
+    v = rng.randn(200, 512).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    packed, scales = quantize_rows_int4(v)
+    assert packed.shape == (200, 256) and scales.dtype == np.float32
+    deq = unpack_int4_host(packed).astype(np.float32) * scales[:, None]
+    cos = (deq * v).sum(1) / np.maximum(np.linalg.norm(deq, axis=1), 1e-9)
+    # 4-bit rounding of unit-norm rows: cosine stays > 0.98 (the
+    # MSE-searched scale; plain max/7 measured ~0.987 min)
+    assert cos.min() > 0.98
+
+
+def test_int4_storage_ranking_matches_f32():
+    rng = np.random.RandomState(22)
+    # gap 0.1 >> the ~6e-3 rounding-noise RMS: ranking must be exact
+    corpus, q, expect = _planted(rng, 4096, k=8, gap=0.08)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.int4)
+    assert idx.int4_storage and idx.quantized and idx.coded_storage
+    assert idx._corpus is None and idx._codes.shape[1] == 32
+    D, I = idx.search(q, k=8)
+    np.testing.assert_array_equal(I[0], expect)
+    ref = (q @ corpus.T)[0][expect]
+    # returned scores carry corpus rounding only (~6e-3 RMS at these
+    # max|x| ~0.9 rows)
+    np.testing.assert_allclose(D[0], ref, atol=8e-2)
+
+
+def test_int4_chunked_scan_matches_single_chunk(monkeypatch):
+    """The lax.map chunked unpack-scan (corpora past _INT4_CHUNK rows)
+    must rank identically to the single-chunk path."""
+    import clipx.search.engine as engine
+
+    rng = np.random.RandomState(23)
+    corpus, q, expect = _planted(rng, 4000, k=8, gap=0.08)
+    single = VectorIndex.from_vectors(corpus, dtype=jnp.int4)
+    D1, I1 = single.search(q, k=8)
+    # shrink the chunk so the padded 4096-row capacity runs 8 map steps
+    monkeypatch.setattr(engine, "_INT4_CHUNK", 512)
+    engine._search_kernel_int4_pure.clear_cache()
+    try:
+        chunked = VectorIndex.from_vectors(corpus, dtype=jnp.int4)
+        D2, I2 = chunked.search(q, k=8)
+    finally:
+        engine._search_kernel_int4_pure.clear_cache()
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, atol=1e-6)
+    np.testing.assert_array_equal(I1[0], expect)
+
+
+def test_int4_storage_add_and_grow():
+    rng = np.random.RandomState(24)
+    idx = VectorIndex.from_vectors(
+        rng.randn(100, 32).astype(np.float32), dtype=jnp.int4)
+    for _ in range(3):
+        idx.add(rng.randn(2500, 32).astype(np.float32))
+    assert idx.ntotal == 7600
+    assert idx._codes.dtype == jnp.int8 and idx._codes.shape[1] == 16
+    D, I = idx.search(rng.randn(1, 32).astype(np.float32), k=5)
+    assert np.isfinite(D).all() and (I >= 0).all()
+    # ids continue: self-match a dominating probe added last
+    probe = rng.randn(1, 32).astype(np.float32)
+    probe *= 10.0 / np.linalg.norm(probe)
+    idx.add(probe)
+    D, I = idx.search(probe, k=1)
+    assert I[0, 0] == idx.ntotal - 1
+
+
+def test_int4_reconstruct_and_vectors_dequantize():
+    rng = np.random.RandomState(25)
+    corpus = rng.randn(60, 16).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+    idx = VectorIndex.from_vectors(corpus, dtype=jnp.int4)
+    rec = idx.reconstruct(7)
+    cos = float(rec @ corpus[7] / np.linalg.norm(rec))
+    assert cos > 0.97
+    v = idx.vectors()
+    assert v.shape == corpus.shape and v.dtype == np.float32
+    np.testing.assert_allclose(v, corpus, atol=0.12)
+
+
+def test_int4_odd_dim_rejected():
+    with pytest.raises(ValueError, match="even dim"):
+        VectorIndex.from_vectors(
+            np.zeros((10, 15), np.float32), dtype=jnp.int4)
+
+
+def test_int4_storage_sharded_matches_single_device():
+    from clipx.parallel.mips import ShardedVectorIndex
+
+    rng = np.random.RandomState(26)
+    corpus, q, expect = _planted(rng, 3000, k=8, gap=0.08)
+    sh = ShardedVectorIndex(corpus, dtype=jnp.int4)
+    assert sh.int4_storage and sh._corpus is None
+    assert sh._codes.shape[1] == 32
+    D, I = sh.search(q, k=8)
+    np.testing.assert_array_equal(I[0], expect)
+    single = VectorIndex.from_vectors(corpus, dtype=jnp.int4)
+    Ds, Is = single.search(q, k=8)
+    np.testing.assert_array_equal(I, Is)
+    np.testing.assert_allclose(D, Ds, atol=1e-5)
+    # in-place sharded add (serve /reload) keeps storage + ranking sane
+    sh2 = ShardedVectorIndex(corpus[:2000], dtype=jnp.int4)
+    sh2.add(corpus[2000:])
+    D2, I2 = sh2.search(q, k=8)
+    np.testing.assert_array_equal(I2, I)
+
+
+def test_int4_shard_rows_chunk_multiple():
+    from clipx.parallel.mips import _shard_rows
+    from clipx.search.engine import _INT4_CHUNK
+
+    assert _shard_rows(100, 8, True) == 128
+    # a shard larger than one scan chunk must be a chunk MULTIPLE —
+    # 9 chunks over 4 shards would otherwise give 2.25-chunk shards
+    r = _shard_rows(9 * _INT4_CHUNK, 4, True)
+    assert r % _INT4_CHUNK == 0 and r * 4 >= 9 * _INT4_CHUNK
+
+
+def test_int4_ivf_full_probe_matches_flat():
+    from clipx.search.ivf import IVFIndex
+
+    rng = np.random.RandomState(27)
+    corpus, q, expect = _planted(rng, 3000, k=8, gap=0.08)
+    idx = IVFIndex.from_vectors(corpus, dtype=jnp.int4)
+    assert idx.int4_storage and idx._corpus3 is None
+    assert idx._codes3.shape[2] == 32
+    D, I = idx.search(q, k=8, nprobe=100)
+    np.testing.assert_array_equal(I[0], expect)
+    # tail adds inherit the storage dtype
+    idx.add(corpus[:10])
+    assert idx._tail.int4_storage
+    D, I = idx.search(q, k=8, nprobe=100)
+    np.testing.assert_array_equal(I[0], expect)
+    v = idx.vectors()
+    assert v.shape == (idx.ntotal, 64)
+    rec = idx.reconstruct(0)
+    assert rec.shape == (64,)
+
+
+def test_int4_sharded_ivf_full_probe_matches_flat():
+    from clipx.search.ivf import ShardedIVFIndex
+
+    rng = np.random.RandomState(28)
+    corpus, q, expect = _planted(rng, 3000, k=8, gap=0.08)
+    sh = ShardedIVFIndex.from_vectors(corpus, dtype=jnp.int4)
+    assert sh.int4_storage and sh._codes3.shape[2] == 32
+    D, I = sh.search(q, k=8, nprobe=100)
+    np.testing.assert_array_equal(I[0], expect)
+    D, I = sh.search(q, k=8, nprobe=16)
+    np.testing.assert_array_equal(I[0], expect)
+
+
+def test_int4_flag_plumbs_and_search_mode_is_fixed(tmp_path):
+    rng = np.random.RandomState(29)
+    vecs = rng.randn(300, 32).astype(np.float32)
+
+    idx = common.build_index_from_vectors(vecs, _args(corpus_dtype="int4"))
+    assert idx.int4_storage
+    # exact mode cannot un-quantize an int4-storage index
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int4", search_mode="exact"))
+    assert idx.int4_storage and idx.quantized
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int4", sharded="on"))
+    assert idx.int4_storage
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int4", search_mode="ivf",
+                    index=str(tmp_path / "i.index")))
+    assert idx.int4_storage and idx.quantized
+    assert idx._corpus3 is None and idx._codes3 is not None
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="int4", search_mode="ivf", sharded="on",
+                    index=str(tmp_path / "i2.index")))
+    assert idx.int4_storage and idx._corpus3 is None

@@ -81,6 +81,21 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
                r"top-1 agreement ([0-9.]+)", out)
     assert float(m.group(1)) >= 0.97
     assert float(m.group(2)) == 1.0
+    # int4 STORAGE (the ~10x-capacity faiss-SQ4 analog): rounding is
+    # 18x coarser — measured 0.874 recall@50 on this adversarial
+    # random corpus (sub-1e-3 rank gaps; real CLIP corpora measured
+    # ~0.90 on a clustered synthetic). Top-1 (self-retrieval) must
+    # still be exact: a ~1.0 self score clears the ~0.16 field by far
+    # more than the ~6e-3 rounding RMS
+    m = _parse(r"int4-storage vs exact f32: recall@50 ([0-9.]+), "
+               r"top-1 agreement ([0-9.]+)", out)
+    assert float(m.group(1)) >= 0.85
+    assert float(m.group(2)) == 1.0
+    # int4 + IVF composition at full probe: same storage noise on top
+    # of the probed-segment pool
+    m = _parse(r"ivf-int4-storage vs exact f32: recall@50 ([0-9.]+) "
+               r"at nprobe=100", out)
+    assert float(m.group(1)) >= 0.80
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

@@ -1084,13 +1084,13 @@ def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
     assert "bye" in out
 
 
-@pytest.mark.parametrize("cdtype", ["bf16", "int8"])
+@pytest.mark.parametrize("cdtype", ["bf16", "int8", "int4"])
 def test_serve_corpus_dtype_search_and_incremental_reload(
         tmp_path, monkeypatch, cdtype):
     """--corpus-dtype under serve: searches work, and an append-only
     rebuild reloads INCREMENTALLY — the delta-add path differs per
-    storage (bf16 pads+casts rows, int8 quantizes on host), so both are
-    pinned against the full-reload fallback silently taking over."""
+    storage (bf16 pads+casts rows, int8/int4 quantize on host), so all
+    are pinned against the full-reload fallback silently taking over."""
     photos = tmp_path / "photos"
     photos.mkdir()
     rng = np.random.RandomState(9)
@@ -1112,6 +1112,8 @@ def test_serve_corpus_dtype_search_and_incremental_reload(
     try:
         if cdtype == "int8":
             assert server.RequestHandlerClass.service.index.int8_storage
+        elif cdtype == "int4":
+            assert server.RequestHandlerClass.service.index.int4_storage
         status, data = _get(port, "/search?q=anything&k=2")
         assert status == 200 and len(data["results"]) == 2
         status, sim = _get(port, "/similar?id=1&k=2")

@@ -95,6 +95,18 @@ def main(argv=None) -> int:
     print(f"int8-storage vs exact f32: recall@{k} {recall:.4f}, "
           f"top-1 agreement {top1:.4f}")
 
+    # int4 STORAGE (--corpus-dtype int4): packed 4-bit codes are the
+    # corpus — the ~10x-capacity tier. Rounding is 18x coarser than
+    # int8 (the faiss-SQ4 trade); this line is the honest recall number
+    if index.dim % 2 == 0:
+        i4 = VectorIndex.from_vectors(index.vectors(), dtype=jnp.int4)
+        D4, I4 = i4.search(queries, k=k)
+        recall = np.mean([len(set(Ie[i]) & set(I4[i])) / k
+                          for i in range(len(sample))])
+        top1 = float(np.mean(Ie[:, 0] == I4[:, 0]))
+        print(f"int4-storage vs exact f32: recall@{k} {recall:.4f}, "
+              f"top-1 agreement {top1:.4f}")
+
     import jax
     if len(jax.devices()) > 1:
         from clipx.parallel.mips import ShardedVectorIndex
@@ -137,6 +149,13 @@ def main(argv=None) -> int:
                        for i in range(len(sample))])
     print(f"ivf-int8-storage vs exact f32: recall@{k} {r_fulls:.4f} "
           f"at nprobe=100")
+    if index.dim % 2 == 0:
+        ivf_4 = cls.from_vectors(index.vectors(), dtype=jnp.int4)
+        _, If4 = ivf_4.search(queries, k=k, nprobe=100)
+        r_full4 = np.mean([len(set(Ie[i]) & set(If4[i])) / k
+                           for i in range(len(sample))])
+        print(f"ivf-int4-storage vs exact f32: recall@{k} {r_full4:.4f} "
+              f"at nprobe=100")
 
     if args.photos:
         _preprocess_drift(args, index, sample)
