@@ -31,7 +31,9 @@ from clipx.search.engine import (_INT4_CHUNK, _MAX_Q, _SEG_W, _bucket_k,
                                  _int4_segscan, _int8_append, _int8_segscan,
                                  _is_int4, _pad_q, _padded_append,
                                  _exact_topk, _quantize_device, clamp_k,
-                                 quantize_rows, quantize_rows_int4)
+                                 corpus_rotation, quantize_rows,
+                                 quantize_rows_int4, quantize_rows_rotated,
+                                 rotate_rows)
 
 AXIS = "shard"
 
@@ -157,11 +159,14 @@ class ShardedVectorIndex:
         self._code_dim = self.dim // 2 if self.int4_storage else self.dim
         self._search_fns = {}
         self._update_fns = {}
+        # coded storage quantizes ROTATED rows; queries rotate to match
+        # (engine.corpus_rotation — recall on anisotropic embeddings)
+        self._rot = (corpus_rotation(self.dim) if self.coded_storage
+                     else None)
         if self.coded_storage:
             self._corpus = None
-            quantize = (quantize_rows_int4 if self.int4_storage
-                        else quantize_rows)
-            codes, scales = quantize(vectors)
+            codes, scales = quantize_rows_rotated(vectors, self._rot,
+                                                  self.int4_storage)
             self._place_int8(codes, scales)
             return
         n_shards = mesh.shape[AXIS]
@@ -341,6 +346,7 @@ class ShardedVectorIndex:
                      for i in range(0, queries.shape[0], _MAX_Q)]
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
+        queries = rotate_rows(queries, self._rot)  # match rotated codes
         queries, nq = _pad_q(queries)  # Q buckets: one compile per
         n_shards = self.mesh.shape[AXIS]  # power-of-two fill, not per N
         cap = (self._codes if self.coded_storage else self._corpus).shape[0]

@@ -388,6 +388,13 @@ class IVFIndex:
         # ascending cumulative sums of live-segment occupancies — feeds
         # the adversarial probe floor (_probe_floor)
         self._live_count_cumsum: Optional[np.ndarray] = None
+        # coded storage quantizes ROTATED rows and probes rotated
+        # centroids; queries rotate to match, reconstruction unrotates
+        # (engine.corpus_rotation — recall on anisotropic embeddings;
+        # cluster ASSIGNMENT is rotation-invariant, so the cached .ivf
+        # layout composes with either knob setting)
+        self._rot = (engine.corpus_rotation(dim) if self.coded_storage
+                     else None)
 
     @property
     def coded_storage(self) -> bool:
@@ -455,14 +462,17 @@ class IVFIndex:
             # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
             # segment centroids likewise reduce host-side. int4 packs
             # two codes per byte (the (S, 64, D/2) layout).
-            quantize = (engine.quantize_rows_int4 if self.int4_storage
-                        else engine.quantize_rows)
-            codes, scales = quantize(padded)
+            codes, scales = engine.quantize_rows_rotated(
+                padded, self._rot, self.int4_storage)
             self._corpus3 = None
             self._codes3 = jnp.asarray(
                 codes.reshape(segs, _SEG_W, codes.shape[1]))
             self._scales2 = jnp.asarray(scales.reshape(segs, _SEG_W))
             sums = padded.reshape(segs, _SEG_W, self.dim).sum(axis=1)
+            # centroids live in rotated space too (sum of rotated rows
+            # == rotated sum — rotation is linear), so the probe scores
+            # rotated queries against them unchanged
+            sums = engine.rotate_rows(sums, self._rot)
             self._seg_cent = jnp.asarray(
                 sums / np.maximum(counts[:, None], 1.0), jnp.float32)
         else:
@@ -571,7 +581,9 @@ class IVFIndex:
             return (np.concatenate([p[0] for p in parts]),
                     np.concatenate([p[1] for p in parts]))
         kk = min(engine._bucket_k(k), P * _SEG_W)
-        qpad, nq = engine._pad_q(queries)
+        # the probed scan sees ROTATED queries (codes + centroids are
+        # rotated); the exact tail below rotates its own internally
+        qpad, nq = engine._pad_q(engine.rotate_rows(queries, self._rot))
         d, ids = self._probe(jnp.asarray(qpad), P, kk)
         d = np.asarray(d[:nq], np.float32)
         ids = np.asarray(ids[:nq], np.int64)
@@ -605,12 +617,14 @@ class IVFIndex:
                 flat_s = self._scales2.reshape(-1)
                 c = engine.unpack_int4_host(
                     np.asarray(flat_c[pos])[None, :])
-                return c[0].astype(np.float32) * float(flat_s[pos])
+                v = c[0].astype(np.float32) * float(flat_s[pos])
+                return v @ self._rot.T if self._rot is not None else v
             if self.int8_storage:
                 flat_c = self._codes3.reshape(-1, self.dim)
                 flat_s = self._scales2.reshape(-1)
-                return (np.asarray(flat_c[pos], dtype=np.float32)
-                        * float(flat_s[pos]))
+                v = (np.asarray(flat_c[pos], dtype=np.float32)
+                     * float(flat_s[pos]))
+                return v @ self._rot.T if self._rot is not None else v
             flat = self._corpus3.reshape(-1, self.dim)
             return np.asarray(flat[pos], dtype=np.float32)
         return self._tail.reconstruct(row - self._base_n)
@@ -641,6 +655,8 @@ class IVFIndex:
                     chunk = engine.unpack_int4_host(chunk)
                 chunk = chunk.astype(np.float32)
                 chunk *= scales[p][:, None]
+                if self._rot is not None:  # back to user space
+                    chunk = chunk @ self._rot.T
                 base[i:i + len(p)] = chunk
         else:
             flat = np.asarray(self._corpus3.reshape(-1, self.dim),
@@ -778,9 +794,8 @@ class ShardedIVFIndex(IVFIndex):
         if self.coded_storage:
             # host quantize + host centroids: no f32 copy of the corpus
             # ever reaches HBM (see the single-device _install)
-            quantize = (engine.quantize_rows_int4 if self.int4_storage
-                        else engine.quantize_rows)
-            codes, scales = quantize(padded)
+            codes, scales = engine.quantize_rows_rotated(
+                padded, self._rot, self.int4_storage)
             self._corpus3 = None
             self._codes3 = jax.device_put(
                 codes.reshape(segs_pad, _SEG_W, codes.shape[1]),
@@ -788,6 +803,8 @@ class ShardedIVFIndex(IVFIndex):
             self._scales2 = jax.device_put(
                 scales.reshape(segs_pad, _SEG_W), self._spec(1))
             sums = padded.reshape(segs_pad, _SEG_W, self.dim).sum(axis=1)
+            # rotated centroids to match rotated codes + queries
+            sums = engine.rotate_rows(sums, self._rot)
             self._seg_cent = jax.device_put(
                 (sums / np.maximum(counts_host[:, None], 1.0)
                  ).astype(np.float32), self._spec(1))

@@ -480,3 +480,125 @@ def test_int4_flag_plumbs_and_search_mode_is_fixed(tmp_path):
         vecs, _args(corpus_dtype="int4", search_mode="ivf", sharded="on",
                     index=str(tmp_path / "i2.index")))
     assert idx.int4_storage and idx._corpus3 is None
+
+
+# -- coded-storage rotation (CLIPX_CORPUS_ROTATE) ------------------------------
+#
+# One fixed seed-derived orthogonal matrix rotates rows before
+# quantization and queries before the scan: inner products are
+# invariant, but row energy spreads evenly, shrinking the max|x|-keyed
+# quantization step on anisotropic (CLIP-like) embeddings. Measured in
+# the round-3 design experiment: int4 recall@50 0.63 -> 0.90, int8
+# 0.97 -> 0.99 on a power-law-spectrum corpus; a wash on isotropic.
+
+
+def _anisotropic(rng, n=4000, d=128, alpha=0.75):
+    spec = (1.0 / np.arange(1, d + 1)) ** alpha
+    x = rng.standard_normal((n, d)) * spec
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    return x.astype(np.float32)
+
+
+def test_rotation_matrix_deterministic_and_orthogonal():
+    from clipx.search.engine import _rotation_matrix
+
+    r1 = _rotation_matrix(64)
+    r2 = _rotation_matrix(64)
+    assert r1 is r2 or np.array_equal(r1, r2)
+    eye = r1 @ r1.T
+    np.testing.assert_allclose(eye, np.eye(64), atol=1e-5)
+
+
+def test_rotation_knob_off_disables(monkeypatch):
+    from clipx.search import engine
+
+    monkeypatch.setenv("CLIPX_CORPUS_ROTATE", "off")
+    assert engine.corpus_rotation(64) is None
+    rng = np.random.default_rng(0)
+    vecs = _anisotropic(rng, n=512)
+    idx = VectorIndex.from_vectors(vecs, dtype=jnp.int8)
+    assert idx._rot is None
+    # codes equal the legacy (unrotated) quantizer output
+    from clipx.search.engine import quantize_rows
+
+    codes, scales = quantize_rows(vecs)
+    assert np.array_equal(np.asarray(idx._codes[:512]), codes)
+
+
+@pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
+def test_rotation_improves_anisotropic_recall(monkeypatch, dtype):
+    """The design experiment as a regression gate: on a power-law
+    corpus the rotated index must beat the unrotated one by a clear
+    margin for int4 (where the step is coarsest) and never lose for
+    int8."""
+    rng = np.random.default_rng(7)
+    vecs = _anisotropic(rng)
+    queries = vecs[:32] + 0.05 * rng.standard_normal(
+        (32, vecs.shape[1])).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+    k = 20
+    exact = np.argsort(-(queries @ vecs.T), axis=1)[:, :k]
+
+    def recall(on):
+        monkeypatch.setenv("CLIPX_CORPUS_ROTATE", "on" if on else "off")
+        idx = VectorIndex.from_vectors(vecs, dtype=dtype)
+        _, ids = idx.search(queries, k=k)
+        return np.mean([len(set(exact[i]) & set(ids[i])) / k
+                        for i in range(len(queries))])
+
+    off, on = recall(False), recall(True)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int4):
+        assert on >= off + 0.05, (off, on)
+    else:
+        assert on >= off - 0.01, (off, on)
+
+
+def test_rotation_reconstruct_returns_user_space():
+    """reconstruct()/vectors() must unrotate: callers (serve /similar,
+    find-dupes, write_index) see rows in the original embedding space
+    regardless of the internal rotation."""
+    rng = np.random.default_rng(3)
+    vecs = _anisotropic(rng, n=256)
+    for dtype, tol in ((jnp.int8, 5e-3), (jnp.int4, 8e-2)):
+        idx = VectorIndex.from_vectors(vecs, dtype=dtype)
+        assert idx._rot is not None
+        rec = idx.reconstruct(5)
+        assert np.linalg.norm(rec - vecs[5]) < tol * 10
+        cos = float(rec @ vecs[5] / max(np.linalg.norm(rec), 1e-9))
+        assert cos > (0.99 if jnp.dtype(dtype) == jnp.dtype(jnp.int8)
+                      else 0.97), cos
+        allv = idx.vectors()
+        assert allv.shape == vecs.shape
+        cos_all = (allv * vecs).sum(axis=1) / np.maximum(
+            np.linalg.norm(allv, axis=1), 1e-9)
+        assert cos_all.min() > (0.999 if jnp.dtype(dtype)
+                                == jnp.dtype(jnp.int8) else 0.95)
+
+
+def test_rotation_consistent_across_classes():
+    """Flat, sharded, IVF and sharded-IVF must agree under rotation on
+    a well-separated corpus (the same cross-class contract the
+    unrotated tests pin)."""
+    from clipx.parallel import mips
+    from clipx.parallel.mesh import make_mesh
+    from clipx.search.ivf import IVFIndex, ShardedIVFIndex
+
+    rng = np.random.default_rng(11)
+    vecs = _anisotropic(rng, n=900)
+    queries = vecs[:4]
+    flat = VectorIndex.from_vectors(vecs, dtype=jnp.int4)
+    df, idf = flat.search(queries, k=5)
+    assert (idf[np.arange(4), 0] == np.arange(4)).all()
+
+    mesh = make_mesh({"shard": len(jax.devices())})
+    sharded = mips.ShardedVectorIndex(vecs, mesh, dtype=jnp.int4)
+    ds, ids = sharded.search(queries, k=5)
+    assert np.array_equal(ids, idf)
+
+    ivf = IVFIndex.from_vectors(vecs, dtype=jnp.int4)
+    _, idi = ivf.search(queries, k=5, nprobe=100)
+    assert np.array_equal(idi, idf)
+
+    sivf = ShardedIVFIndex.from_vectors(vecs, mesh=mesh, dtype=jnp.int4)
+    _, idsv = sivf.search(queries, k=5, nprobe=100)
+    assert (idsv[np.arange(4), 0] == np.arange(4)).all()

@@ -459,7 +459,10 @@ def test_int8_storage_recall_at_default_nprobe(corpus, queries):
 
 def test_int8_storage_tail_add_reconstruct_vectors(corpus):
     """add() goes to an int8-storage exact tail; reconstruct/vectors
-    dequantize (corpus rounding ~max|x|/254 per element)."""
+    dequantize (corpus rounding ~max|x|/254 per element in rotated
+    space; the corpus rotation redistributes that error across
+    coordinates, so the per-element bound carries a small slack while
+    the L2 bound stays the axis-aligned sqrt(D)/2 * step)."""
     import jax.numpy as jnp
 
     idx = IVFIndex.from_vectors(corpus, dtype=jnp.int8)
@@ -474,12 +477,17 @@ def test_int8_storage_tail_add_reconstruct_vectors(corpus):
     D, I = idx.search(extra[1][None], 1)
     assert I[0, 0] == n0 + 1
     step = np.abs(corpus).max() / 127.0
-    np.testing.assert_allclose(idx.reconstruct(7), corpus[7], atol=step)
-    np.testing.assert_allclose(idx.reconstruct(n0 + 1), extra[1], atol=step)
+    np.testing.assert_allclose(idx.reconstruct(7), corpus[7],
+                               atol=2 * step)
+    np.testing.assert_allclose(idx.reconstruct(n0 + 1), extra[1],
+                               atol=2 * step)
     v = idx.vectors()
     assert v.shape == (n0 + 4, corpus.shape[1])
-    np.testing.assert_allclose(v[:n0], corpus, atol=step)
-    np.testing.assert_allclose(v[n0:], extra, atol=step)
+    np.testing.assert_allclose(v[:n0], corpus, atol=2 * step)
+    np.testing.assert_allclose(v[n0:], extra, atol=2 * step)
+    # rotation-invariant L2 bound: per-row error <= sqrt(D)/2 * step
+    l2 = np.linalg.norm(v[:n0] - corpus, axis=1)
+    assert l2.max() <= np.sqrt(corpus.shape[1]) / 2 * step * 1.05
 
 
 def test_sharded_int8_storage_full_probe_matches_oracle():
