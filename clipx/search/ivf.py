@@ -208,7 +208,7 @@ def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
 def _int8_probe_body(codes3: jax.Array, scales2: jax.Array,
                      valid2: jax.Array, queries: jax.Array,
                      seg_idx: jax.Array, rescore_rows, s: int, k: int,
-                     seg_offset=0, scan_rows=None
+                     seg_offset=0, scan_raw=None
                      ) -> Tuple[jax.Array, jax.Array]:
     """Shared body of every int8 probed kernel (single-device and
     sharded): quantize the queries, int8-scan the probed segments,
@@ -216,18 +216,20 @@ def _int8_probe_body(codes3: jax.Array, scales2: jax.Array,
     in exact f32 (rows supplied by ``rescore_rows(chosen)`` — stored
     f32/bf16 rows in quant mode, dequantized codes in int8-storage
     mode), final top-k. ``seg_offset`` shifts segment ids to global
-    (sharded callers pass ``axis_index * S_local``). ``scan_rows``
-    overrides the probe-row gather (int4 storage gathers PACKED
-    segments — half the gather bytes — and unpacks them to int8 here)."""
+    (sharded callers pass ``axis_index * S_local``). ``scan_raw(si,
+    q_codes)`` overrides the probe-scan score (int4 storage gathers
+    PACKED segments — half the gather bytes — and scores the nibble
+    views with two einsums, never materializing unpacked rows)."""
     nq = queries.shape[0]
     q_scale = jnp.maximum(jnp.abs(queries).max(axis=1, keepdims=True),
                           1e-12) / 127.0
     q_codes = jnp.clip(jnp.rint(queries / q_scale), -127, 127
                        ).astype(jnp.int8)
-    crows = (scan_rows(seg_idx) if scan_rows is not None
-             else codes3[seg_idx])                            # (Q,P,W,D) i8
-    raw = jnp.einsum("qd,qpwd->qpw", q_codes, crows,
-                     preferred_element_type=jnp.int32)
+    if scan_raw is not None:
+        raw = scan_raw(seg_idx, q_codes)                      # (Q,P,W) i32
+    else:
+        raw = jnp.einsum("qd,qpwd->qpw", q_codes, codes3[seg_idx],
+                         preferred_element_type=jnp.int32)
     approx = raw.astype(jnp.float32) * scales2[seg_idx]
     approx = jnp.where(valid2[seg_idx], approx, -jnp.inf)
     segmax = approx.max(axis=2)                               # (Q, P)
@@ -262,6 +264,21 @@ def _dequant_rows_int4(packed3: jax.Array, scales2: jax.Array):
         * scales2[chosen][..., None])
 
 
+def _scan_raw_int4(packed3: jax.Array):
+    """scan_raw callback for int4 STORAGE: gather PACKED segments and
+    score the two nibble views (SPLIT layout, engine.pack_int4) with
+    two einsums — half the int8 tier's gather bytes and no unpacked
+    (Q, P, W, D) transient."""
+    def scan(seg_idx, q_codes):
+        half = packed3.shape[-1]
+        lo, hi = engine._nibbles(packed3[seg_idx])            # (Q,P,W,D/2)
+        return (jnp.einsum("qd,qpwd->qpw", q_codes[:, :half], lo,
+                           preferred_element_type=jnp.int32)
+                + jnp.einsum("qd,qpwd->qpw", q_codes[:, half:], hi,
+                             preferred_element_type=jnp.int32))
+    return scan
+
+
 @functools.partial(jax.jit, static_argnames=("P", "k"))
 def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
                           seg_cent: jax.Array, valid2: jax.Array,
@@ -277,8 +294,7 @@ def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
     return _int8_probe_body(packed3, scales2, valid2, queries, seg_idx,
                             _dequant_rows_int4(packed3, scales2),
                             min(k, P), k,
-                            scan_rows=lambda si: engine._unpack_int4(
-                                packed3[si]))
+                            scan_raw=_scan_raw_int4(packed3))
 
 
 @functools.partial(jax.jit, static_argnames=("P", "k"))
@@ -924,7 +940,7 @@ class ShardedIVFIndex(IVFIndex):
                 packed3, scales2, v2, q, seg_idx,
                 _dequant_rows_int4(packed3, scales2),
                 min(kk, P_local), kk_local, seg_offset=base,
-                scan_rows=lambda si: engine._unpack_int4(packed3[si]))
+                scan_raw=_scan_raw_int4(packed3))
             return _merge_across_shards(d, gi, kk)
 
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
