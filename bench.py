@@ -270,6 +270,72 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
             "(dequantized rescore)")
         return {"p50_ms": p50, "p50_ms_f32": None}  # no exact scan ran
 
+    if dtype == "pq":
+        # pq-STORAGE capacity probe (--corpus-dtype pq): packed 4-bit
+        # product-quantization codes are the corpus (2 bits/dim default,
+        # 1 bit/dim at CLIPX_PQ_DSUB=4). Random codes + a random
+        # codebook generated on device — recall is eval_quality's job;
+        # this measures the one-hot LUT-matmul scan at capacity scale
+        # (timing is code-distribution-independent: the scan contracts
+        # a dense one-hot operand whatever the values).
+        from clipx.search.pq import (_PQ_CHUNK, PQ_K, _search_kernel_pq,
+                                     _unpack_codes4, pq_dsub, subspaces)
+
+        dsub = pq_dsub()
+        m = subspaces(dim, dsub)
+        if n_pad <= _PQ_CHUNK:
+            gch = n_pad  # single generation + scan chunk
+        else:
+            gch = min(n_pad, max(_PQ_CHUNK,
+                                 int(os.environ.get("CLIPX_BENCH_PQ_CHUNK",
+                                                    1 << 22))))
+            gch = -(-gch // _PQ_CHUNK) * _PQ_CHUNK  # scan-chunk multiple
+            n_pad = -(-n_pad // gch) * gch
+
+        @jax.jit
+        def make_chunkp(key):
+            # uniform random bytes = two uniform nibbles per byte
+            return jax.random.randint(key, (gch, m // 2), -128, 128,
+                                      jnp.int32).astype(jnp.int8)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def placep(c, uc, start):
+            return jax.lax.dynamic_update_slice(c, uc, (start, 0))
+
+        codes = jnp.zeros((n_pad, m // 2), jnp.int8)
+        for i in range(n_pad // gch):
+            codes = placep(codes, make_chunkp(jax.random.PRNGKey(400 + i)),
+                           jnp.int32(i * gch))
+        cent = (jax.random.normal(jax.random.PRNGKey(7), (m, PQ_K, dsub),
+                                  jnp.float32)
+                / np.sqrt(dim).astype(np.float32))  # ~unit-norm rows
+
+        @jax.jit
+        def decode_row(row_codes):
+            # queries are decoded stored rows, f32 like production
+            c = _unpack_codes4(row_codes)[0].astype(jnp.int32)  # (M,)
+            rec = cent[jnp.arange(m), c]                        # (M, dsub)
+            return rec.reshape(1, dim)
+
+        queries = [decode_row(codes[i: i + 1]) for i in range(32)]
+
+        def timedp(fn):
+            np.asarray(fn(queries[0])[0])  # compile
+            state = {"i": 0}
+
+            def one():
+                state["i"] += 1
+                return fn(queries[state["i"] % 32])[0]
+
+            return _slope_time(one, np.asarray, max(trials // 8, 2),
+                               trials)
+
+        p50 = timedp(lambda q: _search_kernel_pq(
+            codes, cent, valid, q, kk)) * 1e3
+        log(f"  search over {n_vectors:,}: {p50:.3f} ms pq-storage "
+            f"(dsub={dsub}, {m // 2} B/row, f32-LUT rescore)")
+        return {"p50_ms": p50, "p50_ms_f32": None}  # no exact scan ran
+
     if dtype == "int8":
         # int8-STORAGE capacity probe (--corpus-dtype int8): codes are
         # the corpus. Generate + quantize in chunks with donating
@@ -645,11 +711,12 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--corpus", type=int, default=1_000_000)
     ap.add_argument("--corpus-dtype",
-                    choices=("f32", "bf16", "int8", "int4"),
+                    choices=("f32", "bf16", "int8", "int4", "pq"),
                     default="f32",
                     help="storage dtype of the benchmark search corpora "
                          "(the --corpus-dtype capacity knob); bf16/int8/"
-                         "int4 metrics are labeled distinctly in the JSON")
+                         "int4/pq metrics are labeled distinctly in the "
+                         "JSON")
     ap.add_argument("--dim", type=int, default=512)
     ap.add_argument("--trials", type=int, default=50)
     ap.add_argument("--skip-search", action="store_true")
@@ -687,7 +754,10 @@ def main() -> int:
               else bench_search(args.corpus, args.dim, 50, args.trials,
                                 dtype=args.corpus_dtype,
                                 skip_quant=args.skip_quant))
+    # pq does not compose with IVF (clipx/cli/common.py) — skip rather
+    # than silently timing an f32 IVF under a pq label
     ivf = ({} if args.skip_search or args.skip_ivf
+           or args.corpus_dtype == "pq"
            else bench_ivf(args.corpus, args.dim, 50, args.trials,
                           probes=tuple(int(p) for p in
                                        args.ivf_probes.split(",")),

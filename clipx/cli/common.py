@@ -49,7 +49,7 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--index", default=os.environ.get("CLIPX_INDEX",
                                                           DEFAULT_INDEX_PATH))
     parser.add_argument("--corpus-dtype",
-                        choices=("f32", "bf16", "int8", "int4"),
+                        choices=("f32", "bf16", "int8", "int4", "pq"),
                         default=os.environ.get("CLIPX_CORPUS_DTYPE", "f32"),
                         help="device storage dtype of the search corpus. "
                              "bf16 halves HBM (roughly doubles the "
@@ -70,8 +70,13 @@ def add_model_flags(parser: argparse.ArgumentParser) -> None:
                              "two 4-bit codes per byte (0.5 B/dim, "
                              "~10x the f32 capacity) — the faiss-SQ4 "
                              "recall trade (score error ~1e-2, gated "
-                             "in tools/eval_quality.py). The on-disk "
-                             "sidecar stays f32 either way")
+                             "in tools/eval_quality.py). pq is 4-bit "
+                             "product quantization at 1 bit/dim (64 "
+                             "B/row for CLIP — ~32x f32, the faiss "
+                             "IndexPQ/fast-scan tier; deepest capacity "
+                             "rung, largest recall trade — see "
+                             "clipx/search/pq.py). The on-disk sidecar "
+                             "stays f32 either way")
     parser.add_argument("--search-mode",
                         choices=("exact", "quant", "auto", "ivf"),
                         default=os.environ.get("CLIPX_SEARCH_MODE", "auto"),
@@ -114,6 +119,12 @@ def build_index_from_vectors(vectors, args):
     import jax
 
     if search_mode == "ivf":
+        if dtype == "pq":
+            raise SystemExit(
+                "--search-mode ivf does not compose with --corpus-dtype "
+                "pq yet — the pq tier's chunked full scan already covers "
+                "its capacity range (clipx/search/pq.py); use int8/int4 "
+                "for probed search")
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
         cls = IVFIndex
@@ -146,10 +157,10 @@ def corpus_dtype(args):
     name = getattr(args, "corpus_dtype",
                    os.environ.get("CLIPX_CORPUS_DTYPE", "f32"))
     table = {"f32": jnp.float32, "bf16": jnp.bfloat16, "int8": jnp.int8,
-             "int4": jnp.int4}
+             "int4": jnp.int4, "pq": "pq"}
     if name not in table:
         raise SystemExit(f"unknown corpus dtype {name!r} "
-                         f"(f32, bf16, int8 or int4)")
+                         f"(f32, bf16, int8, int4 or pq)")
     return table[name]
 
 
@@ -163,7 +174,8 @@ def add_sharded_flag(parser: argparse.ArgumentParser, what: str) -> None:
 def apply_search_mode(index, mode: str):
     """Configure an index's scan mode per the --search-mode flag."""
     if (getattr(index, "int8_storage", False)
-            or getattr(index, "int4_storage", False)):
+            or getattr(index, "int4_storage", False)
+            or getattr(index, "pq_storage", False)):
         return index  # codes are the corpus: the scan is always quantized
     if hasattr(index, "quantized"):
         if mode == "ivf":

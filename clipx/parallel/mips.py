@@ -34,20 +34,23 @@ from clipx.search.engine import (_INT4_CHUNK, _MAX_Q, _SEG_W, _bucket_k,
                                  corpus_rotation, quantize_rows,
                                  quantize_rows_int4, quantize_rows_rotated,
                                  rotate_rows)
+from clipx.search.pq import _PQ_CHUNK, _pq_append, _pq_topk, is_pq, subspaces
 
 AXIS = "shard"
 
 
-def _shard_rows(n: int, n_shards: int, int4: bool = False) -> int:
+def _shard_rows(n: int, n_shards: int, int4: bool = False,
+                pq: bool = False) -> int:
     """Rows per shard for n total rows: equal static shards, lane-aligned
-    to 128. int4 shards that exceed one scan chunk must also be a chunk
-    MULTIPLE (engine._int4_segscan maps the unpack over fixed-size
-    chunks) — a shard row count like 2.25 chunks would otherwise be
-    unsliceable."""
+    to 128. int4/pq shards that exceed one scan chunk must also be a
+    chunk MULTIPLE (their kernels map the scan over fixed-size chunks:
+    engine._int4_segscan / pq._pq_topk) — a shard row count like 2.25
+    chunks would otherwise be unsliceable."""
     rows = -(-max(n, 1) // n_shards)
     rows = max(128, -(-rows // 128) * 128)
-    if int4 and rows > _INT4_CHUNK:
-        rows = -(-rows // _INT4_CHUNK) * _INT4_CHUNK
+    chunk = _INT4_CHUNK if int4 else _PQ_CHUNK if pq else None
+    if chunk and rows > chunk:
+        rows = -(-rows // chunk) * chunk
     return rows
 
 
@@ -130,6 +133,20 @@ def _local_topk_kernel_int4_pure(codes_local: jax.Array,
     return _merge_across_shards(d, gi, merge_k)
 
 
+def _local_topk_kernel_pq(codes_local: jax.Array, centroids: jax.Array,
+                          queries: jax.Array, valid_total: jax.Array,
+                          k: int, merge_k: int
+                          ) -> Tuple[jax.Array, jax.Array]:
+    """pq-STORAGE shard kernel (--corpus-dtype pq): packed 4-bit PQ
+    codes are the corpus; the one-hot LUT-matmul scan + f32-LUT rescore
+    of pq._pq_topk runs per shard against the replicated codebooks,
+    with this shard's global row base."""
+    base = jax.lax.axis_index(AXIS) * codes_local.shape[0]
+    d, gi = _pq_topk(codes_local, centroids, valid_total, queries, k,
+                     base=base)
+    return _merge_across_shards(d, gi, merge_k)
+
+
 class ShardedVectorIndex:
     """Flat exact MIPS with the corpus row-sharded over a 1D mesh axis."""
 
@@ -141,28 +158,38 @@ class ShardedVectorIndex:
             raise ValueError(f"mesh must have a {AXIS!r} axis")
         self.mesh = mesh
         self.dtype = dtype
-        # coded STORAGE (--corpus-dtype int8/int4): codes are the
+        # coded STORAGE (--corpus-dtype int8/int4/pq): codes are the
         # corpus, scan always quantized, rescore dequantizes (engine
         # notes)
-        self.int4_storage = _is_int4(dtype)
-        self.int8_storage = (not self.int4_storage
+        self.pq_storage = is_pq(dtype)
+        self.int4_storage = not self.pq_storage and _is_int4(dtype)
+        self.int8_storage = (not (self.pq_storage or self.int4_storage)
                              and jnp.dtype(dtype) == jnp.int8)
-        self.quantized = (True if (self.int8_storage or self.int4_storage)
-                          else quantized)
+        self.quantized = True if self.coded_storage else quantized
         self._codes = None
         self._scales = None
+        self._pq = None  # PQCodebook, trained on the constructor rows
         vectors = np.ascontiguousarray(vectors, dtype=np.float32)
         self.ntotal, self.dim = vectors.shape
         if self.int4_storage and self.dim % 2:
             raise ValueError(f"int4 storage needs an even dim, "
                              f"got {self.dim}")
-        self._code_dim = self.dim // 2 if self.int4_storage else self.dim
+        if self.pq_storage:
+            self._code_dim = subspaces(self.dim) // 2  # packed bytes
+        else:
+            self._code_dim = (self.dim // 2 if self.int4_storage
+                              else self.dim)
         self._search_fns = {}
         self._update_fns = {}
         # coded storage quantizes ROTATED rows; queries rotate to match
         # (engine.corpus_rotation — recall on anisotropic embeddings)
         self._rot = (corpus_rotation(self.dim) if self.coded_storage
                      else None)
+        if self.pq_storage:
+            self._corpus = None
+            if self.ntotal:
+                _pq_append(self, vectors)
+            return
         if self.coded_storage:
             self._corpus = None
             codes, scales = quantize_rows_rotated(vectors, self._rot,
@@ -179,8 +206,8 @@ class ShardedVectorIndex:
 
     @property
     def coded_storage(self) -> bool:
-        """True when the quantized codes ARE the corpus (int8/int4)."""
-        return self.int8_storage or self.int4_storage
+        """True when the quantized codes ARE the corpus (int8/int4/pq)."""
+        return self.int8_storage or self.int4_storage or self.pq_storage
 
     def _sharding(self):
         return NamedSharding(self.mesh, P(AXIS, None))
@@ -203,6 +230,9 @@ class ShardedVectorIndex:
                              f"got {vectors.shape}")
         n_new = vectors.shape[0]
         if n_new == 0:
+            return
+        if self.pq_storage:
+            _pq_append(self, vectors)
             return
         if self.coded_storage:
             _int8_append(self, vectors)
@@ -245,6 +275,22 @@ class ShardedVectorIndex:
                                self._scales_sharding()))
         return self._update_fns[key]
 
+    def _place_pq(self, codes: np.ndarray) -> None:
+        n_shards = self.mesh.shape[AXIS]
+        rows = _shard_rows(codes.shape[0], n_shards, pq=True)
+        pc = np.zeros((rows * n_shards, self._code_dim), np.int8)
+        pc[: codes.shape[0]] = codes
+        self._codes = jax.device_put(pc, self._sharding())
+
+    def _update_pq_fn(self, pad_len: int):
+        key = ("pq", pad_len)
+        if key not in self._update_fns:
+            self._update_fns[key] = jax.jit(
+                lambda c, uc, start: jax.lax.dynamic_update_slice(
+                    c, uc, (start, 0)),
+                donate_argnums=(0,), out_shardings=self._sharding())
+        return self._update_fns[key]
+
     def _grow(self, need: int) -> None:
         """Re-pad to a geometric row bucket (like the single-device
         index) entirely on device: the old padded array is copied into
@@ -252,9 +298,23 @@ class ShardedVectorIndex:
         ids while GSPMD reshuffles rows across shards over ICI — no
         host round-trip of the corpus."""
         n_shards = self.mesh.shape[AXIS]
-        rows = _shard_rows(_bucket_rows(need), n_shards, self.int4_storage)
+        rows = _shard_rows(_bucket_rows(need), n_shards, self.int4_storage,
+                           self.pq_storage)
         new_cap = rows * n_shards
         dim, dtype, sharding = self.dim, self.dtype, self._sharding()
+
+        if self.pq_storage:
+            cdim = self._code_dim
+
+            @functools.partial(jax.jit, out_shardings=sharding)
+            def regrowp(c):
+                nc = jnp.zeros((new_cap, cdim), jnp.int8)
+                return jax.lax.dynamic_update_slice(nc, c, (0, 0))
+
+            self._codes = regrowp(self._codes)
+            self._search_fns = {}
+            self._update_fns = {}
+            return
 
         if self.coded_storage:
             cdim = self._code_dim
@@ -288,12 +348,17 @@ class ShardedVectorIndex:
 
     def _compiled(self, k: int, merge_k: int):
         key = (k, merge_k, self.quantized, self.int8_storage,
-               self.int4_storage)
+               self.int4_storage, self.pq_storage)
         if key not in self._search_fns:
             # outputs are replicated by construction (every shard computes
             # the same merge after the all_gather); the static vma checker
             # can't see that through axis_index, hence check_vma=False
-            if self.coded_storage:
+            if self.pq_storage:
+                fn = functools.partial(_local_topk_kernel_pq, k=k,
+                                       merge_k=merge_k)
+                in_specs = (P(AXIS, None), P(None, None, None),
+                            P(None, None), P())
+            elif self.coded_storage:
                 fn = functools.partial(
                     (_local_topk_kernel_int4_pure if self.int4_storage
                      else _local_topk_kernel_int8_pure),
@@ -356,7 +421,11 @@ class ShardedVectorIndex:
         # k > rows_per_shard every shard still contributes its full top
         # list, so all valid rows are returned (single-device parity)
         merge_k = min(_bucket_k(k), n_shards * kk)
-        if self.coded_storage:
+        if self.pq_storage:
+            d, i = self._compiled(kk, merge_k)(
+                self._codes, self._pq.device(),
+                jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))
+        elif self.coded_storage:
             d, i = self._compiled(kk, merge_k)(
                 self._codes, self._scales,
                 jnp.asarray(queries, jnp.float32), jnp.int32(self.ntotal))

@@ -681,25 +681,31 @@ class VectorIndex:
     """
 
     def __init__(self, dim: int, dtype=jnp.float32, quantized: bool = False):
+        from clipx.search import pq as pq_lib
+
         self.dim = dim
         self.dtype = dtype
-        # coded STORAGE (--corpus-dtype int8/int4): the codes are the
-        # corpus (1 / 0.5 B/dim, no full-precision rows on device); the
-        # scan is always quantized and the rescore dequantizes
-        # candidates in f32
-        self.int4_storage = _is_int4(dtype)
-        self.int8_storage = (not self.int4_storage
+        # coded STORAGE (--corpus-dtype int8/int4/pq): the codes are the
+        # corpus (1 / 0.5 / 0.25-0.125 B/dim, no full-precision rows on
+        # device); the scan is always quantized and the rescore
+        # dequantizes candidates in f32
+        self.pq_storage = pq_lib.is_pq(dtype)
+        self.int4_storage = not self.pq_storage and _is_int4(dtype)
+        self.int8_storage = (not (self.pq_storage or self.int4_storage)
                              and jnp.dtype(dtype) == jnp.int8)
         if self.int4_storage and dim % 2:
             raise ValueError(f"int4 storage needs an even dim, got {dim}")
-        self._code_dim = dim // 2 if self.int4_storage else dim
-        self.quantized = (True if (self.int8_storage or self.int4_storage)
-                          else quantized)
+        if self.pq_storage:
+            self._code_dim = pq_lib.subspaces(dim) // 2  # packed bytes
+        else:
+            self._code_dim = dim // 2 if self.int4_storage else dim
+        self.quantized = True if self.coded_storage else quantized
         self.ntotal = 0
         self.nprobe = 32  # compatibility no-op (reference:query-index.py:30)
         self._corpus: Optional[jax.Array] = None  # (N_pad, dim) on device
-        self._codes: Optional[jax.Array] = None   # int8/packed-int4 codes
+        self._codes: Optional[jax.Array] = None   # int8/int4/pq codes
         self._scales: Optional[jax.Array] = None
+        self._pq = None  # PQCodebook, trained on the first add
         # coded storage quantizes ROTATED rows (recall on anisotropic
         # embeddings — see corpus_rotation); queries rotate to match,
         # reconstruction unrotates, so the user-facing contract is
@@ -709,8 +715,8 @@ class VectorIndex:
 
     @property
     def coded_storage(self) -> bool:
-        """True when the quantized codes ARE the corpus (int8/int4)."""
-        return self.int8_storage or self.int4_storage
+        """True when the quantized codes ARE the corpus (int8/int4/pq)."""
+        return self.int8_storage or self.int4_storage or self.pq_storage
 
     # -- construction -------------------------------------------------------
     @classmethod
@@ -739,6 +745,11 @@ class VectorIndex:
                              f"got {vectors.shape}")
         n_new = vectors.shape[0]
         if n_new == 0:
+            return
+        if self.pq_storage:
+            from clipx.search.pq import _pq_append
+
+            _pq_append(self, vectors)
             return
         if self.coded_storage:
             _int8_append(self, vectors)
@@ -781,9 +792,36 @@ class VectorIndex:
                 donate_argnums=(0, 1))
         return self._update_fns[key]
 
+    def _place_pq(self, codes: np.ndarray) -> None:
+        bucket = _bucket_rows(codes.shape[0])
+        pc = np.zeros((bucket, self._code_dim), np.int8)
+        pc[: codes.shape[0]] = codes
+        self._codes = jax.device_put(pc)
+
+    def _update_pq_fn(self, pad_len: int):
+        key = ("pq", pad_len)
+        if key not in self._update_fns:
+            self._update_fns[key] = jax.jit(
+                lambda c, uc, start: jax.lax.dynamic_update_slice(
+                    c, uc, (start, 0)),
+                donate_argnums=(0,))
+        return self._update_fns[key]
+
     def _grow(self, need: int) -> None:
         dim, dtype = self.dim, self.dtype
         new_cap = _bucket_rows(need)
+
+        if self.pq_storage:
+            cdim = self._code_dim
+
+            @jax.jit
+            def regrowp(c):
+                nc = jnp.zeros((new_cap, cdim), jnp.int8)
+                return jax.lax.dynamic_update_slice(nc, c, (0, 0))
+
+            self._codes = regrowp(self._codes)
+            self._update_fns = {}
+            return
 
         if self.coded_storage:
             cdim = self._code_dim
@@ -834,7 +872,13 @@ class VectorIndex:
         cap_rows = (self._codes if self.coded_storage
                     else self._corpus).shape[0]
         kk = min(_bucket_k(k), cap_rows)
-        if self.int4_storage:
+        if self.pq_storage:
+            from clipx.search.pq import _search_kernel_pq
+
+            scores, ids = _search_kernel_pq(
+                self._codes, self._pq.device(), jnp.int32(self.ntotal),
+                jnp.asarray(queries), kk)
+        elif self.int4_storage:
             scores, ids = _search_kernel_int4_pure(
                 self._codes, self._scales, jnp.int32(self.ntotal),
                 jnp.asarray(queries), kk)
@@ -880,6 +924,9 @@ class VectorIndex:
     def reconstruct(self, row: int) -> np.ndarray:
         if not (0 <= row < self.ntotal):
             raise IndexError(row)
+        if self.pq_storage:
+            v = self._pq.decode(np.asarray(self._codes[row])[None, :])[0]
+            return v @ self._rot.T if self._rot is not None else v
         if self.int4_storage:
             c = unpack_int4_host(np.asarray(self._codes[row])[None, :])
             v = c[0].astype(np.float32) * float(self._scales[row])
@@ -895,10 +942,13 @@ class VectorIndex:
             if self._codes is None:
                 return np.zeros((0, self.dim), dtype=np.float32)
             c = np.asarray(self._codes[: self.ntotal])
-            if self.int4_storage:
-                c = unpack_int4_host(c)
-            deq = (c.astype(np.float32)
-                   * np.asarray(self._scales[: self.ntotal])[:, None])
+            if self.pq_storage:
+                deq = self._pq.decode(c)
+            else:
+                if self.int4_storage:
+                    c = unpack_int4_host(c)
+                deq = (c.astype(np.float32)
+                       * np.asarray(self._scales[: self.ntotal])[:, None])
             # unrotate so callers see user-space rows (sidecar order)
             return rotate_rows(deq, None if self._rot is None
                                else self._rot.T)

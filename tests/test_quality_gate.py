@@ -96,6 +96,16 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
     m = _parse(r"ivf-int4-storage vs exact f32: recall@50 ([0-9.]+) "
                r"at nprobe=100", out)
     assert float(m.group(1)) >= 0.80
+    # pq STORAGE (4-bit product quantization, deepest capacity rung at
+    # 2 bits/dim): a random isotropic corpus is PQ's true worst case —
+    # no cluster structure for the codebooks to exploit — measured
+    # ~0.57 recall@50 here (real/clustered corpora substantially
+    # higher; see clipx/search/pq.py). Top-1 self-retrieval must stay
+    # exact: the ~0.8 decoded self score clears the ~0.2 field
+    m = _parse(r"pq-storage \(dsub=2\) vs exact f32: recall@50 "
+               r"([0-9.]+), top-1 agreement ([0-9.]+)", out)
+    assert float(m.group(1)) >= 0.45
+    assert float(m.group(2)) == 1.0
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

@@ -107,6 +107,19 @@ def main(argv=None) -> int:
         print(f"int4-storage vs exact f32: recall@{k} {recall:.4f}, "
               f"top-1 agreement {top1:.4f}")
 
+    # pq STORAGE (--corpus-dtype pq): 4-bit product quantization, the
+    # deepest capacity rung (2 bits/dim default, 1 bit/dim at
+    # CLIPX_PQ_DSUB=4) — the largest recall trade on the ladder, so
+    # this line is the one to read before choosing the tier
+    if index.dim % 4 == 0:
+        ipq = VectorIndex.from_vectors(index.vectors(), dtype="pq")
+        Dp, Ip = ipq.search(queries, k=k)
+        recall = np.mean([len(set(Ie[i]) & set(Ip[i])) / k
+                          for i in range(len(sample))])
+        top1 = float(np.mean(Ie[:, 0] == Ip[:, 0]))
+        print(f"pq-storage (dsub={ipq._pq.dsub}) vs exact f32: "
+              f"recall@{k} {recall:.4f}, top-1 agreement {top1:.4f}")
+
     import jax
     if len(jax.devices()) > 1:
         from clipx.parallel.mips import ShardedVectorIndex
