@@ -119,12 +119,6 @@ def build_index_from_vectors(vectors, args):
     import jax
 
     if search_mode == "ivf":
-        if dtype == "pq":
-            raise SystemExit(
-                "--search-mode ivf does not compose with --corpus-dtype "
-                "pq yet — the pq tier's chunked full scan already covers "
-                "its capacity range (clipx/search/pq.py); use int8/int4 "
-                "for probed search")
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
         cls = IVFIndex

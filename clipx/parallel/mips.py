@@ -48,6 +48,11 @@ def _shard_rows(n: int, n_shards: int, int4: bool = False,
     chunks would otherwise be unsliceable."""
     rows = -(-max(n, 1) // n_shards)
     rows = max(128, -(-rows // 128) * 128)
+    if pq and rows > 4096:
+        # align to the Pallas scan tile (clipx/ops/pq_scan._TILE) so
+        # per-shard capacities keep the kernel path; 65536-row chunks
+        # below are a multiple, so the rules compose
+        rows = -(-rows // 4096) * 4096
     chunk = _INT4_CHUNK if int4 else _PQ_CHUNK if pq else None
     if chunk and rows > chunk:
         rows = -(-rows // chunk) * chunk

@@ -31,6 +31,9 @@ TPU-native design — no ragged cell lists, no data-dependent shapes:
   engine's quant mode. With ``--corpus-dtype int8`` the codes ARE the
   corpus (1 B/dim, ~5x f32 capacity) and the rescore dequantizes
   candidates in f32 — probed search over 20M+ rows on one chip.
+  ``int4`` gathers PACKED segments; ``pq`` composes product-quantized
+  codes with the probe (faiss IndexIVFPQ semantics — the one-hot x
+  LUT matmul scan of clipx.search.pq applied to the probed fraction).
 - **Exact tail for adds.** Appended rows (serve's incremental reload)
   go to a small flat exact index merged into every search; k-means is
   not retrained per add.
@@ -47,6 +50,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from clipx.search import engine
+from clipx.search import pq as pq_lib
 from clipx.search.engine import _SEG_W, clamp_k
 
 # Assignment matmul row-chunk: bounds the (chunk, C) score buffer.
@@ -61,7 +65,7 @@ _GATHER_BUDGET = 1 << 30
 
 
 def _qcap(P: int, dim: int, quantized: bool, k: int,
-          int8_storage: bool = False) -> int:
+          int8_storage: bool = False, pq_mk: int = 0) -> int:
     """Max query rows per probe-kernel call, power-of-two (so chunk
     sizes land on the engine Q buckets — one compile per bucket, not
     per fill), bounded by the gather-byte budget.
@@ -73,8 +77,15 @@ def _qcap(P: int, dim: int, quantized: bool, k: int,
     must be budgeted or device transients reach ~5x the intended cap.
     int8 STORAGE rescoring gathers int8 candidate rows and dequantizes
     them to f32 (1 + 4 bytes per element) instead of gathering stored
-    f32 rows."""
-    if int8_storage:
+    f32 rows. pq STORAGE (``pq_mk`` = M*16 > 0) materializes the
+    (Q, P*W, M*16) int8 one-hot of the probed rows plus the
+    (Q, 4k, M*16) f32 rescore one-hot — the one-hot expansion, not the
+    tiny packed gather, is what the budget must bound."""
+    if pq_mk:
+        m_cand = min(pq_lib.PQ_RESCORE_MARGIN * engine._bucket_k(k),
+                     P * _SEG_W)
+        per_q = pq_mk * (P * _SEG_W + 4 * m_cand)
+    elif int8_storage:
         s = min(engine._bucket_k(k), P * _SEG_W, P)
         per_q = _SEG_W * dim * (P + 5 * s)
     elif quantized:
@@ -297,6 +308,66 @@ def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
                             scan_raw=_scan_raw_int4(packed3))
 
 
+def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
+                   valid2: jax.Array, queries: jax.Array,
+                   seg_idx: jax.Array, k: int, seg_offset=0
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """PQ probed scan (the faiss IVFPQ analog): gather the probed
+    PACKED segments (M/2 bytes/row — the smallest gather on the
+    ladder), score every gathered row with the one-hot x int8-LUT
+    matmul, keep a per-ELEMENT 4k candidate margin, and rescore the
+    candidates against the f32 LUT — returned scores are exact PQ
+    scores, identical semantics to pq._pq_topk applied to the probed
+    fraction. ``seg_offset`` shifts segment ids to global for sharded
+    callers."""
+    nq = queries.shape[0]
+    P, W = seg_idx.shape[1], packed3.shape[1]
+    mk = 2 * packed3.shape[2] * pq_lib.PQ_K
+    lut, luti = pq_lib.quantized_luts(queries, centroids)
+    iota16 = jnp.arange(pq_lib.PQ_K, dtype=jnp.uint8)
+    codes = pq_lib._unpack_codes4(packed3[seg_idx])       # (Q,P,W,M) u8
+    onehot = (codes[..., None] == iota16).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        onehot.reshape(nq, P * W, mk), luti,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)                 # (Q, P*W)
+    vmask = valid2[seg_idx].reshape(nq, P * W)
+    approx = jnp.where(vmask, raw.astype(jnp.float32), -jnp.inf)
+    kk = min(k, P * W)
+    m_cand = min(pq_lib.PQ_RESCORE_MARGIN * kk, P * W)
+    _, sel = jax.lax.top_k(approx, m_cand)                # (Q, m)
+    cand = jnp.take_along_axis(codes.reshape(nq, P * W, -1),
+                               sel[..., None], axis=1)    # (Q, m, M)
+    oneh = (cand[..., None] == iota16).astype(jnp.float32)
+    exact = jax.lax.dot_general(
+        oneh.reshape(nq, m_cand, mk), lut,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)               # (Q, m)
+    gids = (((seg_idx + seg_offset)[:, :, None] * W
+             + jnp.arange(W, dtype=jnp.int32)[None, None, :])
+            .reshape(nq, P * W))
+    gcand = jnp.take_along_axis(gids, sel, axis=1)
+    exact = jnp.where(jnp.take_along_axis(vmask, sel, axis=1),
+                      exact, -jnp.inf)
+    d, s2 = jax.lax.top_k(exact, kk)
+    return d, jnp.take_along_axis(gcand, s2, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("P", "k"))
+def _ivf_kernel_pq(packed3: jax.Array, centroids: jax.Array,
+                   seg_cent: jax.Array, valid2: jax.Array,
+                   queries: jax.Array,
+                   P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+    """IVF over pq STORAGE (--corpus-dtype pq + --search-mode ivf):
+    probed product-quantized search — faiss IndexIVFPQ semantics with
+    the LUT lookups on the MXU. packed3: (S, 64, M/2) int8."""
+    cs = jnp.dot(queries, seg_cent.T,
+                 preferred_element_type=jnp.float32)
+    _, seg_idx = jax.lax.top_k(cs, P)                     # (Q, P)
+    return _pq_probe_body(packed3, centroids, valid2, queries, seg_idx,
+                          k)
+
+
 @functools.partial(jax.jit, static_argnames=("P", "k"))
 def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
                      corpus3: jax.Array, seg_cent: jax.Array,
@@ -377,19 +448,24 @@ class IVFIndex:
         # the probed scan is int8 and candidates rescore from
         # DEQUANTIZED rows in f32 (_ivf_kernel_int8_pure) — probed
         # search at the flat int8 tier's ~5x capacity.
-        self.int4_storage = engine._is_int4(dtype)
-        if not self.int4_storage and jnp.dtype(dtype) not in (
+        self.pq_storage = pq_lib.is_pq(dtype)
+        self.int4_storage = (not self.pq_storage
+                             and engine._is_int4(dtype))
+        if not (self.pq_storage or self.int4_storage) and jnp.dtype(
+                dtype) not in (
                 jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16),
                 jnp.dtype(jnp.int8)):
-            raise ValueError("IVF corpus dtype must be f32, bf16, int8 "
-                             f"or int4, got {jnp.dtype(dtype).name}")
-        self.int8_storage = (not self.int4_storage
+            raise ValueError("IVF corpus dtype must be f32, bf16, int8, "
+                             f"int4 or pq, got {jnp.dtype(dtype).name}")
+        self.int8_storage = (not (self.pq_storage or self.int4_storage)
                              and jnp.dtype(dtype) == jnp.dtype(jnp.int8))
         if self.int4_storage and dim % 2:
             raise ValueError(f"int4 storage needs an even dim, got {dim}")
+        if self.pq_storage:
+            pq_lib.subspaces(dim)  # validates divisibility
         # codes-as-corpus has no unquantized scan to fall back to
-        self.quantized = (True if (self.int8_storage or self.int4_storage)
-                          else quantized)
+        self.quantized = True if (self.int8_storage or self.int4_storage
+                                  or self.pq_storage) else quantized
         self.dtype = dtype
         self.ntotal = 0
         self._nprobe = 32  # reference:query-index.py:30
@@ -399,6 +475,7 @@ class IVFIndex:
         self._row_ext: Optional[np.ndarray] = None  # (S*64,) → ext id, -1 dead
         self._codes3: Optional[jax.Array] = None
         self._scales2: Optional[jax.Array] = None
+        self._pq = None  # PQCodebook (pq storage), trained at install
         self._base_n = 0
         self._tail: Optional[engine.VectorIndex] = None
         # ascending cumulative sums of live-segment occupancies — feeds
@@ -414,8 +491,8 @@ class IVFIndex:
 
     @property
     def coded_storage(self) -> bool:
-        """True when the quantized codes ARE the corpus (int8/int4)."""
-        return self.int8_storage or self.int4_storage
+        """True when the quantized codes ARE the corpus (int8/int4/pq)."""
+        return self.int8_storage or self.int4_storage or self.pq_storage
 
     # nprobe is clamped like the reference REPL clamps it (1..100)
     @property
@@ -477,13 +554,24 @@ class IVFIndex:
             # copy never has to exist in HBM (the whole point of the
             # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
             # segment centroids likewise reduce host-side. int4 packs
-            # two codes per byte (the (S, 64, D/2) layout).
-            codes, scales = engine.quantize_rows_rotated(
-                padded, self._rot, self.int4_storage)
+            # two codes per byte (the (S, 64, D/2) layout); pq trains
+            # its codebooks on the LIVE rows (padding zeros would skew
+            # k-means) and encodes the padded layout chunk-rotated.
+            if self.pq_storage:
+                if self._pq is None:
+                    self._pq = pq_lib.PQCodebook.train(vectors,
+                                                       rot=self._rot)
+                codes = self._pq.encode(padded, rot=self._rot)
+                scales = None
+            else:
+                codes, scales = engine.quantize_rows_rotated(
+                    padded, self._rot, self.int4_storage)
             self._corpus3 = None
             self._codes3 = jnp.asarray(
                 codes.reshape(segs, _SEG_W, codes.shape[1]))
-            self._scales2 = jnp.asarray(scales.reshape(segs, _SEG_W))
+            self._scales2 = (None if scales is None
+                             else jnp.asarray(scales.reshape(segs,
+                                                             _SEG_W)))
             sums = padded.reshape(segs, _SEG_W, self.dim).sum(axis=1)
             # centroids live in rotated space too (sum of rotated rows
             # == rotated sum — rotation is linear), so the probe scores
@@ -518,6 +606,10 @@ class IVFIndex:
             return
         if self._tail is None:
             self._tail = engine.VectorIndex(self.dim, dtype=self.dtype)
+            if self.pq_storage and self._pq is not None:
+                # share the base codebooks: a tiny tail would otherwise
+                # train its own k-means on a handful of rows
+                self._tail._pq = self._pq
         self._tail.add(vectors)
         self.ntotal = self._base_n + self._tail.ntotal
 
@@ -545,6 +637,10 @@ class IVFIndex:
         """One probed-scan device call (Q already chunked by the
         caller). Returns (Q, kk) scores + INTERNAL row ids.
         ShardedIVFIndex overrides this with the shard_map variant."""
+        if self.pq_storage:
+            return _ivf_kernel_pq(
+                self._codes3, self._pq.device(), self._seg_cent,
+                self._valid2, qj, P, kk)
         if self.int4_storage:
             return _ivf_kernel_int4_pure(
                 self._codes3, self._scales2, self._seg_cent,
@@ -590,7 +686,9 @@ class IVFIndex:
         # request keeps its contracted scan fraction.
         P = min(max(P, _bucket_probe(self._probe_floor(k))), segs)
         qcap = _qcap(P, self.dim, self.quantized, k,
-                     int8_storage=self.coded_storage)
+                     int8_storage=self.coded_storage,
+                     pq_mk=(self._pq.m * pq_lib.PQ_K
+                            if self.pq_storage else 0))
         if nq > qcap:
             parts = [self.search(queries[i: i + qcap], k, nprobe=nprobe)
                      for i in range(0, nq, qcap)]
@@ -628,6 +726,11 @@ class IVFIndex:
             raise IndexError(row)
         if row < self._base_n:
             pos = int(self._pos_of_ext[row])
+            if self.pq_storage:
+                flat_c = self._codes3.reshape(-1,
+                                              self._codes3.shape[-1])
+                v = self._pq.decode(np.asarray(flat_c[pos])[None, :])[0]
+                return v @ self._rot.T if self._rot is not None else v
             if self.int4_storage:
                 flat_c = self._codes3.reshape(-1, self.dim // 2)
                 flat_s = self._scales2.reshape(-1)
@@ -657,20 +760,24 @@ class IVFIndex:
             # one-shot (rows, dim) f32 product would transiently hold
             # ~3x the full f32 corpus in host RAM at this tier's 24M-row
             # design scale (the tier exists because f32 doesn't fit).
-            code_dim = self.dim // 2 if self.int4_storage else self.dim
+            code_dim = self._codes3.shape[-1]
             codes = np.asarray(self._codes3).reshape(-1, code_dim)
-            scales = np.asarray(self._scales2,
-                                dtype=np.float32).reshape(-1)
+            scales = (None if self._scales2 is None
+                      else np.asarray(self._scales2,
+                                      dtype=np.float32).reshape(-1))
             pos = self._pos_of_ext
             base = np.empty((len(pos), self.dim), np.float32)
             step = 1 << 18
             for i in range(0, len(pos), step):
                 p = pos[i:i + step]
                 chunk = codes[p]
-                if self.int4_storage:
-                    chunk = engine.unpack_int4_host(chunk)
-                chunk = chunk.astype(np.float32)
-                chunk *= scales[p][:, None]
+                if self.pq_storage:
+                    chunk = self._pq.decode(chunk)
+                else:
+                    if self.int4_storage:
+                        chunk = engine.unpack_int4_host(chunk)
+                    chunk = chunk.astype(np.float32)
+                    chunk *= scales[p][:, None]
                 if self._rot is not None:  # back to user space
                     chunk = chunk @ self._rot.T
                 base[i:i + len(p)] = chunk
@@ -810,14 +917,23 @@ class ShardedIVFIndex(IVFIndex):
         if self.coded_storage:
             # host quantize + host centroids: no f32 copy of the corpus
             # ever reaches HBM (see the single-device _install)
-            codes, scales = engine.quantize_rows_rotated(
-                padded, self._rot, self.int4_storage)
+            if self.pq_storage:
+                if self._pq is None:
+                    self._pq = pq_lib.PQCodebook.train(vectors,
+                                                       rot=self._rot)
+                codes = self._pq.encode(padded, rot=self._rot)
+                scales = None
+            else:
+                codes, scales = engine.quantize_rows_rotated(
+                    padded, self._rot, self.int4_storage)
             self._corpus3 = None
             self._codes3 = jax.device_put(
                 codes.reshape(segs_pad, _SEG_W, codes.shape[1]),
                 self._spec(2))
-            self._scales2 = jax.device_put(
-                scales.reshape(segs_pad, _SEG_W), self._spec(1))
+            self._scales2 = (None if scales is None
+                             else jax.device_put(
+                                 scales.reshape(segs_pad, _SEG_W),
+                                 self._spec(1)))
             sums = padded.reshape(segs_pad, _SEG_W, self.dim).sum(axis=1)
             # rotated centroids to match rotated codes + queries
             sums = engine.rotate_rows(sums, self._rot)
@@ -861,7 +977,8 @@ class ShardedIVFIndex(IVFIndex):
         S_local = S // self._n_shards
         P_local = min(_bucket_probe(-(-P // self._n_shards)), S_local)
         kk_local = min(kk, P_local * _SEG_W)
-        mode = ("int4_storage" if self.int4_storage
+        mode = ("pq_storage" if self.pq_storage
+                else "int4_storage" if self.int4_storage
                 else "int8_storage" if self.int8_storage
                 else "quant" if self.quantized else "f32")
         key = (mode, P_local, kk_local, kk)
@@ -869,6 +986,9 @@ class ShardedIVFIndex(IVFIndex):
         if fn is None:
             fn = self._build_probe_fn(mode, P_local, kk_local, kk)
             self._probe_fns[key] = fn
+        if self.pq_storage:
+            return fn(self._codes3, self._pq.device(), self._seg_cent,
+                      self._valid2, self._seg_valid, qj)
         if self.coded_storage:
             return fn(self._codes3, self._scales2, self._seg_cent,
                       self._valid2, self._seg_valid, qj)
@@ -943,9 +1063,23 @@ class ShardedIVFIndex(IVFIndex):
                 scan_raw=_scan_raw_int4(packed3))
             return _merge_across_shards(d, gi, kk)
 
+        def local_pq(packed3, centroids, cent_l, v2, sv_l, q):
+            # pq STORAGE: probed PQ scan against the replicated
+            # codebooks (_ivf_kernel_pq, per shard)
+            seg_idx = _coarse(cent_l, sv_l, q)
+            base = jax.lax.axis_index(AXIS) * packed3.shape[0]
+            d, gi = _pq_probe_body(packed3, centroids, v2, q, seg_idx,
+                                   kk_local, seg_offset=base)
+            return _merge_across_shards(d, gi, kk)
+
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
         # seg_valid 1-D, queries replicated)
-        if mode in ("int8_storage", "int4_storage"):
+        if mode == "pq_storage":
+            fn = local_pq
+            in_specs = (PS(AXIS, None, None), PS(None, None, None),
+                        PS(AXIS, None), PS(AXIS, None),
+                        PS(AXIS), PS())
+        elif mode in ("int8_storage", "int4_storage"):
             fn = (local_int4_pure if mode == "int4_storage"
                   else local_int8_pure)
             in_specs = (PS(AXIS, None, None), PS(AXIS, None),

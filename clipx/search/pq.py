@@ -173,13 +173,16 @@ class PQCodebook:
 
     @classmethod
     def train(cls, rows: np.ndarray, sample: int = _PQ_TRAIN_SAMPLE,
-              iters: int = _PQ_ITERS) -> "PQCodebook":
+              iters: int = _PQ_ITERS,
+              rot: Optional[np.ndarray] = None) -> "PQCodebook":
         """Deterministic Lloyd k-means per subspace. The assignment is a
         per-subspace (S, dsub) @ (dsub, K) GEMM + argmin over the
         biased scores (||x||^2 dropped — it cannot change a row's
         argmin); the update is bincount means. A numpy *batched*
         (M, S, K) formulation measured ~10x slower (giant broadcast
-        temps, unthreaded batch GEMM), hence the plain per-m loop."""
+        temps, unthreaded batch GEMM), hence the plain per-m loop.
+        ``rot`` rotates the SAMPLE only (callers at corpus scale must
+        not pre-rotate millions of rows to train on 64k of them)."""
         rows = np.ascontiguousarray(rows, np.float32)
         n, d = rows.shape
         dsub = pq_dsub()
@@ -187,6 +190,8 @@ class PQCodebook:
         rng = np.random.default_rng(_PQ_SEED + d)
         x = rows[rng.choice(n, sample, replace=False)] if n > sample \
             else rows
+        if rot is not None:
+            x = x @ rot
         s = x.shape[0]
         xs = np.ascontiguousarray(
             x.reshape(s, m, dsub).transpose(1, 0, 2))      # (M, S, dsub)
@@ -210,10 +215,13 @@ class PQCodebook:
                     np.float32)  # empty clusters keep their old centroid
         return cls(cent)
 
-    def encode(self, rows: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
+    def encode(self, rows: np.ndarray, chunk: int = 1 << 16,
+               rot: Optional[np.ndarray] = None) -> np.ndarray:
         """(N, D) rotated f32 rows -> (N, M/2) packed codes. Host-side
         (like the int8/int4 quantizers) so the H2D upload is 1 bit/dim —
-        nearest centroid per subspace via small BLAS GEMMs."""
+        nearest centroid per subspace via small BLAS GEMMs. ``rot``
+        rotates rows chunk-wise (bounded transient, like
+        engine.quantize_rows_rotated)."""
         rows = np.ascontiguousarray(rows, np.float32)
         n, d = rows.shape
         m, dsub = self.m, self.dsub
@@ -223,6 +231,8 @@ class PQCodebook:
         out = np.empty((n, m // 2), np.int8)
         for i in range(0, n, chunk):
             b = rows[i: i + chunk]
+            if rot is not None:
+                b = b @ rot
             xs = np.ascontiguousarray(
                 b.reshape(len(b), m, dsub).transpose(1, 0, 2))
             codes = np.empty((m, len(b)), np.uint8)
@@ -251,6 +261,59 @@ def make_luts(queries: jax.Array, centroids: jax.Array) -> jax.Array:
                       preferred_element_type=jnp.float32)
 
 
+def quantized_luts(queries: jax.Array, centroids: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+    """(lut, luti): the flat (Q, M*16) f32 ADC tables and their
+    per-query int8 quantization for the scan. The positive per-query
+    scale is dropped — it cannot change that query's candidate
+    ranking (the int8-scan q_scale argument)."""
+    nq = queries.shape[0]
+    mk = centroids.shape[0] * PQ_K
+    lut = make_luts(queries, centroids).reshape(nq, mk)
+    scale = jnp.maximum(jnp.abs(lut).max(axis=1, keepdims=True),
+                        1e-12) / 127.0
+    luti = jnp.clip(jnp.rint(lut / scale), -127, 127).astype(jnp.int8)
+    return lut, luti
+
+
+def _use_pallas_scan(n: int) -> bool:
+    """CLIPX_PQ_SCAN: 'auto' (Pallas on TPU, XLA elsewhere — default),
+    'pallas', or 'xla'. Pallas additionally needs the padded capacity
+    tile-aligned (engine._bucket_rows always is; sharded placement
+    aligns via mips._shard_rows)."""
+    import os
+
+    from clipx.ops.pq_scan import _TILE
+
+    v = os.environ.get("CLIPX_PQ_SCAN", "auto")
+    if v == "xla" or n % min(_TILE, n):
+        return False
+    if v == "pallas":
+        return True
+    return jax.devices()[0].platform == "tpu"
+
+
+def _pq_scan_chunk_xla(packed, luti, valid, m_cand, start, base, chunk,
+                       iota16):
+    """One XLA scan chunk: unpack -> one-hot int8 -> LUT matmul ->
+    per-chunk top-m. The one-hot operand materializes through HBM
+    (16x the code bytes) — kept as the CPU/test path and the
+    CLIPX_PQ_SCAN=xla fallback; the Pallas kernel is the TPU default."""
+    mk = 2 * packed.shape[1] * PQ_K
+    p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
+    codes = _unpack_codes4(p)                           # (chunk, M) u8
+    onehot = (codes[:, :, None] == iota16).astype(jnp.int8)
+    raw = jax.lax.dot_general(
+        onehot.reshape(chunk, mk), luti, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)               # (chunk, Q)
+    approx = raw.astype(jnp.float32)
+    rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
+           + base + start)
+    approx = jnp.where(rid < valid, approx, -jnp.inf)
+    d, li = _exact_topk(approx.T, m_cand)               # (Q, m)
+    return d, li + start
+
+
 def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
              queries: jax.Array, k: int, base=0
              ) -> Tuple[jax.Array, jax.Array]:
@@ -266,12 +329,7 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
     n, half = packed.shape
     nq = queries.shape[0]
     mk = 2 * half * PQ_K
-    lut = make_luts(queries, centroids).reshape(nq, mk)     # (Q, M*16) f32
-    # int8 LUT for the scan; the positive per-query scale is dropped —
-    # it cannot change that query's candidate ranking
-    scale = jnp.maximum(jnp.abs(lut).max(axis=1, keepdims=True),
-                        1e-12) / 127.0
-    luti = jnp.clip(jnp.rint(lut / scale), -127, 127).astype(jnp.int8)
+    lut, luti = quantized_luts(queries, centroids)          # (Q, M*16)
     iota16 = jnp.arange(PQ_K, dtype=jnp.uint8)
 
     chunk = min(n, _PQ_CHUNK)
@@ -281,25 +339,35 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
                          "engine._bucket_rows")
     m_cand = min(PQ_RESCORE_MARGIN * k, chunk)
 
-    def scan_chunk(start):
-        p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
-        codes = _unpack_codes4(p)                           # (chunk, M) u8
-        onehot = (codes[:, :, None] == iota16).astype(jnp.int8)
-        raw = jax.lax.dot_general(
-            onehot.reshape(chunk, mk), luti, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)               # (chunk, Q)
-        approx = raw.astype(jnp.float32)
-        rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 0)
-               + base + start)
-        approx = jnp.where(rid < valid, approx, -jnp.inf)
-        d, li = _exact_topk(approx.T, m_cand)               # (Q, m)
-        return d, li + start
+    if _use_pallas_scan(n):
+        # Pallas scan (clipx/ops/pq_scan.py): the one-hot expansion
+        # stays in VMEM, so HBM traffic is the packed codes + (Q, N)
+        # scores instead of the 16x-expanded operand (65.8 -> see
+        # docs/ARCHITECTURE.md for the measured delta). Scores are
+        # bitwise equal to the XLA path (integer sums, exact in f32).
+        import os
 
-    if n == chunk:
-        d, cand = scan_chunk(jnp.int32(0))
+        from clipx.ops.pq_scan import pq_scan_scores
+
+        # CLIPX_PQ_LUT: int8 (default — 2x MXU rate, exact int32
+        # accumulate) or bf16 (A/B fallback, also exact)
+        ldt = (jnp.bfloat16
+               if os.environ.get("CLIPX_PQ_LUT", "int8") == "bf16"
+               else jnp.int8)
+        approx = pq_scan_scores(packed, luti.T.astype(ldt))
+        rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
+               + base)
+        approx = jnp.where(rid < valid, approx, -jnp.inf)   # (Q, N)
+        d, cand = _exact_topk(approx, m_cand)               # (Q, m)
+    elif n == chunk:
+        d, cand = _pq_scan_chunk_xla(packed, luti, valid, m_cand,
+                                     jnp.int32(0), base, chunk, iota16)
     else:
         starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
-        ds, lis = jax.lax.map(scan_chunk, starts)           # (C, Q, m)
+        ds, lis = jax.lax.map(
+            lambda s: _pq_scan_chunk_xla(packed, luti, valid, m_cand,
+                                         s, base, chunk, iota16),
+            starts)                                         # (C, Q, m)
         d_all = ds.transpose(1, 0, 2).reshape(nq, -1)
         i_all = lis.transpose(1, 0, 2).reshape(nq, -1)
         d, pos = _exact_topk(d_all, m_cand)

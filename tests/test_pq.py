@@ -242,11 +242,78 @@ def test_flag_plumbs_and_search_mode_is_fixed(tmp_path):
         vecs, _args(corpus_dtype="pq", sharded="on"))
     assert idx.pq_storage
 
-    # IVF does not compose with pq (documented): clean CLI error
-    with pytest.raises(SystemExit, match="does not compose"):
-        common.build_index_from_vectors(
-            vecs, _args(corpus_dtype="pq", search_mode="ivf",
-                        index=str(tmp_path / "i.index")))
+    # composes with IVF (faiss IndexIVFPQ semantics): probed PQ scan
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="pq", search_mode="ivf",
+                    index=str(tmp_path / "i.index")))
+    assert idx.pq_storage and idx.quantized
+    assert idx._corpus3 is None and idx._codes3 is not None
+    assert idx._scales2 is None
+
+    idx = common.build_index_from_vectors(
+        vecs, _args(corpus_dtype="pq", search_mode="ivf", sharded="on",
+                    index=str(tmp_path / "i2.index")))
+    assert idx.pq_storage and idx._corpus3 is None
+
+
+def test_ivf_full_probe_matches_flat_pq():
+    """nprobe=100 probes every segment, so IVF-PQ must return the flat
+    pq index's ranking: identical candidate selection (same int8 LUTs
+    over the same codes — codebooks train on the same rows with the
+    same seed) and identical f32-LUT rescore."""
+    from clipx.search.ivf import IVFIndex
+
+    rng = np.random.default_rng(13)
+    vecs = _unit(rng, 3000, 64)
+    q = _queries(rng, vecs)
+    ivf = IVFIndex.from_vectors(vecs, dtype="pq")
+    assert ivf.pq_storage and ivf._corpus3 is None
+    assert ivf._scales2 is None
+    D, I = ivf.search(q, k=8, nprobe=100)
+    flat = VectorIndex.from_vectors(vecs, dtype="pq")
+    Df, If = flat.search(q, k=8)
+    np.testing.assert_array_equal(I, If)
+    np.testing.assert_allclose(D, Df, atol=1e-5)
+    # tail adds share the base codebooks
+    ivf.add(vecs[:10])
+    assert ivf._tail.pq_storage
+    assert ivf._tail._pq is ivf._pq
+    D, I = ivf.search(q, k=8, nprobe=100)
+    assert (I[:, 0] == If[:, 0]).all()
+    v = ivf.vectors()
+    assert v.shape == (ivf.ntotal, 64)
+    rec = ivf.reconstruct(0)
+    assert rec.shape == (64,)
+    cos = float(rec @ vecs[0] / max(np.linalg.norm(rec), 1e-9))
+    assert cos > 0.6
+
+
+def test_ivf_low_probe_self_match_pq():
+    """The knob binds: probing a fraction still self-matches (the query
+    row's own segment ranks first by centroid score)."""
+    from clipx.search.ivf import IVFIndex
+
+    rng = np.random.default_rng(14)
+    vecs = _unit(rng, 3000, 64)
+    ivf = IVFIndex.from_vectors(vecs, dtype="pq")
+    D, I = ivf.search(vecs[:4], k=3, nprobe=16)
+    np.testing.assert_array_equal(I[:, 0], np.arange(4))
+
+
+def test_sharded_ivf_full_probe_matches_flat_pq():
+    from clipx.search.ivf import ShardedIVFIndex
+
+    rng = np.random.default_rng(15)
+    vecs = _unit(rng, 3000, 64)
+    q = _queries(rng, vecs)
+    sh = ShardedIVFIndex.from_vectors(vecs, dtype="pq")
+    assert sh.pq_storage and sh._scales2 is None
+    D, I = sh.search(q, k=8, nprobe=100)
+    flat = VectorIndex.from_vectors(vecs, dtype="pq")
+    _, If = flat.search(q, k=8)
+    np.testing.assert_array_equal(I, If)
+    D, I = sh.search(q, k=8, nprobe=16)
+    np.testing.assert_array_equal(I[:, 0], If[:, 0])
 
 
 def test_empty_then_add_sharded():

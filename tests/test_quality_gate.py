@@ -106,6 +106,12 @@ def test_int8_recall_at_50_is_perfect(tmp_path, capsys):
                r"([0-9.]+), top-1 agreement ([0-9.]+)", out)
     assert float(m.group(1)) >= 0.45
     assert float(m.group(2)) == 1.0
+    # pq + IVF at full probe (faiss IVFPQ analog): full probe selects
+    # candidates from every segment, so it carries the pq storage
+    # noise only — same gate
+    m = _parse(r"ivf-pq-storage vs exact f32: recall@50 ([0-9.]+) "
+               r"at nprobe=100", out)
+    assert float(m.group(1)) >= 0.45
 
 
 def test_preprocess_drift_gate(tmp_path, monkeypatch, capsys):

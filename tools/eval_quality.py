@@ -169,6 +169,13 @@ def main(argv=None) -> int:
                            for i in range(len(sample))])
         print(f"ivf-int4-storage vs exact f32: recall@{k} {r_full4:.4f} "
               f"at nprobe=100")
+    if index.dim % 4 == 0:
+        ivf_pq = cls.from_vectors(index.vectors(), dtype="pq")
+        _, Ifp = ivf_pq.search(queries, k=k, nprobe=100)
+        r_fullp = np.mean([len(set(Ie[i]) & set(Ifp[i])) / k
+                           for i in range(len(sample))])
+        print(f"ivf-pq-storage vs exact f32: recall@{k} {r_fullp:.4f} "
+              f"at nprobe=100")
 
     if args.photos:
         _preprocess_drift(args, index, sample)
