@@ -34,7 +34,9 @@ from clipx.search.engine import (_INT4_CHUNK, _MAX_Q, _SEG_W, _bucket_k,
                                  corpus_rotation, quantize_rows,
                                  quantize_rows_int4, quantize_rows_rotated,
                                  rotate_rows)
-from clipx.search.pq import _PQ_CHUNK, _pq_append, _pq_topk, is_pq, subspaces
+from clipx.search.pq import (_PQ_CHUNK, _PQ_PALLAS_CHUNK,
+                             _PQ_PALLAS_ONESHOT, _pq_append, _pq_topk,
+                             is_pq, subspaces)
 
 AXIS = "shard"
 
@@ -50,9 +52,11 @@ def _shard_rows(n: int, n_shards: int, int4: bool = False,
     rows = max(128, -(-rows // 128) * 128)
     if pq and rows > 4096:
         # align to the Pallas scan tile (clipx/ops/pq_scan._TILE) so
-        # per-shard capacities keep the kernel path; 65536-row chunks
-        # below are a multiple, so the rules compose
+        # per-shard capacities keep the kernel path, and to the
+        # capacity-scale map chunk past the one-shot bound
         rows = -(-rows // 4096) * 4096
+        if rows > _PQ_PALLAS_ONESHOT:
+            rows = -(-rows // _PQ_PALLAS_CHUNK) * _PQ_PALLAS_CHUNK
     chunk = _INT4_CHUNK if int4 else _PQ_CHUNK if pq else None
     if chunk and rows > chunk:
         rows = -(-rows // chunk) * chunk

@@ -276,17 +276,28 @@ def quantized_luts(queries: jax.Array, centroids: jax.Array
     return lut, luti
 
 
+# Pallas-branch chunking: one kernel call up to this many rows (the
+# (Q, n) f32 score block peaks at 128 MB); past it, lax.map over
+# _PQ_PALLAS_CHUNK-row slices bounds score memory at capacity scale
+# (a (Q, 100M) f32 block would be 6.4 GB — more than the codes).
+_PQ_PALLAS_ONESHOT = 1 << 21
+_PQ_PALLAS_CHUNK = 1 << 19
+
+
 def _use_pallas_scan(n: int) -> bool:
     """CLIPX_PQ_SCAN: 'auto' (Pallas on TPU, XLA elsewhere — default),
     'pallas', or 'xla'. Pallas additionally needs the padded capacity
-    tile-aligned (engine._bucket_rows always is; sharded placement
-    aligns via mips._shard_rows)."""
+    tile-aligned — single-shot up to _PQ_PALLAS_ONESHOT rows, chunked
+    past it (engine._bucket_rows always satisfies both; sharded
+    placement aligns via mips._shard_rows)."""
     import os
 
     from clipx.ops.pq_scan import _TILE
 
     v = os.environ.get("CLIPX_PQ_SCAN", "auto")
-    if v == "xla" or n % min(_TILE, n):
+    aligned = (n % min(_TILE, n) == 0 if n <= _PQ_PALLAS_ONESHOT
+               else n % _PQ_PALLAS_CHUNK == 0)
+    if v == "xla" or not aligned:
         return False
     if v == "pallas":
         return True
@@ -332,19 +343,13 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
     lut, luti = quantized_luts(queries, centroids)          # (Q, M*16)
     iota16 = jnp.arange(PQ_K, dtype=jnp.uint8)
 
-    chunk = min(n, _PQ_CHUNK)
-    if n % chunk:
-        raise ValueError(f"pq capacity {n} not a chunk multiple "
-                         f"({chunk}) — placement must pad to "
-                         "engine._bucket_rows")
-    m_cand = min(PQ_RESCORE_MARGIN * k, chunk)
-
-    if _use_pallas_scan(n):
+    use_pallas = _use_pallas_scan(n)
+    if use_pallas:
         # Pallas scan (clipx/ops/pq_scan.py): the one-hot expansion
-        # stays in VMEM, so HBM traffic is the packed codes + (Q, N)
-        # scores instead of the 16x-expanded operand (65.8 -> see
-        # docs/ARCHITECTURE.md for the measured delta). Scores are
-        # bitwise equal to the XLA path (integer sums, exact in f32).
+        # stays in VMEM, so HBM traffic is the packed codes + scores
+        # instead of the 16x-expanded operand (65.8 -> 4.4 ms at 1M,
+        # docs/ARCHITECTURE.md). Scores are bitwise equal to the XLA
+        # path (integer sums, exact in f32).
         import os
 
         from clipx.ops.pq_scan import pq_scan_scores
@@ -354,20 +359,33 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
         ldt = (jnp.bfloat16
                if os.environ.get("CLIPX_PQ_LUT", "int8") == "bf16"
                else jnp.int8)
-        approx = pq_scan_scores(packed, luti.T.astype(ldt))
-        rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
-               + base)
-        approx = jnp.where(rid < valid, approx, -jnp.inf)   # (Q, N)
-        d, cand = _exact_topk(approx, m_cand)               # (Q, m)
-    elif n == chunk:
-        d, cand = _pq_scan_chunk_xla(packed, luti, valid, m_cand,
-                                     jnp.int32(0), base, chunk, iota16)
+        lut_arg = luti.T.astype(ldt)
+        chunk = n if n <= _PQ_PALLAS_ONESHOT else _PQ_PALLAS_CHUNK
+    else:
+        chunk = min(n, _PQ_CHUNK)
+    if n % chunk:
+        raise ValueError(f"pq capacity {n} not a chunk multiple "
+                         f"({chunk}) — placement must pad to "
+                         "engine._bucket_rows")
+    m_cand = min(PQ_RESCORE_MARGIN * k, chunk)
+
+    def scan_chunk(start):
+        if use_pallas:
+            p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
+            approx = pq_scan_scores(p, lut_arg)             # (Q, chunk)
+            rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
+                   + base + start)
+            approx = jnp.where(rid < valid, approx, -jnp.inf)
+            d, li = _exact_topk(approx, m_cand)
+            return d, li + start
+        return _pq_scan_chunk_xla(packed, luti, valid, m_cand, start,
+                                  base, chunk, iota16)
+
+    if n == chunk:
+        d, cand = scan_chunk(jnp.int32(0))
     else:
         starts = jnp.arange(0, n, chunk, dtype=jnp.int32)
-        ds, lis = jax.lax.map(
-            lambda s: _pq_scan_chunk_xla(packed, luti, valid, m_cand,
-                                         s, base, chunk, iota16),
-            starts)                                         # (C, Q, m)
+        ds, lis = jax.lax.map(scan_chunk, starts)           # (C, Q, m)
         d_all = ds.transpose(1, 0, 2).reshape(nq, -1)
         i_all = lis.transpose(1, 0, 2).reshape(nq, -1)
         d, pos = _exact_topk(d_all, m_cand)

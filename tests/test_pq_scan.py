@@ -62,6 +62,32 @@ def test_search_pallas_route_matches_xla(monkeypatch):
     np.testing.assert_allclose(Dx, Dp, atol=1e-6)
 
 
+def test_pallas_chunked_capacity_path_matches(monkeypatch):
+    """Past _PQ_PALLAS_ONESHOT rows the Pallas branch maps over row
+    chunks (bounding the (Q, N) score block at capacity scale) — the
+    chunked route must return exactly the one-shot route's results."""
+    from clipx.search.engine import VectorIndex
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((8192, 32)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = vecs[:4]
+    monkeypatch.setenv("CLIPX_PQ_SCAN", "pallas")
+    pq_lib._search_kernel_pq.clear_cache()
+    one = VectorIndex.from_vectors(vecs, dtype="pq")
+    D1, I1 = one.search(q, k=7)
+    monkeypatch.setattr(pq_lib, "_PQ_PALLAS_ONESHOT", 1024)
+    monkeypatch.setattr(pq_lib, "_PQ_PALLAS_CHUNK", 2048)
+    pq_lib._search_kernel_pq.clear_cache()
+    try:
+        two = VectorIndex.from_vectors(vecs, dtype="pq")
+        D2, I2 = two.search(q, k=7)
+    finally:
+        pq_lib._search_kernel_pq.clear_cache()
+    np.testing.assert_array_equal(I1, I2)
+    np.testing.assert_allclose(D1, D2, atol=1e-6)
+
+
 def test_tile_misaligned_capacity_falls_back(monkeypatch):
     """A capacity that isn't tile-aligned must route to the XLA scan
     (sharded placements align, but the guard is the contract)."""

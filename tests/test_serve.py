@@ -1084,7 +1084,7 @@ def test_sigterm_shuts_down_cleanly(tmp_path, monkeypatch):
     assert "bye" in out
 
 
-@pytest.mark.parametrize("cdtype", ["bf16", "int8", "int4"])
+@pytest.mark.parametrize("cdtype", ["bf16", "int8", "int4", "pq"])
 def test_serve_corpus_dtype_search_and_incremental_reload(
         tmp_path, monkeypatch, cdtype):
     """--corpus-dtype under serve: searches work, and an append-only
@@ -1114,6 +1114,8 @@ def test_serve_corpus_dtype_search_and_incremental_reload(
             assert server.RequestHandlerClass.service.index.int8_storage
         elif cdtype == "int4":
             assert server.RequestHandlerClass.service.index.int4_storage
+        elif cdtype == "pq":
+            assert server.RequestHandlerClass.service.index.pq_storage
         status, data = _get(port, "/search?q=anything&k=2")
         assert status == 200 and len(data["results"]) == 2
         status, sim = _get(port, "/similar?id=1&k=2")
