@@ -279,10 +279,13 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
         # (timing is code-distribution-independent: the scan contracts
         # a dense one-hot operand whatever the values).
         from clipx.search.pq import (_PQ_CHUNK, PQ_K, _search_kernel_pq,
-                                     _unpack_codes4, pq_dsub, subspaces)
+                                     _unpack_codes4, pack_factor,
+                                     pq_dsub, subspaces)
 
         dsub = pq_dsub()
         m = subspaces(dim, dsub)
+        half = m // 2
+        pf = pack_factor(half)  # lane-paired physical layout
         if n_pad <= _PQ_CHUNK:
             gch = n_pad  # single generation + scan chunk
         else:
@@ -294,26 +297,30 @@ def bench_search(n_vectors: int, dim: int, k: int, trials: int,
 
         @jax.jit
         def make_chunkp(key):
-            # uniform random bytes = two uniform nibbles per byte
-            return jax.random.randint(key, (gch, m // 2), -128, 128,
+            # uniform random bytes = two uniform nibbles per byte;
+            # generated straight in the paired physical shape
+            return jax.random.randint(key, (gch // pf, half * pf),
+                                      -128, 128,
                                       jnp.int32).astype(jnp.int8)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def placep(c, uc, start):
             return jax.lax.dynamic_update_slice(c, uc, (start, 0))
 
-        codes = jnp.zeros((n_pad, m // 2), jnp.int8)
+        codes = jnp.zeros((n_pad // pf, half * pf), jnp.int8)
         for i in range(n_pad // gch):
             codes = placep(codes, make_chunkp(jax.random.PRNGKey(400 + i)),
-                           jnp.int32(i * gch))
+                           jnp.int32(i * gch // pf))
         cent = (jax.random.normal(jax.random.PRNGKey(7), (m, PQ_K, dsub),
                                   jnp.float32)
                 / np.sqrt(dim).astype(np.float32))  # ~unit-norm rows
 
         @jax.jit
-        def decode_row(row_codes):
-            # queries are decoded stored rows, f32 like production
-            c = _unpack_codes4(row_codes)[0].astype(jnp.int32)  # (M,)
+        def decode_row(pair_codes):
+            # queries are decoded stored rows, f32 like production:
+            # first logical row of a physical (1, half*pf) pair row
+            c = _unpack_codes4(pair_codes.reshape(pf, half)[:1])
+            c = c[0].astype(jnp.int32)                          # (M,)
             rec = cent[jnp.arange(m), c]                        # (M, dsub)
             return rec.reshape(1, dim)
 
@@ -462,14 +469,21 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
     transients are (Q, P, 64, dim) int8: ~4 GiB at 24M rows nprobe=32,
     so capacity-scale runs should stick to --ivf-probes 2,8.
     storage="bf16" keeps the f32 kernels (corpus HBM isn't what this
-    bench varies; the bf16 IVF path reuses the f32/quant kernels)."""
+    bench varies; the bf16 IVF path reuses the f32/quant kernels).
+    storage="pq" measures the faiss-IVFPQ analog (_ivf_kernel_pq):
+    probed product-quantized scan — the probe gathers PACKED pq
+    segments (M/2 B/row, the smallest gather on the ladder) and scores
+    them with the one-hot x LUT matmul. Codes/codebook are random
+    (kernel time is code-distribution-independent; recall is
+    eval_quality's job, same stance as bench_search's pq branch)."""
     import jax
     import jax.numpy as jnp
 
     from clipx.search.engine import _SEG_W, _bucket_k, _quantize_device
     from clipx.search.ivf import (_bucket_probe, _ivf_kernel_int4_pure,
                                   _ivf_kernel_int8,
-                                  _ivf_kernel_int8_pure, _segment_stats)
+                                  _ivf_kernel_int8_pure, _ivf_kernel_pq,
+                                  _segment_stats)
 
     S = n_vectors // _SEG_W
     C = 4096  # generation clusters (the builder's default at this scale)
@@ -537,6 +551,66 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         def make_fn(P):
             return lambda q: _ivf_kernel_int4_pure(
                 packed3, scales2, seg_cent, valid2, q, P, kk)
+    elif storage == "pq":
+        # IVF over pq STORAGE (--corpus-dtype pq + --search-mode ivf):
+        # probed product-quantized search. Probe cost is independent of
+        # code values AND of cluster structure (the gather moves P
+        # packed segments whichever segments win the coarse top-P), so
+        # the corpus is random packed nibbles + random unit segment
+        # centroids, generated chunk-wise like the other coded tiers.
+        from clipx.search.pq import PQ_K, pack_factor, pq_dsub, subspaces
+
+        dsub = pq_dsub()
+        m = subspaces(dim, dsub)
+        half = m // 2
+        pf = pack_factor(half)  # lane-paired physical segments
+        ch_rows = min(max(n_vectors, _SEG_W),
+                      int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
+                                         1 << 22)))
+        ch_seg = max(1, min(ch_rows // _SEG_W, S))
+        log(f"building {S * _SEG_W:,} x {dim} pq-code corpus "
+            f"(dsub={dsub}, {half} B/row) on device (chunked) ...")
+
+        @jax.jit
+        def make_chunkq(key):
+            kc, kn = jax.random.split(key)
+            codes = jax.random.randint(
+                kc, (ch_seg, _SEG_W // pf, half * pf),
+                -128, 128, jnp.int32).astype(jnp.int8)
+            cent = jax.random.normal(kn, (ch_seg, dim), jnp.float32)
+            return codes, cent / jnp.linalg.norm(cent, axis=1,
+                                                 keepdims=True)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def placeq(c3, sc, uc, usc, start):
+            return (jax.lax.dynamic_update_slice(c3, uc, (start, 0, 0)),
+                    jax.lax.dynamic_update_slice(sc, usc, (start, 0)))
+
+        packed3 = jnp.zeros((S, _SEG_W // pf, half * pf), jnp.int8)
+        seg_cent = jnp.zeros((S, dim), jnp.float32)
+        starts = list(range(0, S - ch_seg + 1, ch_seg))
+        if S % ch_seg:
+            starts.append(S - ch_seg)
+        for i, s0 in enumerate(starts):
+            uc, usc = make_chunkq(jax.random.PRNGKey(600 + i))
+            packed3, seg_cent = placeq(packed3, seg_cent, uc, usc,
+                                       jnp.int32(s0))
+        valid2 = jnp.ones((S, _SEG_W), bool)
+        cent = (jax.random.normal(jax.random.PRNGKey(7),
+                                  (m, PQ_K, dsub), jnp.float32)
+                / np.sqrt(dim).astype(np.float32))
+
+        @jax.jit
+        def make_queries(key):
+            q = jax.random.normal(key, (32, dim), jnp.float32)
+            return q / jnp.linalg.norm(q, axis=1, keepdims=True)
+
+        qrows = make_queries(jax.random.PRNGKey(8))
+        queries = [qrows[i:i + 1] for i in range(32)]
+
+        def make_fn(P):
+            return lambda q: _ivf_kernel_pq(
+                packed3, cent, seg_cent, valid2, q, P, kk)
     elif storage == "int8":
         ch_rows = min(max(n_vectors, _SEG_W),
                       int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
@@ -638,7 +712,7 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         ms = _slope_time(one, np.asarray, max(trials // 8, 2), trials) * 1e3
         # log the dtype actually built: the bf16 IVF path reuses the
         # f32/quant kernels, so labeling it "bf16 storage" would be a lie
-        built = storage if storage in ("int8", "int4") else "f32"
+        built = storage if storage in ("int8", "int4", "pq") else "f32"
         log(f"  ivf nprobe={nprobe} (P={P} of {S} segments, {built} "
             f"storage): {ms:.3f} ms")
         out[f"ivf_p50_ms_nprobe{nprobe}"] = ms
@@ -754,10 +828,7 @@ def main() -> int:
               else bench_search(args.corpus, args.dim, 50, args.trials,
                                 dtype=args.corpus_dtype,
                                 skip_quant=args.skip_quant))
-    # pq does not compose with IVF (clipx/cli/common.py) — skip rather
-    # than silently timing an f32 IVF under a pq label
     ivf = ({} if args.skip_search or args.skip_ivf
-           or args.corpus_dtype == "pq"
            else bench_ivf(args.corpus, args.dim, 50, args.trials,
                           probes=tuple(int(p) for p in
                                        args.ivf_probes.split(",")),
@@ -832,7 +903,7 @@ def main() -> int:
         # (bf16 only changes corpus HBM, not this kernel), so those
         # labels carry no dtype suffix
         ivf_lab = (size_lab + f"_{args.corpus_dtype}"
-                   if args.corpus_dtype in ("int8", "int4")
+                   if args.corpus_dtype in ("int8", "int4", "pq")
                    else size_lab)
         result[f"query_{key}_{ivf_lab}"] = round(v, 3)
     if search5m:

@@ -149,8 +149,12 @@ def _local_topk_kernel_pq(codes_local: jax.Array, centroids: jax.Array,
     """pq-STORAGE shard kernel (--corpus-dtype pq): packed 4-bit PQ
     codes are the corpus; the one-hot LUT-matmul scan + f32-LUT rescore
     of pq._pq_topk runs per shard against the replicated codebooks,
-    with this shard's global row base."""
-    base = jax.lax.axis_index(AXIS) * codes_local.shape[0]
+    with this shard's global row base. The shard array is lane-paired
+    (pq.pack_factor) — its LOGICAL row count is phys_rows * pf."""
+    from clipx.search.pq import pack_factor
+
+    pf = pack_factor(centroids.shape[0] // 2)
+    base = jax.lax.axis_index(AXIS) * (codes_local.shape[0] * pf)
     d, gi = _pq_topk(codes_local, centroids, valid_total, queries, k,
                      base=base)
     return _merge_across_shards(d, gi, merge_k)
@@ -285,11 +289,16 @@ class ShardedVectorIndex:
         return self._update_fns[key]
 
     def _place_pq(self, codes: np.ndarray) -> None:
+        from clipx.search.pq import pair_rows_host
+
         n_shards = self.mesh.shape[AXIS]
         rows = _shard_rows(codes.shape[0], n_shards, pq=True)
         pc = np.zeros((rows * n_shards, self._code_dim), np.int8)
         pc[: codes.shape[0]] = codes
-        self._codes = jax.device_put(pc, self._sharding())
+        # lane-paired physical layout (pq.pack_factor); per-shard rows
+        # stay pf-aligned (_shard_rows is 128-multiple)
+        self._codes = jax.device_put(pair_rows_host(pc),
+                                     self._sharding())
 
     def _update_pq_fn(self, pad_len: int):
         key = ("pq", pad_len)
@@ -313,11 +322,14 @@ class ShardedVectorIndex:
         dim, dtype, sharding = self.dim, self.dtype, self._sharding()
 
         if self.pq_storage:
-            cdim = self._code_dim
+            from clipx.search.pq import pack_factor
+
+            pf = pack_factor(self._code_dim)
+            cdim_phys = self._code_dim * pf
 
             @functools.partial(jax.jit, out_shardings=sharding)
             def regrowp(c):
-                nc = jnp.zeros((new_cap, cdim), jnp.int8)
+                nc = jnp.zeros((new_cap // pf, cdim_phys), jnp.int8)
                 return jax.lax.dynamic_update_slice(nc, c, (0, 0))
 
             self._codes = regrowp(self._codes)
@@ -424,6 +436,10 @@ class ShardedVectorIndex:
         queries, nq = _pad_q(queries)  # Q buckets: one compile per
         n_shards = self.mesh.shape[AXIS]  # power-of-two fill, not per N
         cap = (self._codes if self.coded_storage else self._corpus).shape[0]
+        if self.pq_storage:
+            from clipx.search.pq import pack_factor
+
+            cap *= pack_factor(self._code_dim)  # lane-paired rows
         rows_per_shard = cap // n_shards
         kk = min(_bucket_k(k), rows_per_shard)
         # merge over the gathered n_shards * kk pool, not just kk: when

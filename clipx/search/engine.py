@@ -793,10 +793,14 @@ class VectorIndex:
         return self._update_fns[key]
 
     def _place_pq(self, codes: np.ndarray) -> None:
+        from clipx.search.pq import pair_rows_host
+
         bucket = _bucket_rows(codes.shape[0])
         pc = np.zeros((bucket, self._code_dim), np.int8)
         pc[: codes.shape[0]] = codes
-        self._codes = jax.device_put(pc)
+        # lane-paired physical layout (pq.pack_factor): narrow int8
+        # arrays otherwise pad to 128 lanes/row in HBM
+        self._codes = jax.device_put(pair_rows_host(pc))
 
     def _update_pq_fn(self, pad_len: int):
         key = ("pq", pad_len)
@@ -812,11 +816,14 @@ class VectorIndex:
         new_cap = _bucket_rows(need)
 
         if self.pq_storage:
-            cdim = self._code_dim
+            from clipx.search.pq import pack_factor
+
+            pf = pack_factor(self._code_dim)
+            cdim_phys = self._code_dim * pf
 
             @jax.jit
             def regrowp(c):
-                nc = jnp.zeros((new_cap, cdim), jnp.int8)
+                nc = jnp.zeros((new_cap // pf, cdim_phys), jnp.int8)
                 return jax.lax.dynamic_update_slice(nc, c, (0, 0))
 
             self._codes = regrowp(self._codes)
@@ -871,6 +878,10 @@ class VectorIndex:
         queries, nq = _pad_q(queries)
         cap_rows = (self._codes if self.coded_storage
                     else self._corpus).shape[0]
+        if self.pq_storage:
+            from clipx.search.pq import pack_factor
+
+            cap_rows *= pack_factor(self._code_dim)  # lane-paired rows
         kk = min(_bucket_k(k), cap_rows)
         if self.pq_storage:
             from clipx.search.pq import _search_kernel_pq
@@ -925,7 +936,12 @@ class VectorIndex:
         if not (0 <= row < self.ntotal):
             raise IndexError(row)
         if self.pq_storage:
-            v = self._pq.decode(np.asarray(self._codes[row])[None, :])[0]
+            from clipx.search.pq import pack_factor
+
+            pf = pack_factor(self._code_dim)
+            pair = np.asarray(self._codes[row // pf]).reshape(
+                pf, self._code_dim)
+            v = self._pq.decode(pair[row % pf][None, :])[0]
             return v @ self._rot.T if self._rot is not None else v
         if self.int4_storage:
             c = unpack_int4_host(np.asarray(self._codes[row])[None, :])
@@ -941,14 +957,21 @@ class VectorIndex:
         if self.coded_storage:
             if self._codes is None:
                 return np.zeros((0, self.dim), dtype=np.float32)
-            c = np.asarray(self._codes[: self.ntotal])
             if self.pq_storage:
+                from clipx.search.pq import pack_factor
+
+                pf = pack_factor(self._code_dim)
+                c = np.asarray(
+                    self._codes[: -(-self.ntotal // pf)]
+                ).reshape(-1, self._code_dim)[: self.ntotal]
                 deq = self._pq.decode(c)
-            else:
-                if self.int4_storage:
-                    c = unpack_int4_host(c)
-                deq = (c.astype(np.float32)
-                       * np.asarray(self._scales[: self.ntotal])[:, None])
+                return rotate_rows(deq, None if self._rot is None
+                                   else self._rot.T)
+            c = np.asarray(self._codes[: self.ntotal])
+            if self.int4_storage:
+                c = unpack_int4_host(c)
+            deq = (c.astype(np.float32)
+                   * np.asarray(self._scales[: self.ntotal])[:, None])
             # unrotate so callers see user-space rows (sidecar order)
             return rotate_rows(deq, None if self._rot is None
                                else self._rot.T)

@@ -77,14 +77,16 @@ def _qcap(P: int, dim: int, quantized: bool, k: int,
     must be budgeted or device transients reach ~5x the intended cap.
     int8 STORAGE rescoring gathers int8 candidate rows and dequantizes
     them to f32 (1 + 4 bytes per element) instead of gathering stored
-    f32 rows. pq STORAGE (``pq_mk`` = M*16 > 0) materializes the
-    (Q, P*W, M*16) int8 one-hot of the probed rows plus the
+    f32 rows. pq STORAGE (``pq_mk`` = M*16 > 0) materializes one
+    CHUNK's (Q, pc*W, M*16) int8 one-hot at a time (the probe body
+    chunks probed segments — ``_probe_chunk_segs``) plus the
     (Q, 4k, M*16) f32 rescore one-hot — the one-hot expansion, not the
     tiny packed gather, is what the budget must bound."""
     if pq_mk:
         m_cand = min(pq_lib.PQ_RESCORE_MARGIN * engine._bucket_k(k),
                      P * _SEG_W)
-        per_q = pq_mk * (P * _SEG_W + 4 * m_cand)
+        pc = _probe_chunk_segs(P, _SEG_W)
+        per_q = pq_mk * (pc * _SEG_W + 4 * m_cand)
     elif int8_storage:
         s = min(engine._bucket_k(k), P * _SEG_W, P)
         per_q = _SEG_W * dim * (P + 5 * s)
@@ -308,6 +310,28 @@ def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
                             scan_raw=_scan_raw_int4(packed3))
 
 
+def _probe_chunk_segs(P: int, W: int) -> int:
+    """Probed-segment chunk size for the PQ probe body: the largest
+    bucket-form divisor of ``P`` (so chunks tile the probe exactly)
+    whose row count is Pallas-tile-aligned (pc*W <= _TILE or a multiple
+    of it) and stays under ~32k rows — bounding the per-chunk one-hot
+    transient regardless of nprobe. Unchunked, a capacity-scale probe
+    one-hot reaches gigabytes (64M rows at nprobe=2 -> 1.3M probed rows
+    x M*16 = 5 GiB for 512-d dsub=2)."""
+    from clipx.ops.pq_scan import _TILE
+
+    align = max(1, _TILE // W)
+    target = max(align, 32768 // W)
+    best, b = 1, 1
+    while b <= P:
+        for c in (b, b + b // 2):
+            if (0 < c <= target and P % c == 0
+                    and (c <= align or c % align == 0)):
+                best = max(best, c)
+        b *= 2
+    return best
+
+
 def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
                    valid2: jax.Array, queries: jax.Array,
                    seg_idx: jax.Array, k: int, seg_offset=0
@@ -319,38 +343,93 @@ def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
     candidates against the f32 LUT — returned scores are exact PQ
     scores, identical semantics to pq._pq_topk applied to the probed
     fraction. ``seg_offset`` shifts segment ids to global for sharded
-    callers."""
+    callers.
+
+    The scan is chunked over probed segments (``_probe_chunk_segs``)
+    under ``lax.map`` so the 16x one-hot expansion never exceeds one
+    chunk — required at capacity scale, where nprobe=2 over tens of
+    millions of rows probes millions. Single-query calls (the serve
+    latency path) route each chunk through the Pallas VMEM scan
+    (clipx/ops/pq_scan.py, same CLIPX_PQ_SCAN knob as the full scan),
+    which skips the HBM one-hot expansion entirely; scores are bitwise
+    equal between routes (integer sums, exact in f32)."""
+    import os
+
     nq = queries.shape[0]
-    P, W = seg_idx.shape[1], packed3.shape[1]
-    mk = 2 * packed3.shape[2] * pq_lib.PQ_K
+    half = centroids.shape[0] // 2
+    # segments are lane-paired (pq.pack_factor): (S, W/pf, half*pf)
+    pf = packed3.shape[2] // half
+    P, W = seg_idx.shape[1], packed3.shape[1] * pf
+    mk = 2 * half * pq_lib.PQ_K
     lut, luti = pq_lib.quantized_luts(queries, centroids)
     iota16 = jnp.arange(pq_lib.PQ_K, dtype=jnp.uint8)
-    codes = pq_lib._unpack_codes4(packed3[seg_idx])       # (Q,P,W,M) u8
-    onehot = (codes[..., None] == iota16).astype(jnp.int8)
-    raw = jax.lax.dot_general(
-        onehot.reshape(nq, P * W, mk), luti,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)                 # (Q, P*W)
-    vmask = valid2[seg_idx].reshape(nq, P * W)
-    approx = jnp.where(vmask, raw.astype(jnp.float32), -jnp.inf)
-    kk = min(k, P * W)
-    m_cand = min(pq_lib.PQ_RESCORE_MARGIN * kk, P * W)
-    _, sel = jax.lax.top_k(approx, m_cand)                # (Q, m)
-    cand = jnp.take_along_axis(codes.reshape(nq, P * W, -1),
-                               sel[..., None], axis=1)    # (Q, m, M)
-    oneh = (cand[..., None] == iota16).astype(jnp.float32)
+    rows = P * W
+    kk = min(k, rows)
+    m_cand = min(pq_lib.PQ_RESCORE_MARGIN * kk, rows)
+    pc = _probe_chunk_segs(P, W)
+    rows_c = pc * W
+    n_chunks = P // pc
+    m_chunk = min(m_cand, rows_c)
+
+    use_pallas = nq == 1 and pq_lib._use_pallas_scan(rows_c)
+    if use_pallas:
+        from clipx.ops.pq_scan import pq_scan_scores
+
+        ldt = (jnp.bfloat16
+               if os.environ.get("CLIPX_PQ_LUT", "int8") == "bf16"
+               else jnp.int8)
+        lut_col = luti.T.astype(ldt)                     # (mk, 1)
+
+    def scan_chunk(c):
+        cs = jax.lax.dynamic_slice_in_dim(seg_idx, c * pc, pc, axis=1)
+        g = packed3[cs]                          # (Q,pc,W/pf,half*pf)
+        if pf > 1:  # chunk-local reshape back to logical row order
+            g = g.reshape(nq, pc, W, half)
+        vm = valid2[cs].reshape(nq, rows_c)
+        if use_pallas:
+            raw = pq_scan_scores(g.reshape(rows_c, half), lut_col)
+        else:
+            codes = pq_lib._unpack_codes4(g)           # (Q,pc,W,M) u8
+            onehot = (codes[..., None] == iota16).astype(jnp.int8)
+            raw = jax.lax.dot_general(
+                onehot.reshape(nq, rows_c, mk), luti,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32)      # (Q, rows_c)
+        approx = jnp.where(vm, raw.astype(jnp.float32), -jnp.inf)
+        d, li = jax.lax.top_k(approx, m_chunk)         # (Q, m_chunk)
+        return d, li + c * rows_c
+
+    if n_chunks == 1:
+        d_ap, cand = scan_chunk(jnp.int32(0))          # (Q, m_cand)
+    else:
+        ds, lis = jax.lax.map(scan_chunk,
+                              jnp.arange(n_chunks, dtype=jnp.int32))
+        d_all = ds.transpose(1, 0, 2).reshape(nq, -1)
+        i_all = lis.transpose(1, 0, 2).reshape(nq, -1)
+        d_ap, pos = jax.lax.top_k(d_all, m_cand)
+        cand = jnp.take_along_axis(i_all, pos, axis=1)  # (Q, m_cand)
+
+    # f32-LUT rescore of the candidates (flat probed-space index ->
+    # segment + row): exact PQ scores, query-side rounding cancels
+    cseg, crow = cand // W, cand % W
+    gseg = jnp.take_along_axis(seg_idx, cseg, axis=1)   # (Q, m)
+    if pf > 1:  # candidate rows live inside lane-paired physical rows
+        pairs = packed3[gseg, crow // pf]               # (Q,m,half*pf)
+        pairs = pairs.reshape(nq, m_cand, pf, half)
+        rows_p = jnp.take_along_axis(
+            pairs, (crow % pf)[..., None, None], axis=2)[:, :, 0]
+    else:
+        rows_p = packed3[gseg, crow]
+    cand_codes = pq_lib._unpack_codes4(rows_p)          # (Q,m,M)
+    oneh = (cand_codes[..., None] == iota16).astype(jnp.float32)
     exact = jax.lax.dot_general(
         oneh.reshape(nq, m_cand, mk), lut,
         (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # (Q, m)
-    gids = (((seg_idx + seg_offset)[:, :, None] * W
-             + jnp.arange(W, dtype=jnp.int32)[None, None, :])
-            .reshape(nq, P * W))
-    gcand = jnp.take_along_axis(gids, sel, axis=1)
-    exact = jnp.where(jnp.take_along_axis(vmask, sel, axis=1),
-                      exact, -jnp.inf)
+        preferred_element_type=jnp.float32)             # (Q, m)
+    exact = jnp.where(valid2[gseg, crow], exact, -jnp.inf)
+    gids = (gseg + seg_offset) * W + crow
     d, s2 = jax.lax.top_k(exact, kk)
-    return d, jnp.take_along_axis(gcand, s2, axis=1)
+    return d, jnp.take_along_axis(gids, s2, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "k"))
@@ -567,8 +646,15 @@ class IVFIndex:
                 codes, scales = engine.quantize_rows_rotated(
                     padded, self._rot, self.int4_storage)
             self._corpus3 = None
-            self._codes3 = jnp.asarray(
-                codes.reshape(segs, _SEG_W, codes.shape[1]))
+            if self.pq_storage:
+                # lane-paired physical segments (pq.pack_factor):
+                # (S, W/pf, cdim*pf), byte-identical to (S, W, cdim)
+                pf = pq_lib.pack_factor(codes.shape[1])
+                self._codes3 = jnp.asarray(codes.reshape(
+                    segs, _SEG_W // pf, codes.shape[1] * pf))
+            else:
+                self._codes3 = jnp.asarray(
+                    codes.reshape(segs, _SEG_W, codes.shape[1]))
             self._scales2 = (None if scales is None
                              else jnp.asarray(scales.reshape(segs,
                                                              _SEG_W)))
@@ -727,9 +813,15 @@ class IVFIndex:
         if row < self._base_n:
             pos = int(self._pos_of_ext[row])
             if self.pq_storage:
-                flat_c = self._codes3.reshape(-1,
-                                              self._codes3.shape[-1])
-                v = self._pq.decode(np.asarray(flat_c[pos])[None, :])[0]
+                # segments are lane-paired: fetch the one physical row
+                # holding this position (a device-wide reshape to
+                # logical rows would relayout the whole corpus)
+                cdim = self._pq.m // 2
+                pf = pq_lib.pack_factor(cdim)
+                seg, off = pos // _SEG_W, pos % _SEG_W
+                pair = np.asarray(
+                    self._codes3[seg, off // pf]).reshape(pf, cdim)
+                v = self._pq.decode(pair[off % pf][None, :])[0]
                 return v @ self._rot.T if self._rot is not None else v
             if self.int4_storage:
                 flat_c = self._codes3.reshape(-1, self.dim // 2)
@@ -760,7 +852,10 @@ class IVFIndex:
             # one-shot (rows, dim) f32 product would transiently hold
             # ~3x the full f32 corpus in host RAM at this tier's 24M-row
             # design scale (the tier exists because f32 doesn't fit).
-            code_dim = self._codes3.shape[-1]
+            # host-side reshape to LOGICAL rows (for pq the device
+            # array is lane-paired; bytes are row-major either way)
+            code_dim = (self._pq.m // 2 if self.pq_storage
+                        else self._codes3.shape[-1])
             codes = np.asarray(self._codes3).reshape(-1, code_dim)
             scales = (None if self._scales2 is None
                       else np.asarray(self._scales2,
@@ -927,9 +1022,17 @@ class ShardedIVFIndex(IVFIndex):
                 codes, scales = engine.quantize_rows_rotated(
                     padded, self._rot, self.int4_storage)
             self._corpus3 = None
-            self._codes3 = jax.device_put(
-                codes.reshape(segs_pad, _SEG_W, codes.shape[1]),
-                self._spec(2))
+            if self.pq_storage:
+                # lane-paired physical segments (pq.pack_factor)
+                pf = pq_lib.pack_factor(codes.shape[1])
+                self._codes3 = jax.device_put(
+                    codes.reshape(segs_pad, _SEG_W // pf,
+                                  codes.shape[1] * pf),
+                    self._spec(2))
+            else:
+                self._codes3 = jax.device_put(
+                    codes.reshape(segs_pad, _SEG_W, codes.shape[1]),
+                    self._spec(2))
             self._scales2 = (None if scales is None
                              else jax.device_put(
                                  scales.reshape(segs_pad, _SEG_W),

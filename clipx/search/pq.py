@@ -46,6 +46,15 @@ clipx.search.engine.corpus_rotation before training/encoding — random
 rotation is the OPQ-lite trick from the PQ literature and measurably
 lifts recall on anisotropic (CLIP-like) embeddings.
 
+Physical layout: device code arrays are LANE-PAIRED (``pack_factor``):
+TPU int8 tiles are 128 lanes wide, so a (N, M/2) array with M/2 < 128
+allocates 128 B/row regardless of M — measured on v5e: a dsub=4
+s8[201M, 64] corpus requested 25.7 GiB, silently erasing the tier's
+capacity advantage over dsub=2. Codes therefore live as
+(N/pf, (M/2)*pf) — pf consecutive logical rows per physical row, byte
+order identical to row-major — and every consumer recovers logical
+rows with chunk-local reshapes.
+
 Training is deterministic (fixed seed) host-side k-means, vectorized
 across subspaces through BLAS; codebooks are trained on the FIRST batch
 added and frozen — later adds encode against them, exactly faiss's
@@ -79,6 +88,36 @@ def is_pq(dtype) -> bool:
     """True for the ``--corpus-dtype pq`` sentinel (the tier has no jnp
     dtype — storage is packed uint4 code indices, not numbers)."""
     return isinstance(dtype, str) and dtype.lower() == "pq"
+
+
+def pack_factor(half: int) -> int:
+    """TPU lane-pairing factor for the PHYSICAL code array. int8 arrays
+    tile to (8, 128)-lane tiles, so a (N, half) array with half < 128
+    silently allocates 128 B/row whatever ``half`` is — measured: an
+    s8[201M, 64] dsub=4 corpus requested 25.7 GiB (128 B/row), erasing
+    the tier's entire capacity advantage. Codes are therefore stored
+    row-paired as (N/pf, half*pf) — ``pf`` consecutive logical rows per
+    physical row, byte order identical to row-major (N, half) — which
+    restores byte-exact HBM cost. Consumers recover logical (rows,
+    half) order with chunk-local reshapes (free on CPU, a chunk-bounded
+    relayout on TPU). Placement pads row counts to multiples of ``pf``
+    (every engine._bucket_rows / mips._shard_rows value already is)."""
+    pf = 1
+    while half * pf * 2 <= 128:
+        pf *= 2
+    return pf
+
+
+def pair_rows_host(codes: np.ndarray) -> np.ndarray:
+    """(N, half) host codes -> the (N/pf, half*pf) physical layout
+    (a pure reshape — same bytes). N must be a pf multiple."""
+    pf = pack_factor(codes.shape[1])
+    if pf == 1:
+        return codes
+    if codes.shape[0] % pf:
+        raise ValueError(f"row count {codes.shape[0]} not a multiple "
+                         f"of the pack factor {pf}")
+    return codes.reshape(codes.shape[0] // pf, codes.shape[1] * pf)
 
 
 def pq_dsub() -> int:
@@ -304,14 +343,14 @@ def _use_pallas_scan(n: int) -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _pq_scan_chunk_xla(packed, luti, valid, m_cand, start, base, chunk,
+def _pq_scan_chunk_xla(p, luti, valid, m_cand, start, base, chunk,
                        iota16):
-    """One XLA scan chunk: unpack -> one-hot int8 -> LUT matmul ->
-    per-chunk top-m. The one-hot operand materializes through HBM
-    (16x the code bytes) — kept as the CPU/test path and the
-    CLIPX_PQ_SCAN=xla fallback; the Pallas kernel is the TPU default."""
-    mk = 2 * packed.shape[1] * PQ_K
-    p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
+    """One XLA scan chunk (``p``: the pre-sliced (chunk, half) LOGICAL
+    code rows): unpack -> one-hot int8 -> LUT matmul -> per-chunk
+    top-m. The one-hot operand materializes through HBM (16x the code
+    bytes) — kept as the CPU/test path and the CLIPX_PQ_SCAN=xla
+    fallback; the Pallas kernel is the TPU default."""
+    mk = 2 * p.shape[1] * PQ_K
     codes = _unpack_codes4(p)                           # (chunk, M) u8
     onehot = (codes[:, :, None] == iota16).astype(jnp.int8)
     raw = jax.lax.dot_general(
@@ -336,8 +375,18 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
     Returned scores are the exact f32 PQ (reconstruction) scores; the
     int8 LUT rounding affects candidate selection only, and the 4x
     candidate margin absorbs it (RMS ~3.3 LUT steps over M terms vs the
-    tier's inherent ~1e-2 reconstruction noise)."""
-    n, half = packed.shape
+    tier's inherent ~1e-2 reconstruction noise).
+
+    ``packed`` arrives in the PHYSICAL lane-paired layout (see
+    ``pack_factor``): (n/pf, half*pf), pf consecutive logical rows per
+    physical row. The logical view is recovered with chunk-local
+    reshapes so no full-corpus relayout transient ever exists."""
+    half = centroids.shape[0] // 2
+    pf = packed.shape[1] // half
+    if packed.shape[1] != half * pf:
+        raise ValueError(f"code width {packed.shape[1]} is not a "
+                         f"multiple of M/2 = {half}")
+    n = packed.shape[0] * pf
     nq = queries.shape[0]
     mk = 2 * half * PQ_K
     lut, luti = quantized_luts(queries, centroids)          # (Q, M*16)
@@ -368,17 +417,26 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
                          f"({chunk}) — placement must pad to "
                          "engine._bucket_rows")
     m_cand = min(PQ_RESCORE_MARGIN * k, chunk)
+    if chunk % pf:
+        raise ValueError(f"scan chunk {chunk} not a pack-factor ({pf}) "
+                         "multiple")
+
+    def slice_logical(start):
+        # physical slice + chunk-local reshape back to logical rows
+        p = jax.lax.dynamic_slice_in_dim(packed, start // pf,
+                                         chunk // pf)
+        return p.reshape(chunk, half) if pf > 1 else p
 
     def scan_chunk(start):
+        p = slice_logical(start)
         if use_pallas:
-            p = jax.lax.dynamic_slice_in_dim(packed, start, chunk)
             approx = pq_scan_scores(p, lut_arg)             # (Q, chunk)
             rid = (jax.lax.broadcasted_iota(jnp.int32, approx.shape, 1)
                    + base + start)
             approx = jnp.where(rid < valid, approx, -jnp.inf)
             d, li = _exact_topk(approx, m_cand)
             return d, li + start
-        return _pq_scan_chunk_xla(packed, luti, valid, m_cand, start,
+        return _pq_scan_chunk_xla(p, luti, valid, m_cand, start,
                                   base, chunk, iota16)
 
     if n == chunk:
@@ -393,7 +451,16 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
 
     # f32-LUT rescore of the candidates: one small batched one-hot
     # matmul — exact PQ scores, query-side int8 rounding cancels
-    rows = _unpack_codes4(packed[cand])                     # (Q, m, M) u8
+    if pf > 1:
+        # candidate rows live inside lane-paired physical rows: gather
+        # the pair, then pick the candidate's slot
+        pairs = packed[cand // pf]                          # (Q,m,half*pf)
+        pairs = pairs.reshape(nq, m_cand, pf, half)
+        rows_p = jnp.take_along_axis(
+            pairs, (cand % pf)[..., None, None], axis=2)[:, :, 0]
+    else:
+        rows_p = packed[cand]
+    rows = _unpack_codes4(rows_p)                           # (Q, m, M) u8
     oneh = (rows[..., None] == iota16).astype(jnp.float32)
     exact = jax.lax.dot_general(
         oneh.reshape(nq, m_cand, mk), lut,
@@ -429,18 +496,30 @@ def _pq_append(index, vectors: np.ndarray) -> None:
     if index._pq is None:
         index._pq = PQCodebook.train(rows)
     codes = index._pq.encode(rows)
-    n_new = codes.shape[0]
+    n_new, cdim = codes.shape
     if index._codes is None:
         index._place_pq(codes)
         index.ntotal = n_new
         return
+    # the device array is lane-paired (pack_factor): updates write
+    # whole PHYSICAL rows, so the block starts at the pf-aligned base
+    # and, when ntotal lands mid-pair, restores the already-stored
+    # prefix rows from the device copy (one ~128-byte D2H)
+    pf = pack_factor(cdim)
+    start = index.ntotal
+    base = start - start % pf
+    prefix = start % pf
     pad_len = 128
-    while pad_len < n_new:
+    while pad_len < n_new + prefix:
         pad_len *= 2
-    if index.ntotal + pad_len > index._codes.shape[0]:
-        index._grow(index.ntotal + pad_len)
-    uc = np.zeros((pad_len, codes.shape[1]), np.int8)
-    uc[:n_new] = codes
-    index._codes = index._update_pq_fn(pad_len)(
-        index._codes, jnp.asarray(uc), jnp.int32(index.ntotal))
+    if base + pad_len > index._codes.shape[0] * pf:
+        index._grow(base + pad_len)
+    uc = np.zeros((pad_len, cdim), np.int8)
+    if prefix:
+        head = np.asarray(index._codes[base // pf]).reshape(pf, cdim)
+        uc[:prefix] = head[:prefix]
+    uc[prefix: prefix + n_new] = codes
+    index._codes = index._update_pq_fn(pad_len // pf)(
+        index._codes, jnp.asarray(pair_rows_host(uc)),
+        jnp.int32(base // pf))
     index.ntotal += n_new

@@ -124,7 +124,11 @@ def test_add_and_grow():
         idx.add(_unit(rng, 2500, 32))
     assert idx.ntotal == 7600
     assert idx._codes.dtype == jnp.int8
-    assert idx._codes.shape[1] == idx._code_dim
+    # physical layout is lane-paired (pq.pack_factor): pf logical rows
+    # per 128-byte-wide physical row
+    pf = pq_lib.pack_factor(idx._code_dim)
+    assert idx._codes.shape[1] == idx._code_dim * pf
+    assert idx._codes.shape[0] * pf >= idx.ntotal
     # codebooks froze at the first add (faiss train-once semantics)
     np.testing.assert_array_equal(idx._pq.centroids, first_cb)
     D, I = idx.search(_unit(rng, 1, 32), k=5)
@@ -327,3 +331,47 @@ def test_empty_then_add_sharded():
     sh.add(vecs)
     D, I = sh.search(vecs[:2], k=1)
     np.testing.assert_array_equal(I[:, 0], [0, 1])
+
+
+def test_probe_chunk_segs_divides_and_aligns():
+    """The probe-body chunk (clipx/search/ivf.py:_probe_chunk_segs)
+    must tile every bucket-form P exactly and stay Pallas-tile-aligned
+    so the one-hot transient is bounded at capacity-scale nprobe."""
+    from clipx.ops.pq_scan import _TILE
+    from clipx.search.ivf import _bucket_probe, _probe_chunk_segs
+
+    W = 64
+    align = _TILE // W
+    for raw in (1, 2, 3, 7, 48, 100, 1000, 20000, 500000, 1572864):
+        P = _bucket_probe(raw)
+        pc = _probe_chunk_segs(P, W)
+        assert P % pc == 0
+        assert pc * W <= 65536  # the one-hot bound (~32k rows, x2 pad)
+        assert pc <= align or pc % align == 0
+
+
+def test_ivf_pq_probe_pallas_route_matches_xla(monkeypatch):
+    """Q=1 probes route through the Pallas VMEM scan on TPU; scores and
+    ids must be bitwise equal to the XLA one-hot path (interpret mode
+    exercises the kernel on CPU)."""
+    from clipx.search.ivf import _ivf_kernel_pq
+    from clipx.search.pq import PQ_K
+
+    rng = np.random.default_rng(21)
+    S, W, half, dim = 96, 64, 16, 64  # M=32, dsub=2; P=48 -> 2 chunks
+    packed3 = jnp.asarray(rng.integers(-128, 128, (S, W, half)), jnp.int8)
+    cent = jnp.asarray(rng.normal(size=(2 * half, PQ_K, 2)) / 8,
+                       jnp.float32)
+    seg_cent = jnp.asarray(rng.normal(size=(S, dim)), jnp.float32)
+    valid2 = jnp.ones((S, W), bool)
+    q = jnp.asarray(rng.normal(size=(1, dim)), jnp.float32)
+    q /= jnp.linalg.norm(q)
+
+    monkeypatch.setenv("CLIPX_PQ_SCAN", "xla")
+    d1, i1 = _ivf_kernel_pq(packed3, cent, seg_cent, valid2, q, 48, 10)
+    jax.clear_caches()
+    monkeypatch.setenv("CLIPX_PQ_SCAN", "pallas")
+    d2, i2 = _ivf_kernel_pq(packed3, cent, seg_cent, valid2, q, 48, 10)
+    jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
