@@ -255,6 +255,36 @@ def _index_phase(args, env) -> None:
             writer.write(np.stack(chunk))
         print("Saving index...")
         writer.close()
+        _write_codes_phase(args, writer.content_hash)
+
+
+def _write_codes_phase(args, content_hash) -> None:
+    """When the build runs with a coded --corpus-dtype, also persist
+    the ``<index>.codes`` sidecar (clipx/search/codes_io.py) so query
+    and serve starts load codes instead of re-encoding — the faiss
+    property of persisting the TRAINED, ENCODED index
+    (reference:build-index.py:109). Reads back the just-written sidecar
+    memmapped; host RAM stays one encode chunk at any corpus size.
+    Failure here is non-fatal: the f32 sidecar is already durable and
+    the query-time fallback rebuilds codes on first load."""
+    import sys
+
+    from clipx.search import codes_io
+    from clipx.search.engine import corpus_rotation, read_index_vectors
+
+    tier = codes_io.tier_of(common.corpus_dtype(args))
+    if tier is None or codes_io.codes_mode() == "off":
+        return
+    try:
+        vectors = read_index_vectors(args.index, mmap=True)
+        print(f"Encoding {tier} codes...")
+        codes_io.write_codes_file(
+            args.index, vectors, tier,
+            rot=corpus_rotation(vectors.shape[1]),
+            content_hash=content_hash)
+    except (OSError, ValueError) as exc:
+        print(f"(codes sidecar not written: {exc})", file=sys.stderr,
+              flush=True)
 
 
 def _flush_ids(env, idx_db, pending) -> None:

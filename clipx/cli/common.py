@@ -100,11 +100,98 @@ def load_index(args):
     """Load the vector index per the CLI flags: single-device, or the
     corpus-sharded variant across every visible chip (--sharded /
     $CLIPX_SHARDED; BASELINE.json config 5), with --search-mode applied
-    to whichever branch wins. Shared by the query REPL and clipx.serve."""
+    to whichever branch wins. Shared by the query REPL and clipx.serve.
+
+    Coded tiers (--corpus-dtype int8/int4/pq) go through the
+    ``<index>.codes`` sidecar (clipx/search/codes_io.py): a fresh codes
+    file loads directly — no f32 read, quantization, or PQ training —
+    and a missing/stale one is rebuilt from the (memmapped) f32 sidecar
+    and persisted for the next start, the faiss write_index/read_index
+    lifecycle (reference:build-index.py:109, reference:query-index.py:29)."""
+    idx = load_coded_index(args)
+    if idx is not None:
+        return idx
     from clipx.search.engine import read_index_vectors
 
     # host read; placed onto devices exactly once in the builder below
     return build_index_from_vectors(read_index_vectors(args.index), args)
+
+
+def load_coded_index(args):
+    """The codes-sidecar load path; None -> caller uses the f32 path
+    (uncoded tier, CLIPX_CODES=off, write failure, or an IVF request
+    whose .ivf cache predates v2 — the f32 fallback re-saves both
+    artifacts, so the next start takes this path)."""
+    from clipx.search import codes_io
+    from clipx.search.engine import (corpus_rotation, read_index_vectors,
+                                     rotation_enabled)
+
+    dtype = corpus_dtype(args)
+    tier = codes_io.tier_of(dtype)
+    mode = codes_io.codes_mode()
+    if tier is None or mode == "off" or not os.path.exists(args.index):
+        return None
+    payload = None
+    if mode == "on":
+        payload = codes_io.load_codes(args.index, tier,
+                                      rotated=rotation_enabled())
+    if payload is None:
+        # stale or absent: encode from the memmapped sidecar (bounded
+        # host RAM at any corpus size) and persist for the next start
+        try:
+            vectors = read_index_vectors(args.index, mmap=True)
+            codes_io.write_codes_file(
+                args.index, vectors, tier,
+                rot=corpus_rotation(vectors.shape[1]),
+                content_hash=codes_io.sidecar_full_hash(args.index))
+        except (OSError, ValueError):
+            return None  # unwritable dir / corrupt sidecar: old path
+        payload = codes_io.load_codes(args.index, tier,
+                                      rotated=rotation_enabled())
+        if payload is None:
+            return None
+    idx = build_index_from_codes(payload, args)
+    if idx is not None:
+        import sys
+
+        print(f"(loaded {payload['ntotal']} {tier} rows from "
+              f"{codes_io.codes_path(args.index)})",
+              file=sys.stderr, flush=True)
+    return idx
+
+
+def build_index_from_codes(payload, args):
+    """Place a loaded codes payload as the flag-selected index type
+    (flat / sharded / IVF). None when the IVF composition lacks a v2
+    layout cache — the caller's f32 path rebuilds it."""
+    import jax
+
+    mode = getattr(args, "sharded", "off")
+    search_mode = getattr(args, "search_mode", "auto")
+    sharded = (mode == "on"
+               or (mode == "auto" and len(jax.devices()) > 1))
+    if search_mode == "ivf":
+        from clipx.search.ivf import IVFIndex, ShardedIVFIndex
+
+        cls = (ShardedIVFIndex if sharded and payload["ntotal"] > 0
+               else IVFIndex)
+        idx = cls.from_codes(
+            payload,
+            getattr(args, "index", DEFAULT_INDEX_PATH) + ".ivf",
+            quantized=payload["ntotal"] >= QUANT_AUTO_THRESHOLD)
+    elif sharded and payload["ntotal"] > 0:
+        from clipx.parallel.mips import ShardedVectorIndex
+
+        idx = ShardedVectorIndex.from_codes(payload)
+    else:
+        from clipx.search.engine import VectorIndex
+
+        idx = VectorIndex.from_codes(payload)
+    if idx is not None:
+        # serve's incremental-/reload fingerprint, straight from the
+        # codes file — saves the boot-time hash pass over the sidecar
+        idx._boot_content_hash = payload.get("content_hash")
+    return idx
 
 
 def build_index_from_vectors(vectors, args):

@@ -222,6 +222,33 @@ class ShardedVectorIndex:
         """True when the quantized codes ARE the corpus (int8/int4/pq)."""
         return self.int8_storage or self.int4_storage or self.pq_storage
 
+    @classmethod
+    def from_codes(cls, payload: dict,
+                   mesh: Optional[Mesh] = None) -> "ShardedVectorIndex":
+        """Sharded twin of engine.VectorIndex.from_codes: place a
+        loaded ``<index>.codes`` payload (clipx.search.codes_io) across
+        the mesh without reading, quantizing, or training from f32 —
+        the H2D upload is the coded bytes, row-sharded."""
+        import jax.numpy as jnp
+
+        from clipx.search.pq import PQCodebook
+
+        tier = payload["tier"]
+        dtype = {"int8": jnp.int8, "int4": jnp.int4, "pq": "pq"}[tier]
+        idx = cls(np.zeros((0, payload["dim"]), np.float32), mesh=mesh,
+                  dtype=dtype)
+        idx._code_dim = payload["code_dim"]  # file width wins (engine)
+        if payload["ntotal"] == 0:
+            return idx
+        if tier == "pq":
+            idx._pq = PQCodebook(payload["centroids"])
+            idx._place_pq(np.asarray(payload["codes"]))
+        else:
+            idx._place_int8(np.asarray(payload["codes"]),
+                            np.asarray(payload["scales"]))
+        idx.ntotal = payload["ntotal"]
+        return idx
+
     def _sharding(self):
         return NamedSharding(self.mesh, P(AXIS, None))
 

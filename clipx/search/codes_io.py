@@ -1,0 +1,467 @@
+"""Coded-index persistence — the ``<index>.codes`` sidecar.
+
+faiss persists the *trained, encoded* index: ``faiss.write_index``
+(reference:build-index.py:109) stores codebooks + coded vectors, and
+``read_index`` (reference:query-index.py:29) restores them without
+touching raw vectors. Through round 3 clipx persisted only the f32
+sidecar and re-quantized (int8/int4) or re-trained + re-encoded (pq)
+the corpus at every process start — at the measured 200M-vector pq
+tier that is a ~400 GB f32 read plus a full host-side PQ encode per
+CLI/serve boot. This module restores the faiss property: the coded
+tiers (``--corpus-dtype int8/int4/pq``) write their codes (+ scales /
+codebooks) once and subsequent starts load codes directly.
+
+File format (little-endian)::
+
+    magic  b"CLIPXCOD1\\n"                      (10 B)
+    u32    meta_len                              (4 B)
+    16 B   fp_sample      sampled f32-sidecar fingerprint
+    16 B   content_hash   full blake2b of the f32 rows (zero = absent)
+    meta_len B  JSON metadata (tier, ntotal, dim, code_dim, rotated,
+                dsub, section shapes)
+    raw sections, in order: codes, then scales (int8/int4) or
+                centroids (pq)
+
+Codes are stored in EXTERNAL (sidecar) row order and in ROTATED space
+when the corpus rotation is on (engine.corpus_rotation) — exactly what
+the in-memory coded build produces, so a loaded index is byte-identical
+to one rebuilt from f32. The codes section comes first so the index
+builder can stream it; the two fingerprint slots are patched in place
+on close (the full content hash is only known after the last chunk).
+
+Staleness: the f32 sidecar stays the source of truth. ``fp_sample``
+hashes its header plus the first and last ``_FP_SAMPLE_ROWS`` rows —
+O(64k rows) of IO however large the corpus, and any rebuild or append
+through IndexWriter/build-index changes it (the whole file is
+rewritten atomically). A hand-edit that only touches interior rows
+while preserving head, tail, and row count would evade the sample;
+``CLIPX_CODES_VERIFY=full`` streams the entire sidecar through the
+hash for that case (and ``off`` skips verification entirely).
+
+Canonical encoding: ``encode_corpus`` is THE coded-tier encoder — the
+flat indexes (engine.VectorIndex / parallel.mips.ShardedVectorIndex)
+consume its output directly on their first add, and the IVF installs
+(clipx/search/ivf.py) PERMUTE its flat-order output into the cluster
+layout instead of re-encoding permuted rows. One encoder means the
+bytes on disk, the bytes a fresh build places, and the bytes the IVF
+layout gathers are all the same array.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+_MAGIC = b"CLIPXCOD1\n"
+_VERSION = 1
+_FP_SAMPLE_ROWS = 65536
+# rows per encode chunk — must match engine.quantize_rows_rotated's
+# internal chunking (1 << 18) so chunk-wise encoding reproduces the
+# one-call result bit-for-bit (BLAS blocking depends on operand shape)
+_ENC_CHUNK = 1 << 18
+# pq encode outer chunk — matches PQCodebook.encode's internal chunk
+_PQ_ENC_CHUNK = 1 << 16
+
+_TIERS = ("int8", "int4", "pq")
+_HDR_FIXED = len(_MAGIC) + 4 + 16 + 16
+_ZERO16 = b"\x00" * 16
+
+
+def codes_path(index_path: str) -> str:
+    return index_path + ".codes"
+
+
+def tier_of(dtype) -> Optional[str]:
+    """Map a --corpus-dtype value to its codes-file tier tag (None for
+    the uncoded f32/bf16 tiers, which need no codes file)."""
+    from clipx.search import pq as pq_lib
+    from clipx.search.engine import _is_int4
+
+    import jax.numpy as jnp
+
+    if pq_lib.is_pq(dtype):
+        return "pq"
+    if _is_int4(dtype):
+        return "int4"
+    try:
+        if jnp.dtype(dtype) == jnp.dtype(jnp.int8):
+            return "int8"
+    except TypeError:
+        pass
+    return None
+
+
+def codes_mode() -> str:
+    """$CLIPX_CODES: 'on' (default — load fresh codes, write them after
+    a fallback f32 build), 'off' (never read or write), 'refresh'
+    (ignore any existing file, rebuild from f32 and rewrite)."""
+    v = os.environ.get("CLIPX_CODES", "on").lower()
+    return v if v in ("on", "off", "refresh") else "on"
+
+
+def _verify_mode() -> str:
+    v = os.environ.get("CLIPX_CODES_VERIFY", "sample").lower()
+    return v if v in ("sample", "full", "off") else "sample"
+
+
+# ---------------------------------------------------------------------------
+# f32-sidecar fingerprints
+# ---------------------------------------------------------------------------
+
+def sidecar_sample_fp(index_path: str,
+                      sample_rows: Optional[int] = None
+                      ) -> Optional[bytes]:
+    """Sampled fingerprint of the f32 sidecar: header + first and last
+    ``sample_rows`` (default ``_FP_SAMPLE_ROWS``) rows — bounded IO at
+    any corpus size. None when the sidecar is missing or malformed."""
+    from clipx.search.engine import _MAGIC as IDX_MAGIC
+
+    if sample_rows is None:
+        sample_rows = _FP_SAMPLE_ROWS
+    try:
+        with open(index_path, "rb") as f:
+            if f.read(len(IDX_MAGIC)) != IDX_MAGIC:
+                return None
+            hdr = f.read(16)
+            if len(hdr) != 16:
+                return None
+            ntotal, dim = struct.unpack("<qq", hdr)
+            if not (0 <= ntotal and 0 < dim <= 65536):
+                return None
+            h = hashlib.blake2b(digest_size=16)
+            h.update(struct.pack("<qq", ntotal, dim))
+            row = dim * 4
+            head = min(ntotal, sample_rows)
+            data = f.read(head * row)
+            if len(data) != head * row:
+                return None
+            h.update(data)
+            if ntotal > sample_rows:
+                f.seek(len(IDX_MAGIC) + 16 + (ntotal - sample_rows) * row)
+                tail = f.read(sample_rows * row)
+                if len(tail) != sample_rows * row:
+                    return None
+                h.update(tail)
+            return h.digest()
+    except OSError:
+        return None
+
+
+def sidecar_full_hash(index_path: str,
+                      chunk_bytes: int = 1 << 26) -> Optional[bytes]:
+    """Full engine.content_hash of the sidecar rows, streamed from disk
+    (the CLIPX_CODES_VERIFY=full path — one sequential read, no RAM
+    spike)."""
+    from clipx.search.engine import _MAGIC as IDX_MAGIC
+
+    try:
+        with open(index_path, "rb") as f:
+            if f.read(len(IDX_MAGIC)) != IDX_MAGIC:
+                return None
+            ntotal, dim = struct.unpack("<qq", f.read(16))
+            if not (0 <= ntotal and 0 < dim <= 65536):
+                return None
+            h = hashlib.blake2b(digest_size=16)
+            left = ntotal * dim * 4
+            while left:
+                data = f.read(min(left, chunk_bytes))
+                if not data:
+                    return None
+                h.update(data)
+                left -= len(data)
+            return h.digest()
+    except OSError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+class CodesWriter:
+    """Streaming codes-file writer: header first (sizes are known from
+    ``ntotal``), code rows streamed in external order, trailing
+    sections (scales / centroids) and the fingerprint slots written on
+    ``close()``. Atomic: data lands in ``path + '.tmp'`` and renames
+    into place; abandoning the writer leaves any previous file intact."""
+
+    def __init__(self, path: str, *, tier: str, ntotal: int, dim: int,
+                 code_dim: int, rotated: bool,
+                 fp_sample: Optional[bytes],
+                 dsub: Optional[int] = None):
+        if tier not in _TIERS:
+            raise ValueError(f"unknown tier {tier!r}")
+        if tier == "pq" and dsub not in (2, 4):
+            raise ValueError(f"pq tier needs dsub 2 or 4, got {dsub}")
+        self._path = path
+        self._tmp = path + ".tmp"
+        self._tier = tier
+        self._code_dim = code_dim
+        self._remaining = ntotal
+        self._need_scales = tier in ("int8", "int4")
+        self._scales = [] if self._need_scales else None
+        self._centroids: Optional[np.ndarray] = None
+        self._content_hash: Optional[bytes] = None
+        meta = {
+            "version": _VERSION,
+            "tier": tier,
+            "ntotal": int(ntotal),
+            "dim": int(dim),
+            "code_dim": int(code_dim),
+            "rotated": bool(rotated),
+        }
+        if dsub is not None:
+            meta["dsub"] = int(dsub)
+        blob = json.dumps(meta, sort_keys=True).encode()
+        self._f = open(self._tmp, "wb")
+        self._f.write(_MAGIC)
+        self._f.write(struct.pack("<I", len(blob)))
+        self._f.write(fp_sample if fp_sample else _ZERO16)
+        self._f.write(_ZERO16)  # content_hash patched on close
+        self._f.write(blob)
+
+    def write_codes(self, codes: np.ndarray,
+                    scales: Optional[np.ndarray] = None) -> None:
+        codes = np.ascontiguousarray(codes, np.int8)
+        if codes.ndim != 2 or codes.shape[1] != self._code_dim:
+            raise ValueError(f"expected (n, {self._code_dim}) codes, "
+                             f"got {codes.shape}")
+        if codes.shape[0] > self._remaining:
+            raise ValueError("wrote past the declared ntotal")
+        if self._need_scales:
+            if scales is None or scales.shape[0] != codes.shape[0]:
+                raise ValueError("int8/int4 codes need matching scales")
+            self._scales.append(np.ascontiguousarray(scales, np.float32))
+        self._f.write(codes.tobytes())
+        self._remaining -= codes.shape[0]
+
+    def set_centroids(self, centroids: np.ndarray) -> None:
+        self._centroids = np.ascontiguousarray(centroids, np.float32)
+
+    def set_content_hash(self, digest: Optional[bytes]) -> None:
+        self._content_hash = digest
+
+    def close(self) -> None:
+        if self._remaining:
+            self._f.close()
+            os.unlink(self._tmp)
+            raise ValueError(f"codes incomplete: {self._remaining} rows "
+                             "were never written")
+        if self._need_scales:
+            for s in self._scales:
+                self._f.write(s.tobytes())
+        if self._tier == "pq":
+            if self._centroids is None:
+                self._f.close()
+                os.unlink(self._tmp)
+                raise ValueError("pq codes need centroids "
+                                 "(set_centroids)")
+            self._f.write(self._centroids.tobytes())
+        if self._content_hash:
+            self._f.seek(len(_MAGIC) + 4 + 16)
+            self._f.write(self._content_hash)
+        self._f.flush()
+        os.fsync(self._f.fileno())
+        self._f.close()
+        os.replace(self._tmp, self._path)
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def _read_meta(path: str):
+    with open(path, "rb") as f:
+        if f.read(len(_MAGIC)) != _MAGIC:
+            return None
+        (meta_len,) = struct.unpack("<I", f.read(4))
+        if meta_len > 1 << 20:
+            return None
+        fp_sample = f.read(16)
+        content_hash = f.read(16)
+        try:
+            meta = json.loads(f.read(meta_len))
+        except ValueError:
+            return None
+    return meta, fp_sample, content_hash, _HDR_FIXED + meta_len
+
+
+def load_codes(index_path: str, tier: str, *,
+               rotated: bool) -> Optional[dict]:
+    """Load ``<index>.codes`` when present, structurally sound, tier-
+    and rotation-matched, and fresh against the current f32 sidecar.
+    Returns a payload dict (codes/scales as read-only memmaps — nothing
+    large is materialized until placement) or None, in which case the
+    caller falls back to re-encoding from f32.
+
+    ``dsub`` is NOT matched against the environment: like faiss, an
+    existing coded index keeps the subspace width its codebooks were
+    trained with (clipx/search/pq.py pq_dsub docstring)."""
+    path = codes_path(index_path)
+    if not os.path.exists(path):
+        return None
+    try:
+        parsed = _read_meta(path)
+        if parsed is None:
+            return None
+        meta, fp_sample, content_hash, data_off = parsed
+        if meta.get("version") != _VERSION or meta.get("tier") != tier:
+            return None
+        if bool(meta.get("rotated")) != bool(rotated):
+            return None
+        ntotal, dim = int(meta["ntotal"]), int(meta["dim"])
+        code_dim = int(meta["code_dim"])
+        if ntotal < 0 or not (0 < dim <= 65536) or code_dim <= 0:
+            return None
+        verify = _verify_mode()
+        if verify == "full":
+            if (content_hash == _ZERO16
+                    or sidecar_full_hash(index_path) != content_hash):
+                return None
+        elif verify == "sample":
+            if (fp_sample == _ZERO16
+                    or sidecar_sample_fp(index_path) != fp_sample):
+                return None
+        size = os.path.getsize(path)
+        need = data_off + ntotal * code_dim
+        if tier in ("int8", "int4"):
+            need += ntotal * 4
+        dsub = None
+        m = 0
+        if tier == "pq":
+            dsub = int(meta.get("dsub", 0))
+            if dsub not in (2, 4) or dim % (2 * dsub):
+                return None
+            m = dim // dsub
+            if code_dim != m // 2:
+                return None
+            from clipx.search.pq import PQ_K
+
+            need += m * PQ_K * dsub * 4
+        if size < need:
+            return None
+        codes = np.memmap(path, np.int8, "r", offset=data_off,
+                          shape=(ntotal, code_dim))
+        payload = {
+            "tier": tier, "ntotal": ntotal, "dim": dim,
+            "code_dim": code_dim, "rotated": bool(meta.get("rotated")),
+            "codes": codes, "scales": None, "centroids": None,
+            "dsub": dsub,
+            "content_hash": (None if content_hash == _ZERO16
+                             else content_hash),
+        }
+        off = data_off + ntotal * code_dim
+        if tier in ("int8", "int4"):
+            payload["scales"] = np.memmap(path, np.float32, "r",
+                                          offset=off, shape=(ntotal,))
+        else:
+            from clipx.search.pq import PQ_K
+
+            cent = np.memmap(path, np.float32, "r", offset=off,
+                             shape=(m, PQ_K, dsub))
+            payload["centroids"] = np.asarray(cent)  # tiny — materialize
+        return payload
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+# ---------------------------------------------------------------------------
+# canonical encoder
+# ---------------------------------------------------------------------------
+
+def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
+                  on_chunk=None) -> dict:
+    """THE coded-tier encoder: flat-order host encoding of ``vectors``
+    (an ndarray or sidecar memmap — access is chunked, so a memmapped
+    100M-row corpus never fully materializes in RAM).
+
+    Chunk boundaries are fixed (``_ENC_CHUNK`` / ``_PQ_ENC_CHUNK``,
+    from offset 0) so every caller — the codes-file writer, the flat
+    index's first add, the IVF install — produces bit-identical codes:
+    BLAS rotation results depend on operand shape, so the chunking IS
+    part of the canonical definition.
+
+    Returns {codes, scales, centroids, codebook}; ``on_chunk(codes,
+    scales)`` (when given) streams each chunk out instead of assembling
+    the full codes array (the capacity-scale file-writing path), and
+    the returned dict then carries codes=None."""
+    from clipx.search import pq as pq_lib
+    from clipx.search.engine import quantize_rows_rotated
+
+    n, dim = vectors.shape
+    out_codes = None
+    out_scales = None
+    if tier == "pq":
+        if codebook is None:
+            codebook = pq_lib.PQCodebook.train(vectors, rot=rot)
+        cdim = codebook.m // 2
+        if on_chunk is None:
+            out_codes = np.empty((n, cdim), np.int8)
+        for i in range(0, n, _PQ_ENC_CHUNK):
+            c = codebook.encode(np.asarray(vectors[i: i + _PQ_ENC_CHUNK],
+                                           np.float32), rot=rot)
+            if on_chunk is None:
+                out_codes[i: i + len(c)] = c
+            else:
+                on_chunk(c, None)
+        return {"codes": out_codes, "scales": None,
+                "centroids": codebook.centroids, "codebook": codebook}
+    if tier not in ("int8", "int4"):
+        raise ValueError(f"unknown tier {tier!r}")
+    int4 = tier == "int4"
+    cdim = dim // 2 if int4 else dim
+    if on_chunk is None:
+        out_codes = np.empty((n, cdim), np.int8)
+        out_scales = np.empty((n,), np.float32)
+    for i in range(0, n, _ENC_CHUNK):
+        c, s = quantize_rows_rotated(
+            np.asarray(vectors[i: i + _ENC_CHUNK], np.float32), rot, int4)
+        if on_chunk is None:
+            out_codes[i: i + len(c)] = c
+            out_scales[i: i + len(s)] = s
+        else:
+            on_chunk(c, s)
+    return {"codes": out_codes, "scales": out_scales,
+            "centroids": None, "codebook": None}
+
+
+def write_codes_file(index_path: str, vectors, tier: str, *,
+                     rot=None, content_hash: Optional[bytes] = None,
+                     codebook=None) -> None:
+    """Encode ``vectors`` (array or sidecar memmap) with the canonical
+    encoder and write ``<index>.codes`` atomically. The write streams
+    chunk-by-chunk — peak host RAM is one encode chunk plus the scales
+    — so callers at capacity scale memmap the sidecar, write the codes
+    file, and re-``load_codes`` it (the OS page cache makes the
+    read-back cheap) instead of ever holding a full codes copy."""
+    from clipx.search import pq as pq_lib
+
+    n, dim = vectors.shape
+    if tier == "pq" and codebook is None:
+        codebook = pq_lib.PQCodebook.train(vectors, rot=rot)
+    cdim = (codebook.m // 2 if tier == "pq"
+            else dim // 2 if tier == "int4" else dim)
+    writer = CodesWriter(
+        codes_path(index_path), tier=tier, ntotal=n, dim=dim,
+        code_dim=cdim, rotated=rot is not None,
+        fp_sample=sidecar_sample_fp(index_path),
+        dsub=codebook.dsub if tier == "pq" else None)
+    try:
+        encode_corpus(vectors, tier, rot=rot, codebook=codebook,
+                      on_chunk=writer.write_codes)
+        if tier == "pq":
+            writer.set_centroids(codebook.centroids)
+        writer.set_content_hash(content_hash)
+        writer.close()
+    except BaseException:
+        try:
+            writer._f.close()
+            os.unlink(writer._tmp)
+        except OSError:
+            pass
+        raise

@@ -254,10 +254,15 @@ def _rotation_matrix(dim: int) -> np.ndarray:
     return np.ascontiguousarray(q, dtype=np.float32)
 
 
+def rotation_enabled() -> bool:
+    """Whether coded storage rotates rows ($CLIPX_CORPUS_ROTATE)."""
+    return os.environ.get("CLIPX_CORPUS_ROTATE", "on").lower() != "off"
+
+
 def corpus_rotation(dim: int) -> Optional[np.ndarray]:
     """The (dim, dim) f32 orthogonal rotation for coded storage, or
     None when CLIPX_CORPUS_ROTATE=off."""
-    if os.environ.get("CLIPX_CORPUS_ROTATE", "on").lower() == "off":
+    if not rotation_enabled():
         return None
     return _rotation_matrix(dim)
 
@@ -727,6 +732,34 @@ class VectorIndex:
         idx.add(vectors)
         return idx
 
+    @classmethod
+    def from_codes(cls, payload: dict) -> "VectorIndex":
+        """Construct a coded-storage index directly from a loaded
+        ``<index>.codes`` payload (clipx.search.codes_io) — no f32
+        rows are read, quantized, or trained: the faiss ``read_index``
+        property (reference:query-index.py:29) for the capacity tiers.
+        The payload's codes are canonical (codes_io.encode_corpus), so
+        searches are bit-identical to an index rebuilt from f32."""
+        from clipx.search.pq import PQCodebook
+
+        tier = payload["tier"]
+        dtype = {"int8": jnp.int8, "int4": jnp.int4, "pq": "pq"}[tier]
+        idx = cls(dim=payload["dim"], dtype=dtype)
+        # the file's subspace width wins over $CLIPX_PQ_DSUB — an
+        # existing index keeps the width its codebooks were trained
+        # with (clipx/search/pq.py)
+        idx._code_dim = payload["code_dim"]
+        if payload["ntotal"] == 0:
+            return idx
+        if tier == "pq":
+            idx._pq = PQCodebook(payload["centroids"])
+            idx._place_pq(np.asarray(payload["codes"]))
+        else:
+            idx._place_int8(np.asarray(payload["codes"]),
+                            np.asarray(payload["scales"]))
+        idx.ntotal = payload["ntotal"]
+        return idx
+
     def add(self, vectors: np.ndarray) -> None:
         """Append rows. Ids continue from the current ntotal.
 
@@ -1007,12 +1040,19 @@ class IndexWriter:
     the writer leaves any previous index untouched."""
 
     def __init__(self, path: str, ntotal: int, dim: int):
+        import hashlib
+
         if not (0 <= ntotal and 0 < dim <= 65536):
             raise ValueError(f"bad index shape ({ntotal}, {dim})")
         self._path = path
         self._tmp = path + ".tmp"
         self._dim = dim
         self._remaining = ntotal
+        # running content_hash of the row bytes — free relative to the
+        # encode, and it lets the build CLI stamp the codes sidecar
+        # (clipx/search/codes_io.py) without a second read of the file
+        self._hash = hashlib.blake2b(digest_size=16)
+        self.content_hash: Optional[bytes] = None  # set on close()
         self._f = open(self._tmp, "wb")
         self._f.write(_MAGIC)
         self._f.write(struct.pack("<qq", ntotal, dim))
@@ -1026,7 +1066,9 @@ class IndexWriter:
             raise ValueError(f"wrote past the declared ntotal "
                              f"({rows.shape[0]} rows, "
                              f"{self._remaining} remaining)")
-        self._f.write(rows.tobytes())
+        raw = rows.tobytes()
+        self._hash.update(raw)
+        self._f.write(raw)
         self._remaining -= rows.shape[0]
 
     def close(self) -> None:
@@ -1039,12 +1081,16 @@ class IndexWriter:
         os.fsync(self._f.fileno())
         self._f.close()
         os.replace(self._tmp, self._path)
+        self.content_hash = self._hash.digest()
 
 
-def read_index_vectors(path: str) -> np.ndarray:
+def read_index_vectors(path: str, mmap: bool = False) -> np.ndarray:
     """Parse the sidecar into a host (ntotal, dim) float32 array —
     callers that build a sharded (or otherwise placed) index from it
-    avoid the single-device upload read_index would do."""
+    avoid the single-device upload read_index would do. With
+    ``mmap=True`` the rows come back as a read-only memmap view: the
+    coded-tier encoders stream it in chunks, so a 100M-row sidecar
+    (~200 GB) never materializes in host RAM."""
     with open(path, "rb") as f:
         magic = f.read(len(_MAGIC))
         if magic != _MAGIC:
@@ -1059,6 +1105,13 @@ def read_index_vectors(path: str) -> np.ndarray:
         if not (0 <= ntotal <= 1_000_000_000 and 0 < dim <= 65536):
             raise ValueError(f"{path!r} header is corrupt "
                              f"(ntotal={ntotal}, dim={dim})")
+        if mmap:
+            if os.path.getsize(path) < len(_MAGIC) + 16 + ntotal * dim * 4:
+                raise ValueError(f"{path!r} is truncated")
+            if ntotal == 0:
+                return np.zeros((0, dim), np.float32)
+            return np.memmap(path, np.float32, "r",
+                             offset=len(_MAGIC) + 16, shape=(ntotal, dim))
         raw = f.read(ntotal * dim * 4)
         if len(raw) != ntotal * dim * 4:
             raise ValueError(f"{path!r} is truncated "

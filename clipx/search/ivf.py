@@ -582,6 +582,11 @@ class IVFIndex:
     def nprobe(self, v: int) -> None:
         self._nprobe = int(np.clip(int(v), 1, 100))
 
+    def _tier(self) -> Optional[str]:
+        return ("pq" if self.pq_storage else
+                "int4" if self.int4_storage else
+                "int8" if self.int8_storage else None)
+
     # -- construction -------------------------------------------------------
     @classmethod
     def from_vectors(cls, vectors: np.ndarray, *, quantized: bool = False,
@@ -603,6 +608,32 @@ class IVFIndex:
         idx._install(vectors, layout)
         return idx
 
+    @classmethod
+    def from_codes(cls, payload: dict, cache_path: str, *,
+                   quantized: bool = False, **kw) -> Optional["IVFIndex"]:
+        """Construct a coded-storage IVF index from a loaded
+        ``<index>.codes`` payload plus the v2 ``.ivf`` cache (layout +
+        per-segment sums) — no f32 rows read, no k-means, no
+        re-encode: the faiss IVFPQ/IVF-SQ ``read_index`` property.
+        Returns None when the cache is absent, pre-v2, or keyed to a
+        different corpus than the codes file (caller falls back to the
+        f32 path, which re-saves a v2 cache)."""
+        import jax.numpy as jnp
+
+        tier = payload["tier"]
+        dtype = {"int8": jnp.int8, "int4": jnp.int4, "pq": "pq"}[tier]
+        if payload["ntotal"] == 0:
+            return cls(dim=payload["dim"], quantized=quantized,
+                       dtype=dtype, **kw)
+        cache = _load_cache_for_codes(cache_path, payload)
+        if cache is None:
+            return None
+        layout, sums = cache
+        idx = cls(dim=payload["dim"], quantized=quantized, dtype=dtype,
+                  **kw)
+        idx._install(None, layout, coded=payload, seg_sums=sums)
+        return idx
+
     def _probe_floor(self, k: int) -> int:
         """Smallest probe count that ADVERSARIALLY guarantees k valid
         rows: the s emptiest live segments must together hold >= k rows
@@ -615,36 +646,49 @@ class IVFIndex:
             return 1
         return int(min(np.searchsorted(cs, k) + 1, len(cs)))
 
-    def _install(self, vectors: np.ndarray, row_ext: np.ndarray) -> None:
+    def _install(self, vectors: Optional[np.ndarray],
+                 row_ext: np.ndarray, *, coded: Optional[dict] = None,
+                 seg_sums: Optional[np.ndarray] = None) -> None:
         """row_ext: internal-row -> external-id map (-1 = dead padding
-        row), length a multiple of _SEG_W (see cluster_layout)."""
-        n = vectors.shape[0]
+        row), length a multiple of _SEG_W (see cluster_layout).
+
+        Coded tiers install by PERMUTING canonical flat-order codes
+        (codes_io.encode_corpus — the bytes a ``<index>.codes`` file
+        stores) into the cluster layout, never re-encoding permuted
+        rows: one encoder, identical bytes on disk and in HBM. ``coded``
+        supplies a pre-encoded payload (the codes-file load path, where
+        ``vectors`` is None and ``seg_sums`` carries the cached
+        per-segment sums); otherwise the canonical encoder runs here.
+        Dead padding rows get zero codes / epsilon scales — every scan
+        and rescore masks them via valid2 before ranking, so their code
+        content is unobservable."""
+        n = coded["ntotal"] if vectors is None else vectors.shape[0]
         segs = len(row_ext) // _SEG_W
         live = row_ext >= 0
-        padded = np.zeros((segs * _SEG_W, self.dim), np.float32)
-        padded[live] = vectors[row_ext[live]]
         valid2 = live.reshape(segs, _SEG_W)
         counts = valid2.sum(axis=1).astype(np.float32)
         live_counts = valid2.sum(axis=1)
         self._live_count_cumsum = np.cumsum(
             np.sort(live_counts[live_counts > 0]))
         if self.coded_storage:
-            # codes ARE the corpus: quantize on the HOST so a full f32
+            from clipx.search import codes_io
+
+            # codes ARE the corpus: encoded on the HOST so a full f32
             # copy never has to exist in HBM (the whole point of the
             # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
-            # segment centroids likewise reduce host-side. int4 packs
-            # two codes per byte (the (S, 64, D/2) layout); pq trains
-            # its codebooks on the LIVE rows (padding zeros would skew
-            # k-means) and encodes the padded layout chunk-rotated.
-            if self.pq_storage:
-                if self._pq is None:
-                    self._pq = pq_lib.PQCodebook.train(vectors,
-                                                       rot=self._rot)
-                codes = self._pq.encode(padded, rot=self._rot)
-                scales = None
-            else:
-                codes, scales = engine.quantize_rows_rotated(
-                    padded, self._rot, self.int4_storage)
+            # segment centroids likewise reduce host-side.
+            if coded is None:
+                coded = codes_io.encode_corpus(
+                    vectors, self._tier(), rot=self._rot,
+                    codebook=self._pq)
+                if self.pq_storage and self._pq is None:
+                    self._pq = coded["codebook"]
+            elif self.pq_storage and self._pq is None:
+                self._pq = pq_lib.PQCodebook(
+                    np.asarray(coded["centroids"]))
+            codes, scales = _permute_coded(coded, row_ext, live)
+            if seg_sums is None:
+                seg_sums = _segment_sums(vectors, row_ext)
             self._corpus3 = None
             if self.pq_storage:
                 # lane-paired physical segments (pq.pack_factor):
@@ -658,14 +702,16 @@ class IVFIndex:
             self._scales2 = (None if scales is None
                              else jnp.asarray(scales.reshape(segs,
                                                              _SEG_W)))
-            sums = padded.reshape(segs, _SEG_W, self.dim).sum(axis=1)
             # centroids live in rotated space too (sum of rotated rows
             # == rotated sum — rotation is linear), so the probe scores
             # rotated queries against them unchanged
-            sums = engine.rotate_rows(sums, self._rot)
+            sums = engine.rotate_rows(
+                np.ascontiguousarray(seg_sums, np.float32), self._rot)
             self._seg_cent = jnp.asarray(
                 sums / np.maximum(counts[:, None], 1.0), jnp.float32)
         else:
+            padded = np.zeros((segs * _SEG_W, self.dim), np.float32)
+            padded[live] = vectors[row_ext[live]]
             corpus3 = jnp.asarray(padded.reshape(segs, _SEG_W, self.dim),
                                   dtype=self.dtype)
             self._corpus3 = corpus3
@@ -886,10 +932,70 @@ class IVFIndex:
 
 
 # ---------------------------------------------------------------------------
-# clustering cache — avoids re-running k-means on every CLI start
+# layout helpers shared by the vector- and codes-install paths
 # ---------------------------------------------------------------------------
 
-_CACHE_VERSION = 1
+def _segment_sums(vectors, row_ext: np.ndarray,
+                  chunk_segs: int = 8192) -> np.ndarray:
+    """Per-segment row sums in UNROTATED user space, (segs, D) f32 —
+    the coarse-quantizer numerator (seg_cent = rotate(sums)/counts).
+    Chunked over segments so a memmapped capacity-scale corpus never
+    materializes a full padded f32 copy; bit-identical to summing the
+    whole padded (segs, W, D) array (per-segment reductions are
+    independent)."""
+    segs = len(row_ext) // _SEG_W
+    dim = vectors.shape[1]
+    sums = np.empty((segs, dim), np.float32)
+    for s0 in range(0, segs, chunk_segs):
+        s1 = min(segs, s0 + chunk_segs)
+        re = row_ext[s0 * _SEG_W: s1 * _SEG_W]
+        lv = re >= 0
+        rows = np.zeros((len(re), dim), np.float32)
+        rows[lv] = vectors[re[lv]]
+        sums[s0:s1] = rows.reshape(s1 - s0, _SEG_W, dim).sum(axis=1)
+    return sums
+
+
+def _permute_coded(coded: dict, row_ext: np.ndarray, live: np.ndarray,
+                   step: int = 1 << 20
+                   ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Scatter canonical flat-order codes (and scales) into the padded
+    cluster layout: padded[i] = codes[row_ext[i]] for live rows, zero
+    codes / epsilon scales on dead padding rows (masked by valid2 in
+    every kernel). Chunked so a memmapped codes file never doubles in
+    RAM."""
+    codes_flat = coded["codes"]
+    cdim = codes_flat.shape[1]
+    rows = len(row_ext)
+    pc = np.zeros((rows, cdim), np.int8)
+    scales_flat = coded["scales"]
+    ps = (np.full((rows,), 1e-12, np.float32)
+          if scales_flat is not None else None)
+    pos = np.flatnonzero(live)
+    ext = row_ext[pos]
+    for i in range(0, len(pos), step):
+        p = pos[i: i + step]
+        e = ext[i: i + step]
+        pc[p] = np.asarray(codes_flat[e])
+        if ps is not None:
+            ps[p] = np.asarray(scales_flat[e])
+    return pc, ps
+
+
+def _layout_ok(layout: np.ndarray, n: int) -> bool:
+    live = layout[layout >= 0]
+    return not (len(layout) % _SEG_W or len(live) != n
+                or (np.sort(live) != np.arange(n)).any())
+
+
+# ---------------------------------------------------------------------------
+# clustering cache — avoids re-running k-means on every CLI start.
+# v2 additionally stores the per-segment sums, which is what lets the
+# codes-file load path (from_codes) rebuild the coarse quantizer
+# without ever reading the f32 sidecar.
+# ---------------------------------------------------------------------------
+
+_CACHE_VERSION = 2
 
 
 def _fingerprint(vectors: np.ndarray) -> bytes:
@@ -901,7 +1007,8 @@ def _save_cache(path: str, vectors: np.ndarray,
     tmp = path + ".tmp"
     np.savez(tmp, version=_CACHE_VERSION,
              fp=np.frombuffer(_fingerprint(vectors), dtype=np.uint8),
-             layout=layout.astype(np.int32))
+             layout=layout.astype(np.int32),
+             sums=_segment_sums(vectors, layout))
     # np.savez appends .npz to the name it opens
     os.replace(tmp + ".npz", path)
 
@@ -916,12 +1023,36 @@ def _load_cache(path: str, vectors: np.ndarray) -> Optional[np.ndarray]:
             layout = z["layout"].astype(np.int64)
     except Exception:
         return None
-    n = vectors.shape[0]
-    live = layout[layout >= 0]
-    if (len(layout) % _SEG_W or len(live) != n
-            or (np.sort(live) != np.arange(n)).any()):
+    if not _layout_ok(layout, vectors.shape[0]):
         return None
     return layout
+
+
+def _load_cache_for_codes(path: str, payload: dict
+                          ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Validate the .ivf cache against a codes-file payload WITHOUT the
+    f32 rows: the cache's fingerprint is the full content hash of the
+    sidecar rows, and the codes file records the same hash — equality
+    ties codes, layout, and sums to one corpus. Returns (layout, sums)
+    or None (stale / pre-v2 / hashless codes file)."""
+    ch = payload.get("content_hash")
+    if not ch or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            if int(z["version"]) != _CACHE_VERSION:
+                return None
+            if z["fp"].tobytes() != ch:
+                return None
+            layout = z["layout"].astype(np.int64)
+            sums = np.asarray(z["sums"], np.float32)
+    except Exception:
+        return None
+    if not _layout_ok(layout, payload["ntotal"]):
+        return None
+    if sums.shape != (len(layout) // _SEG_W, payload["dim"]):
+        return None
+    return layout, sums
 
 
 # ---------------------------------------------------------------------------
@@ -988,8 +1119,10 @@ class ShardedIVFIndex(IVFIndex):
         return NamedSharding(self.mesh,
                              PartitionSpec(AXIS, *([None] * axes)))
 
-    def _install(self, vectors: np.ndarray, row_ext: np.ndarray) -> None:
-        n_rows = vectors.shape[0]
+    def _install(self, vectors: Optional[np.ndarray],
+                 row_ext: np.ndarray, *, coded: Optional[dict] = None,
+                 seg_sums: Optional[np.ndarray] = None) -> None:
+        n_rows = coded["ntotal"] if vectors is None else vectors.shape[0]
         n = self._n_shards
         segs = max(1, len(row_ext) // _SEG_W)
         segs_pad = -(-segs // n) * n
@@ -1001,26 +1134,39 @@ class ShardedIVFIndex(IVFIndex):
         # holding original segments [j::n]
         perm = np.arange(segs_pad).reshape(-1, n).T.reshape(-1)
         row_ext = row_ext.reshape(segs_pad, _SEG_W)[perm].reshape(-1)
+        # cached sums follow the same dealing (canonical segment order
+        # in, per-shard order out); appended alignment segments are
+        # all-dead -> zero sums
+        if seg_sums is not None:
+            s = np.zeros((segs_pad, vectors.shape[1] if vectors is not None
+                          else coded["dim"]), np.float32)
+            s[: seg_sums.shape[0]] = seg_sums
+            seg_sums = s[perm]
         live = row_ext >= 0
-        padded = np.zeros((segs_pad * _SEG_W, self.dim), np.float32)
-        padded[live] = vectors[row_ext[live]]
         valid2 = live.reshape(segs_pad, _SEG_W)
         counts_host = valid2.sum(axis=1).astype(np.float32)
         live_counts = valid2.sum(axis=1)
         self._live_count_cumsum = np.cumsum(
             np.sort(live_counts[live_counts > 0]))
         if self.coded_storage:
-            # host quantize + host centroids: no f32 copy of the corpus
-            # ever reaches HBM (see the single-device _install)
-            if self.pq_storage:
-                if self._pq is None:
-                    self._pq = pq_lib.PQCodebook.train(vectors,
-                                                       rot=self._rot)
-                codes = self._pq.encode(padded, rot=self._rot)
-                scales = None
-            else:
-                codes, scales = engine.quantize_rows_rotated(
-                    padded, self._rot, self.int4_storage)
+            from clipx.search import codes_io
+
+            # host encode + host centroids: no f32 copy of the corpus
+            # ever reaches HBM (see the single-device _install). Codes
+            # come from the CANONICAL flat-order encoder (or a loaded
+            # .codes payload) and are permuted into the dealt layout.
+            if coded is None:
+                coded = codes_io.encode_corpus(
+                    vectors, self._tier(), rot=self._rot,
+                    codebook=self._pq)
+                if self.pq_storage and self._pq is None:
+                    self._pq = coded["codebook"]
+            elif self.pq_storage and self._pq is None:
+                self._pq = pq_lib.PQCodebook(
+                    np.asarray(coded["centroids"]))
+            codes, scales = _permute_coded(coded, row_ext, live)
+            if seg_sums is None:
+                seg_sums = _segment_sums(vectors, row_ext)
             self._corpus3 = None
             if self.pq_storage:
                 # lane-paired physical segments (pq.pack_factor)
@@ -1037,13 +1183,15 @@ class ShardedIVFIndex(IVFIndex):
                              else jax.device_put(
                                  scales.reshape(segs_pad, _SEG_W),
                                  self._spec(1)))
-            sums = padded.reshape(segs_pad, _SEG_W, self.dim).sum(axis=1)
             # rotated centroids to match rotated codes + queries
-            sums = engine.rotate_rows(sums, self._rot)
+            sums = engine.rotate_rows(
+                np.ascontiguousarray(seg_sums, np.float32), self._rot)
             self._seg_cent = jax.device_put(
                 (sums / np.maximum(counts_host[:, None], 1.0)
                  ).astype(np.float32), self._spec(1))
         else:
+            padded = np.zeros((segs_pad * _SEG_W, self.dim), np.float32)
+            padded[live] = vectors[row_ext[live]]
             corpus3 = jax.device_put(
                 padded.reshape(segs_pad, _SEG_W,
                                self.dim).astype(self.dtype),

@@ -483,19 +483,25 @@ def _search_kernel_pq(packed: jax.Array, centroids: jax.Array,
 
 def _pq_append(index, vectors: np.ndarray) -> None:
     """Shared add() for PQ-storage indexes (VectorIndex and
-    clipx/parallel/mips.ShardedVectorIndex): rotate, train codebooks on
-    the FIRST batch (frozen afterwards — faiss train-once semantics),
+    clipx/parallel/mips.ShardedVectorIndex): train codebooks on the
+    FIRST batch (frozen afterwards — faiss train-once semantics),
     encode on the host (upload is 1 bit/dim), then place or append in
-    place via the index's donating update fn. ``index`` provides
-    ``_pq`` (codebook slot), ``_rot``, ``_codes``, ``_place_pq(codes)``,
-    ``_grow(need)`` and ``_update_pq_fn(pad_len)``."""
-    from clipx.search.engine import rotate_rows
-
-    rows = rotate_rows(np.ascontiguousarray(vectors, np.float32),
-                       getattr(index, "_rot", None))
+    place via the index's donating update fn. The first batch runs
+    through the CANONICAL encoder (codes_io.encode_corpus) so the
+    placed codes are byte-identical to a ``<index>.codes`` file of the
+    same rows. ``index`` provides ``_pq`` (codebook slot), ``_rot``,
+    ``_codes``, ``_place_pq(codes)``, ``_grow(need)`` and
+    ``_update_pq_fn(pad_len)``."""
+    vectors = np.ascontiguousarray(vectors, np.float32)
+    rot = getattr(index, "_rot", None)
     if index._pq is None:
-        index._pq = PQCodebook.train(rows)
-    codes = index._pq.encode(rows)
+        from clipx.search.codes_io import encode_corpus
+
+        payload = encode_corpus(vectors, "pq", rot=rot)
+        index._pq = payload["codebook"]
+        codes = payload["codes"]
+    else:
+        codes = index._pq.encode(vectors, rot=rot)
     n_new, cdim = codes.shape
     if index._codes is None:
         index._place_pq(codes)

@@ -188,13 +188,29 @@ class SearchService:
         self.fn_db = self.env.open_db(common.FN_DB)
         # same index selection as the query REPL: honors --sharded
         # (corpus row-sharded over every visible chip) and --search-mode.
-        # The sidecar is read here (not via load_index) so the content
-        # fingerprint for incremental /reload comes for free.
-        vectors = read_index_vectors(args.index)
-        self._sidecar_hash = content_hash(vectors)
-        self._sidecar_n = vectors.shape[0]
-        self.index = common.build_index_from_vectors(vectors, args)
-        del vectors
+        # Coded tiers boot from the <index>.codes sidecar when fresh
+        # (no f32 read at all — the file records the full content hash,
+        # which seeds the incremental-/reload fingerprint); otherwise
+        # the sidecar is read here (not via load_index) so the content
+        # fingerprint comes for free.
+        self.index = None
+        coded = common.load_coded_index(args)
+        if coded is not None:
+            ch = getattr(coded, "_boot_content_hash", None)
+            if ch is None:
+                from clipx.search import codes_io
+
+                ch = codes_io.sidecar_full_hash(args.index)
+            if ch is not None:
+                self.index = coded
+                self._sidecar_hash = ch
+                self._sidecar_n = coded.ntotal
+        if self.index is None:
+            vectors = read_index_vectors(args.index)
+            self._sidecar_hash = content_hash(vectors)
+            self._sidecar_n = vectors.shape[0]
+            self.index = common.build_index_from_vectors(vectors, args)
+            del vectors
         self._reload_lock = threading.Lock()
         # cleared while reload mutates device state (drop-first rebuild,
         # or an in-place donated add) — see reload()
