@@ -118,12 +118,19 @@ def load_index(args):
 
 
 def load_coded_index(args):
-    """The codes-sidecar load path; None -> caller uses the f32 path
-    (uncoded tier, CLIPX_CODES=off, write failure, or an IVF request
-    whose .ivf cache predates v2 — the f32 fallback re-saves both
-    artifacts, so the next start takes this path)."""
+    """The codes-sidecar load path; None -> caller uses the plain f32
+    path (uncoded tier, CLIPX_CODES=off, or an unreadable sidecar).
+
+    A fresh codes file loads directly. Otherwise the index is rebuilt
+    from f32 AND the codes persist for the next start: flat tiers
+    stream-encode from the memmapped sidecar (bounded host RAM at any
+    corpus size); IVF builds through from_vectors — which needs the
+    rows in RAM for k-means regardless — and persists the install's
+    own flat-order encode (including residual-pq codes, which depend
+    on the cluster layout), so nothing is ever encoded twice."""
     from clipx.search import codes_io
-    from clipx.search.engine import (corpus_rotation, read_index_vectors,
+    from clipx.search.engine import (content_hash, corpus_rotation,
+                                     read_index_vectors,
                                      rotation_enabled)
 
     dtype = corpus_dtype(args)
@@ -131,33 +138,54 @@ def load_coded_index(args):
     mode = codes_io.codes_mode()
     if tier is None or mode == "off" or not os.path.exists(args.index):
         return None
-    payload = None
     if mode == "on":
         payload = codes_io.load_codes(args.index, tier,
                                       rotated=rotation_enabled())
-    if payload is None:
-        # stale or absent: encode from the memmapped sidecar (bounded
-        # host RAM at any corpus size) and persist for the next start
-        try:
-            vectors = read_index_vectors(args.index, mmap=True)
-            codes_io.write_codes_file(
-                args.index, vectors, tier,
-                rot=corpus_rotation(vectors.shape[1]),
-                content_hash=codes_io.sidecar_full_hash(args.index))
-        except (OSError, ValueError):
-            return None  # unwritable dir / corrupt sidecar: old path
-        payload = codes_io.load_codes(args.index, tier,
-                                      rotated=rotation_enabled())
-        if payload is None:
-            return None
-    idx = build_index_from_codes(payload, args)
-    if idx is not None:
-        import sys
+        if payload is not None:
+            idx = build_index_from_codes(payload, args)
+            if idx is not None:
+                import sys
 
-        print(f"(loaded {payload['ntotal']} {tier} rows from "
-              f"{codes_io.codes_path(args.index)})",
-              file=sys.stderr, flush=True)
-    return idx
+                print(f"(loaded {payload['ntotal']} {tier} rows from "
+                      f"{codes_io.codes_path(args.index)})",
+                      file=sys.stderr, flush=True)
+                return idx
+    search_mode = getattr(args, "search_mode", "auto")
+    if search_mode == "ivf":
+        from clipx.search import ivf as ivf_mod
+
+        try:
+            vectors = read_index_vectors(args.index)
+        except (OSError, ValueError):
+            return None
+        ivf_mod._STASH_CODES = True
+        try:
+            idx = build_index_from_vectors(vectors, args)
+        finally:
+            ivf_mod._STASH_CODES = False
+        pending = getattr(idx, "_pending_codes_payload", None)
+        if pending is not None:
+            try:
+                codes_io.write_payload_file(
+                    args.index, pending, tier=tier,
+                    content_hash=content_hash(vectors))
+            except (OSError, ValueError):
+                pass  # unwritable dir: serve from RAM, no cache
+            idx._pending_codes_payload = None
+        return idx
+    try:
+        vectors = read_index_vectors(args.index, mmap=True)
+        codes_io.write_codes_file(
+            args.index, vectors, tier,
+            rot=corpus_rotation(vectors.shape[1]),
+            content_hash=codes_io.sidecar_full_hash(args.index))
+    except (OSError, ValueError):
+        return None  # unwritable dir / corrupt sidecar: old path
+    payload = codes_io.load_codes(args.index, tier,
+                                  rotated=rotation_enabled())
+    if payload is None:
+        return None
+    return build_index_from_codes(payload, args)
 
 
 def build_index_from_codes(payload, args):
@@ -170,6 +198,13 @@ def build_index_from_codes(payload, args):
     search_mode = getattr(args, "search_mode", "auto")
     sharded = (mode == "on"
                or (mode == "auto" and len(jax.devices()) > 1))
+    if payload.get("residual") and search_mode != "ivf":
+        # residual-pq codes only score inside the probe (they need the
+        # segment coarse term); a flat request re-encodes from f32 —
+        # and overwrites the file, so alternating flat and residual-IVF
+        # processes on one index re-encode per start (set
+        # CLIPX_PQ_RESIDUAL=off to share one non-residual file)
+        return None
     if search_mode == "ivf":
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 

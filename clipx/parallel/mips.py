@@ -238,6 +238,8 @@ class ShardedVectorIndex:
         idx = cls(np.zeros((0, payload["dim"]), np.float32), mesh=mesh,
                   dtype=dtype)
         idx._code_dim = payload["code_dim"]  # file width wins (engine)
+        if payload.get("rot_matrix") is not None:
+            idx._rot = payload["rot_matrix"]  # trained OPQ rotation
         if payload["ntotal"] == 0:
             return idx
         if tier == "pq":

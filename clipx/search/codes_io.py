@@ -193,7 +193,8 @@ class CodesWriter:
     def __init__(self, path: str, *, tier: str, ntotal: int, dim: int,
                  code_dim: int, rotated: bool,
                  fp_sample: Optional[bytes],
-                 dsub: Optional[int] = None):
+                 dsub: Optional[int] = None, opq: bool = False,
+                 residual: bool = False):
         if tier not in _TIERS:
             raise ValueError(f"unknown tier {tier!r}")
         if tier == "pq" and dsub not in (2, 4):
@@ -202,11 +203,14 @@ class CodesWriter:
         self._tmp = path + ".tmp"
         self._tier = tier
         self._code_dim = code_dim
+        self._dim = dim
         self._remaining = ntotal
         self._need_scales = tier in ("int8", "int4")
         self._scales = [] if self._need_scales else None
         self._centroids: Optional[np.ndarray] = None
+        self._rotation: Optional[np.ndarray] = None
         self._content_hash: Optional[bytes] = None
+        self.opq = bool(opq)
         meta = {
             "version": _VERSION,
             "tier": tier,
@@ -217,6 +221,16 @@ class CodesWriter:
         }
         if dsub is not None:
             meta["dsub"] = int(dsub)
+        if self.opq:
+            # trained OPQ rotation (pq.train_opq): a (dim, dim) f32
+            # section follows the centroids, and loaders MUST use it in
+            # place of the seed-derived fixed rotation
+            meta["opq"] = True
+        if residual:
+            # pq codes are RESIDUALS vs the IVF segment centroids
+            # (faiss by_residual): only loadable under --search-mode
+            # ivf with the v2 .ivf cache whose fp matches content_hash
+            meta["residual"] = True
         blob = json.dumps(meta, sort_keys=True).encode()
         self._f = open(self._tmp, "wb")
         self._f.write(_MAGIC)
@@ -243,6 +257,12 @@ class CodesWriter:
     def set_centroids(self, centroids: np.ndarray) -> None:
         self._centroids = np.ascontiguousarray(centroids, np.float32)
 
+    def set_rotation(self, rot: np.ndarray) -> None:
+        if rot.shape != (self._dim, self._dim):
+            raise ValueError(f"rotation must be ({self._dim}, "
+                             f"{self._dim}), got {rot.shape}")
+        self._rotation = np.ascontiguousarray(rot, np.float32)
+
     def set_content_hash(self, digest: Optional[bytes]) -> None:
         self._content_hash = digest
 
@@ -262,6 +282,13 @@ class CodesWriter:
                 raise ValueError("pq codes need centroids "
                                  "(set_centroids)")
             self._f.write(self._centroids.tobytes())
+            if self.opq:
+                if self._rotation is None:
+                    self._f.close()
+                    os.unlink(self._tmp)
+                    raise ValueError("opq codes need the trained "
+                                     "rotation (set_rotation)")
+                self._f.write(self._rotation.tobytes())
         if self._content_hash:
             self._f.seek(len(_MAGIC) + 4 + 16)
             self._f.write(self._content_hash)
@@ -333,6 +360,10 @@ def load_codes(index_path: str, tier: str, *,
             need += ntotal * 4
         dsub = None
         m = 0
+        opq = bool(meta.get("opq"))
+        residual = bool(meta.get("residual"))
+        if residual and tier != "pq":
+            return None  # only pq supports residual encoding
         if tier == "pq":
             dsub = int(meta.get("dsub", 0))
             if dsub not in (2, 4) or dim % (2 * dsub):
@@ -343,6 +374,10 @@ def load_codes(index_path: str, tier: str, *,
             from clipx.search.pq import PQ_K
 
             need += m * PQ_K * dsub * 4
+            if opq:
+                need += dim * dim * 4
+        elif opq:
+            return None  # only pq carries a trained rotation
         if size < need:
             return None
         codes = np.memmap(path, np.int8, "r", offset=data_off,
@@ -351,7 +386,7 @@ def load_codes(index_path: str, tier: str, *,
             "tier": tier, "ntotal": ntotal, "dim": dim,
             "code_dim": code_dim, "rotated": bool(meta.get("rotated")),
             "codes": codes, "scales": None, "centroids": None,
-            "dsub": dsub,
+            "dsub": dsub, "rot_matrix": None, "residual": residual,
             "content_hash": (None if content_hash == _ZERO16
                              else content_hash),
         }
@@ -365,6 +400,11 @@ def load_codes(index_path: str, tier: str, *,
             cent = np.memmap(path, np.float32, "r", offset=off,
                              shape=(m, PQ_K, dsub))
             payload["centroids"] = np.asarray(cent)  # tiny — materialize
+            if opq:
+                off += m * PQ_K * dsub * 4
+                r = np.memmap(path, np.float32, "r", offset=off,
+                              shape=(dim, dim))
+                payload["rot_matrix"] = np.asarray(r)
         return payload
     except (OSError, ValueError, KeyError):
         return None
@@ -386,10 +426,18 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
     BLAS rotation results depend on operand shape, so the chunking IS
     part of the canonical definition.
 
-    Returns {codes, scales, centroids, codebook}; ``on_chunk(codes,
-    scales)`` (when given) streams each chunk out instead of assembling
-    the full codes array (the capacity-scale file-writing path), and
-    the returned dict then carries codes=None."""
+    Returns {codes, scales, centroids, codebook, rot_matrix};
+    ``on_chunk(codes, scales)`` (when given) streams each chunk out
+    instead of assembling the full codes array (the capacity-scale
+    file-writing path), and the returned dict then carries codes=None.
+
+    For pq, ``rot`` is the STARTING rotation: unless a pre-trained
+    ``codebook`` is supplied (whose caller already owns the matching
+    rotation), OPQ training (pq.train_opq, $CLIPX_PQ_OPQ) may replace
+    it — ``rot_matrix`` in the returned payload is the EFFECTIVE
+    rotation the codes were encoded under, and every consumer (flat
+    placement, IVF install, the codes file) must adopt it for queries
+    and reconstruction."""
     from clipx.search import pq as pq_lib
     from clipx.search.engine import quantize_rows_rotated
 
@@ -398,7 +446,7 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
     out_scales = None
     if tier == "pq":
         if codebook is None:
-            codebook = pq_lib.PQCodebook.train(vectors, rot=rot)
+            rot, codebook = pq_lib.train_opq(vectors, rot)
         cdim = codebook.m // 2
         if on_chunk is None:
             out_codes = np.empty((n, cdim), np.int8)
@@ -410,7 +458,8 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
             else:
                 on_chunk(c, None)
         return {"codes": out_codes, "scales": None,
-                "centroids": codebook.centroids, "codebook": codebook}
+                "centroids": codebook.centroids, "codebook": codebook,
+                "rot_matrix": rot}
     if tier not in ("int8", "int4"):
         raise ValueError(f"unknown tier {tier!r}")
     int4 = tier == "int4"
@@ -427,7 +476,55 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
         else:
             on_chunk(c, s)
     return {"codes": out_codes, "scales": out_scales,
-            "centroids": None, "codebook": None}
+            "centroids": None, "codebook": None, "rot_matrix": rot}
+
+
+def write_payload_file(index_path: str, payload: dict, *, tier: str,
+                       content_hash: Optional[bytes] = None) -> None:
+    """Write ``<index>.codes`` from an in-RAM encode payload — the IVF
+    install path stashes its flat-order encode (including residual
+    codes, which depend on the cluster layout and so cannot come from
+    ``encode_corpus``) and the CLI persists it here with no re-encode
+    and no device round-trip."""
+    from clipx.search import engine
+
+    codes = payload["codes"]
+    if codes is None:
+        raise ValueError("payload carries no codes array")
+    n, cdim = codes.shape
+    rot = payload.get("rot_matrix")
+    residual = bool(payload.get("residual"))
+    codebook = payload.get("codebook")
+    dim = (codebook.m * codebook.dsub if tier == "pq"
+           else cdim * 2 if tier == "int4" else cdim)
+    opq = (tier == "pq" and rot is not None
+           and not np.array_equal(rot, engine._rotation_matrix(dim)))
+    writer = CodesWriter(
+        codes_path(index_path), tier=tier, ntotal=n, dim=dim,
+        code_dim=cdim, rotated=rot is not None,
+        fp_sample=sidecar_sample_fp(index_path),
+        dsub=codebook.dsub if tier == "pq" else None,
+        opq=opq, residual=residual)
+    try:
+        step = 1 << 20
+        for i in range(0, n, step):
+            writer.write_codes(
+                codes[i: i + step],
+                None if payload["scales"] is None
+                else payload["scales"][i: i + step])
+        if tier == "pq":
+            writer.set_centroids(codebook.centroids)
+            if opq:
+                writer.set_rotation(rot)
+        writer.set_content_hash(content_hash)
+        writer.close()
+    except BaseException:
+        try:
+            writer._f.close()
+            os.unlink(writer._tmp)
+        except OSError:
+            pass
+        raise
 
 
 def write_codes_file(index_path: str, vectors, tier: str, *,
@@ -443,19 +540,23 @@ def write_codes_file(index_path: str, vectors, tier: str, *,
 
     n, dim = vectors.shape
     if tier == "pq" and codebook is None:
-        codebook = pq_lib.PQCodebook.train(vectors, rot=rot)
+        rot, codebook = pq_lib.train_opq(vectors, rot)
     cdim = (codebook.m // 2 if tier == "pq"
             else dim // 2 if tier == "int4" else dim)
     writer = CodesWriter(
         codes_path(index_path), tier=tier, ntotal=n, dim=dim,
         code_dim=cdim, rotated=rot is not None,
         fp_sample=sidecar_sample_fp(index_path),
-        dsub=codebook.dsub if tier == "pq" else None)
+        dsub=codebook.dsub if tier == "pq" else None,
+        opq=tier == "pq" and rot is not None
+        and pq_lib.opq_mode() == "trained")
     try:
         encode_corpus(vectors, tier, rot=rot, codebook=codebook,
                       on_chunk=writer.write_codes)
         if tier == "pq":
             writer.set_centroids(codebook.centroids)
+            if writer.opq:
+                writer.set_rotation(rot)
         writer.set_content_hash(content_hash)
         writer.close()
     except BaseException:

@@ -749,6 +749,8 @@ class VectorIndex:
         # existing index keeps the width its codebooks were trained
         # with (clipx/search/pq.py)
         idx._code_dim = payload["code_dim"]
+        if payload.get("rot_matrix") is not None:
+            idx._rot = payload["rot_matrix"]  # trained OPQ rotation
         if payload["ntotal"] == 0:
             return idx
         if tier == "pq":

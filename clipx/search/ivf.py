@@ -55,6 +55,12 @@ from clipx.search.engine import _SEG_W, clamp_k
 
 # Assignment matmul row-chunk: bounds the (chunk, C) score buffer.
 _ASSIGN_CHUNK = 65536
+# When set (cli.common.load_coded_index, around a from_vectors build),
+# coded installs keep their flat-order encode payload on the instance
+# as _pending_codes_payload so the caller can persist it to the codes
+# sidecar without re-encoding; common clears the attr after writing
+# (the payload holds a full host copy of the codes).
+_STASH_CODES = False
 # Max rows sampled for k-means training (faiss subsamples similarly).
 # Bounds the (rows, C) assignment-score transient inside the training
 # loop to 128k x 4096 x 4 B = 2 GB.
@@ -193,6 +199,33 @@ def cluster_layout(assign: np.ndarray) -> np.ndarray:
 # search kernels
 # ---------------------------------------------------------------------------
 
+def _sort_probe_enabled() -> bool:
+    """$CLIPX_IVF_SORT_PROBE: sort each query's probed segment ids
+    ascending before the gather. The probe is GATHER-bound
+    (CAPACITY_r03: random-access HBM runs ~20x slower than the linear
+    scan, so nprobe=2 touching 2.2% of a 24M corpus won only 2.4x);
+    monotone indices give the gather engine sequential-ish row
+    addresses. Ranking is order-independent (segment maxima + global
+    ids), so this is purely a memory-layout experiment knob. Read at
+    trace time — set it before the first search of a process."""
+    return os.environ.get("CLIPX_IVF_SORT_PROBE", "off").lower() in (
+        "on", "1", "true")
+
+
+def _maybe_sort_probe(seg_idx: jax.Array,
+                      seg_scores: Optional[jax.Array] = None):
+    """Sort (seg_idx, seg_scores) by segment id per query when the
+    probe-sort knob is on (one shared permutation keeps residual
+    coarse scores aligned with their segments)."""
+    if not _sort_probe_enabled():
+        return seg_idx, seg_scores
+    if seg_scores is None:
+        return jnp.sort(seg_idx, axis=1), None
+    order = jnp.argsort(seg_idx, axis=1)
+    return (jnp.take_along_axis(seg_idx, order, axis=1),
+            jnp.take_along_axis(seg_scores, order, axis=1))
+
+
 @functools.partial(jax.jit, static_argnames=("P", "k"))
 def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
                     valid2: jax.Array, queries: jax.Array,
@@ -206,6 +239,7 @@ def _ivf_kernel_f32(corpus3: jax.Array, seg_cent: jax.Array,
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)          # (Q, S)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    seg_idx, _ = _maybe_sort_probe(seg_idx)
     rows = corpus3[seg_idx]                                   # (Q,P,W,D)
     exact = jnp.einsum("qd,qpwd->qpw", queries, rows,
                        preferred_element_type=jnp.float32)
@@ -304,6 +338,7 @@ def _ivf_kernel_int4_pure(packed3: jax.Array, scales2: jax.Array,
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    seg_idx, _ = _maybe_sort_probe(seg_idx)
     return _int8_probe_body(packed3, scales2, valid2, queries, seg_idx,
                             _dequant_rows_int4(packed3, scales2),
                             min(k, P), k,
@@ -334,7 +369,8 @@ def _probe_chunk_segs(P: int, W: int) -> int:
 
 def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
                    valid2: jax.Array, queries: jax.Array,
-                   seg_idx: jax.Array, k: int, seg_offset=0
+                   seg_idx: jax.Array, k: int, seg_offset=0,
+                   seg_scores: Optional[jax.Array] = None
                    ) -> Tuple[jax.Array, jax.Array]:
     """PQ probed scan (the faiss IVFPQ analog): gather the probed
     PACKED segments (M/2 bytes/row — the smallest gather on the
@@ -352,7 +388,15 @@ def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
     latency path) route each chunk through the Pallas VMEM scan
     (clipx/ops/pq_scan.py, same CLIPX_PQ_SCAN knob as the full scan),
     which skips the HBM one-hot expansion entirely; scores are bitwise
-    equal between routes (integer sums, exact in f32)."""
+    equal between routes (integer sums, exact in f32).
+
+    RESIDUAL mode (``seg_scores`` given — the (Q, P) exact f32 coarse
+    scores of the probed segments): codes encode residuals against
+    their segment centroid (faiss ``by_residual``), so every scanned
+    score adds the segment's coarse score and every rescored score adds
+    it back exactly — score(q, x) = q.cent + q.decode(residual). The
+    int8 scan must then apply the per-query LUT scale before the sum
+    (a mixed ranking is scale-sensitive; plain PQ drops it)."""
     import os
 
     nq = queries.shape[0]
@@ -361,7 +405,7 @@ def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
     pf = packed3.shape[2] // half
     P, W = seg_idx.shape[1], packed3.shape[1] * pf
     mk = 2 * half * pq_lib.PQ_K
-    lut, luti = pq_lib.quantized_luts(queries, centroids)
+    lut, luti, lut_scale = pq_lib.quantized_luts(queries, centroids)
     iota16 = jnp.arange(pq_lib.PQ_K, dtype=jnp.uint8)
     rows = P * W
     kk = min(k, rows)
@@ -395,7 +439,15 @@ def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
                 onehot.reshape(nq, rows_c, mk), luti,
                 (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.int32)      # (Q, rows_c)
-        approx = jnp.where(vm, raw.astype(jnp.float32), -jnp.inf)
+        approx = raw.astype(jnp.float32)
+        if seg_scores is not None:
+            # residual: dequantize the scan (per-query LUT scale) and
+            # add each probed segment's exact coarse score
+            cv = jax.lax.dynamic_slice_in_dim(seg_scores, c * pc, pc,
+                                              axis=1)   # (Q, pc)
+            approx = (approx * lut_scale
+                      + jnp.repeat(cv, W, axis=1))
+        approx = jnp.where(vm, approx, -jnp.inf)
         d, li = jax.lax.top_k(approx, m_chunk)         # (Q, m_chunk)
         return d, li + c * rows_c
 
@@ -426,25 +478,34 @@ def _pq_probe_body(packed3: jax.Array, centroids: jax.Array,
         oneh.reshape(nq, m_cand, mk), lut,
         (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)             # (Q, m)
+    if seg_scores is not None:
+        # add back the candidate segments' exact coarse scores:
+        # score = q.cent + q.decode(residual), full-precision
+        exact = exact + jnp.take_along_axis(seg_scores, cseg, axis=1)
     exact = jnp.where(valid2[gseg, crow], exact, -jnp.inf)
     gids = (gseg + seg_offset) * W + crow
     d, s2 = jax.lax.top_k(exact, kk)
     return d, jnp.take_along_axis(gids, s2, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("P", "k"))
+@functools.partial(jax.jit, static_argnames=("P", "k", "residual"))
 def _ivf_kernel_pq(packed3: jax.Array, centroids: jax.Array,
                    seg_cent: jax.Array, valid2: jax.Array,
                    queries: jax.Array,
-                   P: int, k: int) -> Tuple[jax.Array, jax.Array]:
+                   P: int, k: int, residual: bool = False
+                   ) -> Tuple[jax.Array, jax.Array]:
     """IVF over pq STORAGE (--corpus-dtype pq + --search-mode ivf):
     probed product-quantized search — faiss IndexIVFPQ semantics with
-    the LUT lookups on the MXU. packed3: (S, 64, M/2) int8."""
+    the LUT lookups on the MXU. packed3: (S, 64, M/2) int8. With
+    ``residual`` the codes are residuals against segment centroids and
+    the probe's own coarse scores complete them (faiss by_residual —
+    see _pq_probe_body)."""
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
-    _, seg_idx = jax.lax.top_k(cs, P)                     # (Q, P)
+    cvals, seg_idx = jax.lax.top_k(cs, P)                 # (Q, P)
+    seg_idx, cvals = _maybe_sort_probe(seg_idx, cvals)
     return _pq_probe_body(packed3, centroids, valid2, queries, seg_idx,
-                          k)
+                          k, seg_scores=cvals if residual else None)
 
 
 @functools.partial(jax.jit, static_argnames=("P", "k"))
@@ -458,6 +519,7 @@ def _ivf_kernel_int8(codes3: jax.Array, scales2: jax.Array,
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    seg_idx, _ = _maybe_sort_probe(seg_idx)
     return _int8_probe_body(codes3, scales2, valid2, queries, seg_idx,
                             lambda chosen: corpus3[chosen],
                             min(k, P), k)
@@ -474,6 +536,7 @@ def _ivf_kernel_int8_pure(codes3: jax.Array, scales2: jax.Array,
     cs = jnp.dot(queries, seg_cent.T,
                  preferred_element_type=jnp.float32)
     _, seg_idx = jax.lax.top_k(cs, P)                         # (Q, P)
+    seg_idx, _ = _maybe_sort_probe(seg_idx)
     return _int8_probe_body(codes3, scales2, valid2, queries, seg_idx,
                             _dequant_rows(codes3, scales2),
                             min(k, P), k)
@@ -555,6 +618,10 @@ class IVFIndex:
         self._codes3: Optional[jax.Array] = None
         self._scales2: Optional[jax.Array] = None
         self._pq = None  # PQCodebook (pq storage), trained at install
+        # pq codes encode residuals vs segment centroids (faiss
+        # by_residual; set at install per $CLIPX_PQ_RESIDUAL or the
+        # codes-file payload)
+        self._residual = False
         self._base_n = 0
         self._tail: Optional[engine.VectorIndex] = None
         # ascending cumulative sums of live-segment occupancies — feeds
@@ -677,18 +744,32 @@ class IVFIndex:
             # copy never has to exist in HBM (the whole point of the
             # tier — a 24M x 512 f32 corpus is ~49 GiB, 3x the chip);
             # segment centroids likewise reduce host-side.
+            if seg_sums is None:
+                seg_sums = _segment_sums(vectors, row_ext)
             if coded is None:
-                coded = codes_io.encode_corpus(
-                    vectors, self._tier(), rot=self._rot,
-                    codebook=self._pq)
-                if self.pq_storage and self._pq is None:
+                if (self.pq_storage and self._pq is None
+                        and pq_lib.pq_residual_enabled()):
+                    coded = _encode_residual_flat(
+                        vectors, row_ext, seg_sums, counts, self._rot)
                     self._pq = coded["codebook"]
+                else:
+                    coded = codes_io.encode_corpus(
+                        vectors, self._tier(), rot=self._rot,
+                        codebook=self._pq)
+                    if self.pq_storage and self._pq is None:
+                        self._pq = coded["codebook"]
             elif self.pq_storage and self._pq is None:
                 self._pq = pq_lib.PQCodebook(
                     np.asarray(coded["centroids"]))
+            if self.pq_storage:
+                self._residual = bool(coded.get("residual"))
+                if coded.get("rot_matrix") is not None:
+                    self._rot = coded["rot_matrix"]  # trained OPQ
+            if _STASH_CODES:
+                # the caller (cli.common) persists these flat codes to
+                # the sidecar — no re-encode, no device round-trip
+                self._pending_codes_payload = coded
             codes, scales = _permute_coded(coded, row_ext, live)
-            if seg_sums is None:
-                seg_sums = _segment_sums(vectors, row_ext)
             self._corpus3 = None
             if self.pq_storage:
                 # lane-paired physical segments (pq.pack_factor):
@@ -737,11 +818,21 @@ class IVFIndex:
         if vectors.shape[0] == 0:
             return
         if self._tail is None:
-            self._tail = engine.VectorIndex(self.dim, dtype=self.dtype)
-            if self.pq_storage and self._pq is not None:
-                # share the base codebooks: a tiny tail would otherwise
-                # train its own k-means on a handful of rows
+            # residual-pq codebooks cover residual dynamics, not raw
+            # rows — the tail (small by design: serve rebuilds when it
+            # grows past taste) stores exact f32 instead
+            tail_dtype = (jnp.float32 if (self.pq_storage
+                                          and self._residual)
+                          else self.dtype)
+            self._tail = engine.VectorIndex(self.dim, dtype=tail_dtype)
+            if (self.pq_storage and not self._residual
+                    and self._pq is not None):
+                # share the base codebooks AND rotation: a tiny tail
+                # would otherwise train its own k-means on a handful of
+                # rows (and encode under the fixed rotation while the
+                # base may carry a trained OPQ one)
                 self._tail._pq = self._pq
+                self._tail._rot = self._rot
         self._tail.add(vectors)
         self.ntotal = self._base_n + self._tail.ntotal
 
@@ -772,7 +863,7 @@ class IVFIndex:
         if self.pq_storage:
             return _ivf_kernel_pq(
                 self._codes3, self._pq.device(), self._seg_cent,
-                self._valid2, qj, P, kk)
+                self._valid2, qj, P, kk, residual=self._residual)
         if self.int4_storage:
             return _ivf_kernel_int4_pure(
                 self._codes3, self._scales2, self._seg_cent,
@@ -868,6 +959,8 @@ class IVFIndex:
                 pair = np.asarray(
                     self._codes3[seg, off // pf]).reshape(pf, cdim)
                 v = self._pq.decode(pair[off % pf][None, :])[0]
+                if self._residual:  # decode is the residual only
+                    v = v + np.asarray(self._seg_cent[seg])
                 return v @ self._rot.T if self._rot is not None else v
             if self.int4_storage:
                 flat_c = self._codes3.reshape(-1, self.dim // 2)
@@ -908,12 +1001,16 @@ class IVFIndex:
                                       dtype=np.float32).reshape(-1))
             pos = self._pos_of_ext
             base = np.empty((len(pos), self.dim), np.float32)
+            cent_host = (np.asarray(self._seg_cent, np.float32)
+                         if self.pq_storage and self._residual else None)
             step = 1 << 18
             for i in range(0, len(pos), step):
                 p = pos[i:i + step]
                 chunk = codes[p]
                 if self.pq_storage:
                     chunk = self._pq.decode(chunk)
+                    if cent_host is not None:
+                        chunk = chunk + cent_host[p // _SEG_W]
                 else:
                     if self.int4_storage:
                         chunk = engine.unpack_int4_host(chunk)
@@ -980,6 +1077,50 @@ def _permute_coded(coded: dict, row_ext: np.ndarray, live: np.ndarray,
         if ps is not None:
             ps[p] = np.asarray(scales_flat[e])
     return pc, ps
+
+
+def _encode_residual_flat(vectors, row_ext: np.ndarray,
+                          seg_sums: np.ndarray, counts: np.ndarray,
+                          rot: Optional[np.ndarray]) -> dict:
+    """Residual-PQ encoding in flat EXTERNAL row order (faiss
+    ``by_residual``): residual_i = rot(x_i) - cent[seg(i)], with cent
+    the rotated-space segment centroids the install places as
+    ``_seg_cent`` (bit-identical arithmetic: rotate(sums)/counts).
+    Codebooks train on a deterministic residual sample; codes chunk
+    over a possibly-memmapped ``vectors``. The flat order is what the
+    codes sidecar stores — residual codes are tied to the layout, and
+    the shared content hash ties both to one corpus
+    (codes_io/_load_cache_for_codes)."""
+    # Rotation is linear, so rotated-space residuals are rotated
+    # unrotated-space residuals: rot(x) - rot(c) = (x - c) @ rot.
+    # Residuals are therefore formed UNROTATED and the rotation runs
+    # inside encode — which lets OPQ train ON THE RESIDUALS themselves
+    # (pq.train_opq below): the learned rotation balances the residual
+    # distribution, composing the two recall levers.
+    counts_f = np.maximum(np.asarray(counts, np.float32), 1.0)
+    cent_unrot = (np.ascontiguousarray(seg_sums, np.float32)
+                  / counts_f[:, None])
+    live = row_ext >= 0
+    pos = np.flatnonzero(live)
+    n = len(pos)
+    seg_of_ext = np.empty(n, np.int64)
+    seg_of_ext[row_ext[pos]] = pos // _SEG_W
+    rng = np.random.default_rng(pq_lib._PQ_SEED + vectors.shape[1])
+    if n > pq_lib._PQ_TRAIN_SAMPLE:
+        idx = rng.choice(n, pq_lib._PQ_TRAIN_SAMPLE, replace=False)
+    else:
+        idx = np.arange(n)
+    res = (np.ascontiguousarray(vectors[idx], np.float32)
+           - cent_unrot[seg_of_ext[idx]])
+    rot, cb = pq_lib.train_opq(res, rot)
+    codes = np.empty((n, cb.m // 2), np.int8)
+    step = 1 << 16
+    for i in range(0, n, step):
+        b = (np.asarray(vectors[i: i + step], np.float32)
+             - cent_unrot[seg_of_ext[i: i + step]])
+        codes[i: i + len(b)] = cb.encode(b, rot=rot)
+    return {"codes": codes, "scales": None, "centroids": cb.centroids,
+            "codebook": cb, "rot_matrix": rot, "residual": True}
 
 
 def _layout_ok(layout: np.ndarray, n: int) -> bool:
@@ -1154,19 +1295,34 @@ class ShardedIVFIndex(IVFIndex):
             # host encode + host centroids: no f32 copy of the corpus
             # ever reaches HBM (see the single-device _install). Codes
             # come from the CANONICAL flat-order encoder (or a loaded
-            # .codes payload) and are permuted into the dealt layout.
+            # .codes payload) and are permuted into the dealt layout;
+            # residual codes are identical under dealing (a segment's
+            # centroid doesn't change when segments are reordered).
+            if seg_sums is None:
+                seg_sums = _segment_sums(vectors, row_ext)
             if coded is None:
-                coded = codes_io.encode_corpus(
-                    vectors, self._tier(), rot=self._rot,
-                    codebook=self._pq)
-                if self.pq_storage and self._pq is None:
+                if (self.pq_storage and self._pq is None
+                        and pq_lib.pq_residual_enabled()):
+                    coded = _encode_residual_flat(
+                        vectors, row_ext, seg_sums, counts_host,
+                        self._rot)
                     self._pq = coded["codebook"]
+                else:
+                    coded = codes_io.encode_corpus(
+                        vectors, self._tier(), rot=self._rot,
+                        codebook=self._pq)
+                    if self.pq_storage and self._pq is None:
+                        self._pq = coded["codebook"]
             elif self.pq_storage and self._pq is None:
                 self._pq = pq_lib.PQCodebook(
                     np.asarray(coded["centroids"]))
+            if self.pq_storage:
+                self._residual = bool(coded.get("residual"))
+                if coded.get("rot_matrix") is not None:
+                    self._rot = coded["rot_matrix"]  # trained OPQ
+            if _STASH_CODES:
+                self._pending_codes_payload = coded
             codes, scales = _permute_coded(coded, row_ext, live)
-            if seg_sums is None:
-                seg_sums = _segment_sums(vectors, row_ext)
             self._corpus3 = None
             if self.pq_storage:
                 # lane-paired physical segments (pq.pack_factor)
@@ -1228,7 +1384,8 @@ class ShardedIVFIndex(IVFIndex):
         S_local = S // self._n_shards
         P_local = min(_bucket_probe(-(-P // self._n_shards)), S_local)
         kk_local = min(kk, P_local * _SEG_W)
-        mode = ("pq_storage" if self.pq_storage
+        mode = ("pq_residual" if self.pq_storage and self._residual
+                else "pq_storage" if self.pq_storage
                 else "int4_storage" if self.int4_storage
                 else "int8_storage" if self.int8_storage
                 else "quant" if self.quantized else "f32")
@@ -1261,7 +1418,9 @@ class ShardedIVFIndex(IVFIndex):
         def _coarse(cent_l, sv_l, q):
             cs = jnp.dot(q, cent_l.T, preferred_element_type=jnp.float32)
             cs = jnp.where(sv_l[None, :], cs, -jnp.inf)
-            return jax.lax.top_k(cs, P_local)[1]              # (Q, P_l)
+            vals, idx = jax.lax.top_k(cs, P_local)   # (vals, idx) (Q,P_l)
+            idx, vals = _maybe_sort_probe(idx, vals)
+            return vals, idx
 
         def _gids(seg_idx, S_local):
             base = jax.lax.axis_index(AXIS) * S_local
@@ -1270,7 +1429,7 @@ class ShardedIVFIndex(IVFIndex):
 
         def local_f32(c3, cent_l, v2, sv_l, q):
             nq = q.shape[0]
-            seg_idx = _coarse(cent_l, sv_l, q)
+            _, seg_idx = _coarse(cent_l, sv_l, q)
             rows = c3[seg_idx]                                # (Q,P,W,D)
             exact = jnp.einsum("qd,qpwd->qpw", q, rows,
                                preferred_element_type=jnp.float32)
@@ -1283,7 +1442,7 @@ class ShardedIVFIndex(IVFIndex):
             return _merge_across_shards(d, gi, kk)
 
         def local_int8(codes3, scales2, c3, cent_l, v2, sv_l, q):
-            seg_idx = _coarse(cent_l, sv_l, q)
+            _, seg_idx = _coarse(cent_l, sv_l, q)
             base = jax.lax.axis_index(AXIS) * codes3.shape[0]
             d, gi = _int8_probe_body(codes3, scales2, v2, q, seg_idx,
                                      lambda chosen: c3[chosen],
@@ -1294,7 +1453,7 @@ class ShardedIVFIndex(IVFIndex):
         def local_int8_pure(codes3, scales2, cent_l, v2, sv_l, q):
             # int8 STORAGE: same probed scan as local_int8, rescore
             # from dequantized candidate rows (no stored f32/bf16 rows)
-            seg_idx = _coarse(cent_l, sv_l, q)
+            _, seg_idx = _coarse(cent_l, sv_l, q)
             base = jax.lax.axis_index(AXIS) * codes3.shape[0]
             d, gi = _int8_probe_body(codes3, scales2, v2, q, seg_idx,
                                      _dequant_rows(codes3, scales2),
@@ -1305,7 +1464,7 @@ class ShardedIVFIndex(IVFIndex):
         def local_int4_pure(packed3, scales2, cent_l, v2, sv_l, q):
             # int4 STORAGE: packed probe gather + unpack, dequantized
             # rescore (_ivf_kernel_int4_pure, per shard)
-            seg_idx = _coarse(cent_l, sv_l, q)
+            _, seg_idx = _coarse(cent_l, sv_l, q)
             base = jax.lax.axis_index(AXIS) * packed3.shape[0]
             d, gi = _int8_probe_body(
                 packed3, scales2, v2, q, seg_idx,
@@ -1316,16 +1475,20 @@ class ShardedIVFIndex(IVFIndex):
 
         def local_pq(packed3, centroids, cent_l, v2, sv_l, q):
             # pq STORAGE: probed PQ scan against the replicated
-            # codebooks (_ivf_kernel_pq, per shard)
-            seg_idx = _coarse(cent_l, sv_l, q)
+            # codebooks (_ivf_kernel_pq, per shard); residual mode
+            # feeds the local coarse scores back as the exact q.cent
+            # term (faiss by_residual — _pq_probe_body)
+            cvals, seg_idx = _coarse(cent_l, sv_l, q)
             base = jax.lax.axis_index(AXIS) * packed3.shape[0]
-            d, gi = _pq_probe_body(packed3, centroids, v2, q, seg_idx,
-                                   kk_local, seg_offset=base)
+            d, gi = _pq_probe_body(
+                packed3, centroids, v2, q, seg_idx, kk_local,
+                seg_offset=base,
+                seg_scores=cvals if mode == "pq_residual" else None)
             return _merge_across_shards(d, gi, kk)
 
         # per-arg specs (codes3/c3 3-D, scales2/cent/v2 2-D,
         # seg_valid 1-D, queries replicated)
-        if mode == "pq_storage":
+        if mode in ("pq_storage", "pq_residual"):
             fn = local_pq
             in_specs = (PS(AXIS, None, None), PS(None, None, None),
                         PS(AXIS, None), PS(AXIS, None),

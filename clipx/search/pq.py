@@ -221,14 +221,19 @@ class PQCodebook:
         (M, S, K) formulation measured ~10x slower (giant broadcast
         temps, unthreaded batch GEMM), hence the plain per-m loop.
         ``rot`` rotates the SAMPLE only (callers at corpus scale must
-        not pre-rotate millions of rows to train on 64k of them)."""
-        rows = np.ascontiguousarray(rows, np.float32)
+        not pre-rotate millions of rows to train on 64k of them).
+        ``rows`` may be a sidecar memmap: only the sampled rows are
+        ever materialized (a full ascontiguousarray of a 100M-row
+        memmap would defeat the bounded-RAM load path)."""
         n, d = rows.shape
         dsub = pq_dsub()
         m = subspaces(d, dsub)
         rng = np.random.default_rng(_PQ_SEED + d)
-        x = rows[rng.choice(n, sample, replace=False)] if n > sample \
-            else rows
+        if n > sample:
+            x = np.ascontiguousarray(
+                rows[rng.choice(n, sample, replace=False)], np.float32)
+        else:
+            x = np.ascontiguousarray(rows, np.float32)
         if rot is not None:
             x = x @ rot
         s = x.shape[0]
@@ -289,6 +294,92 @@ class PQCodebook:
         return rec.reshape(n, m * self.dsub).astype(np.float32)
 
 
+def opq_mode() -> str:
+    """$CLIPX_PQ_OPQ: 'trained' (default — alternating-minimization
+    OPQ rotation, the faiss OPQMatrix analog) or 'fixed' (the round-3
+    seed-derived random rotation; also the fallback when the corpus
+    rotation knob is off entirely)."""
+    import os
+
+    v = os.environ.get("CLIPX_PQ_OPQ", "trained").lower()
+    return v if v in ("trained", "fixed") else "trained"
+
+
+def pq_residual_enabled() -> bool:
+    """$CLIPX_PQ_RESIDUAL (IVF + pq storage only): encode each row's
+    RESIDUAL against its segment centroid instead of the raw row —
+    faiss ``IndexIVFPQ``'s ``by_residual`` default. The coarse score
+    q.cent is exact f32 (the probe already computes it) and the
+    codebooks only have to cover the residual's much smaller dynamic
+    range, which is where faiss's 4-bit tiers keep their recall on
+    clustered corpora. Composes with the codes sidecar (codes are tied
+    to the layout via the shared content hash) AND with trained OPQ —
+    rotation is linear, so train_opq runs on the residuals themselves
+    (ivf._encode_residual_flat). Measured recall table in
+    docs/ARCHITECTURE.md; 'off' restores round-3 global-codebook
+    encoding."""
+    import os
+
+    return os.environ.get("CLIPX_PQ_RESIDUAL", "on").lower() not in (
+        "off", "0", "false")
+
+
+_OPQ_ITERS = 10
+
+
+def train_opq(rows: np.ndarray, rot0: Optional[np.ndarray],
+              iters: int = _OPQ_ITERS
+              ) -> Tuple[Optional[np.ndarray], "PQCodebook"]:
+    """Trained OPQ rotation + codebooks (the faiss ``OPQMatrix``
+    analog, OPQ-NP alternating minimization): starting from the fixed
+    random rotation, alternate (a) k-means codebooks under the current
+    rotation with (b) the orthogonal Procrustes update
+    R = UV^T of X^T X_hat — each step cannot increase the PQ
+    reconstruction error, and on anisotropic embeddings the learned R
+    balances per-subspace variance far better than a random one.
+    Deterministic: fixed sample (the codebook trainer's own rng), fixed
+    iteration count (U V^T is invariant to SVD sign choices, so the
+    product is stable across LAPACK builds outside degenerate equal-
+    singular-value ties). Returns (R, codebook) — R is the
+    FULL rotation to use in place of the fixed one (or None when
+    ``rot0`` is None: rotation disabled via $CLIPX_CORPUS_ROTATE=off
+    disables training too, keeping that knob's bit-compat meaning).
+
+    Train-time cost is bounded by the sample (<= _PQ_TRAIN_SAMPLE
+    rows): ~iters x (k-means + one (S, D) x (D, D) GEMM + one D x D
+    SVD) — seconds at D=512, amortized to zero by the codes sidecar
+    (clipx/search/codes_io.py), which persists the rotation."""
+    if rot0 is None or opq_mode() == "fixed":
+        return rot0, PQCodebook.train(rows, rot=rot0)
+    n, d = rows.shape
+    subspaces(d)  # validates divisibility up front
+    # the SAME deterministic sample the codebook trainer uses, so the
+    # final codebooks see exactly the rows train() would; rows may be a
+    # sidecar memmap — materialize the sample only
+    rng = np.random.default_rng(_PQ_SEED + d)
+    if n > _PQ_TRAIN_SAMPLE:
+        x = np.ascontiguousarray(
+            rows[rng.choice(n, _PQ_TRAIN_SAMPLE, replace=False)],
+            np.float32)
+    else:
+        x = np.ascontiguousarray(rows, np.float32)
+    r = np.ascontiguousarray(rot0, np.float32)
+    for _ in range(iters):
+        # short inner k-means per alternation (the rotation update only
+        # needs a decent X_hat); the final codebooks below get the full
+        # iteration budget
+        cb = PQCodebook.train(x, iters=5, rot=r)
+        xr = x @ r
+        codes = cb.encode(xr)
+        xhat = cb.decode(codes)                      # (S, D) rotated
+        # Procrustes: min_R ||x R - xhat||_F over orthogonal R
+        u, _, vt = np.linalg.svd(x.T @ xhat)
+        r = np.ascontiguousarray((u @ vt), np.float32)
+    # final codebooks under the final rotation, through the canonical
+    # constructor path (full-corpus sampling identical to train())
+    return r, PQCodebook.train(rows, rot=r)
+
+
 def make_luts(queries: jax.Array, centroids: jax.Array) -> jax.Array:
     """Per-query ADC tables: (Q, M, 16) f32 — LUT[q, m, c] is the inner
     product of query block m with centroid c (sums over m give the exact
@@ -301,18 +392,21 @@ def make_luts(queries: jax.Array, centroids: jax.Array) -> jax.Array:
 
 
 def quantized_luts(queries: jax.Array, centroids: jax.Array
-                   ) -> Tuple[jax.Array, jax.Array]:
-    """(lut, luti): the flat (Q, M*16) f32 ADC tables and their
-    per-query int8 quantization for the scan. The positive per-query
-    scale is dropped — it cannot change that query's candidate
-    ranking (the int8-scan q_scale argument)."""
+                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(lut, luti, scale): the flat (Q, M*16) f32 ADC tables, their
+    per-query int8 quantization for the scan, and the (Q, 1) f32
+    quantization scale. Plain PQ ranking drops the positive per-query
+    scale (it cannot change that query's candidate ranking — the
+    int8-scan q_scale argument); residual IVFPQ must apply it, because
+    scan scores there are SUMMED with exact f32 coarse scores and the
+    mixed ranking is scale-sensitive."""
     nq = queries.shape[0]
     mk = centroids.shape[0] * PQ_K
     lut = make_luts(queries, centroids).reshape(nq, mk)
     scale = jnp.maximum(jnp.abs(lut).max(axis=1, keepdims=True),
                         1e-12) / 127.0
     luti = jnp.clip(jnp.rint(lut / scale), -127, 127).astype(jnp.int8)
-    return lut, luti
+    return lut, luti, scale
 
 
 # Pallas-branch chunking: one kernel call up to this many rows (the
@@ -389,7 +483,7 @@ def _pq_topk(packed: jax.Array, centroids: jax.Array, valid: jax.Array,
     n = packed.shape[0] * pf
     nq = queries.shape[0]
     mk = 2 * half * PQ_K
-    lut, luti = quantized_luts(queries, centroids)          # (Q, M*16)
+    lut, luti, _ = quantized_luts(queries, centroids)       # (Q, M*16)
     iota16 = jnp.arange(PQ_K, dtype=jnp.uint8)
 
     use_pallas = _use_pallas_scan(n)
@@ -499,6 +593,11 @@ def _pq_append(index, vectors: np.ndarray) -> None:
 
         payload = encode_corpus(vectors, "pq", rot=rot)
         index._pq = payload["codebook"]
+        if payload["rot_matrix"] is not None:
+            # OPQ may have replaced the fixed rotation (train_opq);
+            # queries, later adds, and reconstruction must all use the
+            # rotation the codes were encoded under
+            index._rot = payload["rot_matrix"]
         codes = payload["codes"]
     else:
         codes = index._pq.encode(vectors, rot=rot)

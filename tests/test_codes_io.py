@@ -312,3 +312,95 @@ def test_mmap_read_matches_ram(sidecar):
     path, v, ch = sidecar
     mm = read_index_vectors(path, mmap=True)
     np.testing.assert_array_equal(np.asarray(mm), v)
+
+
+def test_residual_codes_roundtrip_and_flat_refusal(sidecar, monkeypatch):
+    """Residual-pq codes (faiss by_residual, the IVF default) persist
+    and reload exactly; a FLAT request can't serve them and falls back
+    to re-encoding (overwriting the file with flat codes)."""
+    path, v, ch = sidecar
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "on")
+    args = _args(path, "pq", search_mode="ivf")
+    idx1 = common.load_index(args)
+    assert idx1._residual is True
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload is not None and payload["residual"] is True
+    # reload from codes: same results
+    import clipx.search.engine as engine_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("f32 read on a fresh-codes start")
+
+    monkeypatch.setattr(engine_mod, "read_index_vectors", _boom)
+    idx2 = common.load_index(args)
+    assert idx2._residual is True
+    q = _corpus(4, DIM, seed=6)
+    d1, i1 = idx1.search(q, 15, nprobe=100)
+    d2, i2 = idx2.search(q, 15, nprobe=100)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)
+    # flat request: refuses the residual payload, rebuilds flat codes
+    monkeypatch.undo()
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "on")
+    flat = common.load_index(_args(path, "pq"))
+    assert not isinstance(flat, type(idx1))
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload is not None and payload["residual"] is False
+
+
+def test_residual_reconstruct_and_tail(sidecar, monkeypatch):
+    """Residual decode adds the segment centroid back (reconstruction
+    approximates the row), and incremental adds land in an exact f32
+    tail (residual codebooks don't cover raw rows)."""
+    import jax.numpy as jnp
+
+    path, v, ch = sidecar
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "on")
+    from clipx.search.ivf import IVFIndex
+
+    idx = IVFIndex.from_vectors(v, dtype="pq")
+    assert idx._residual
+    r = idx.reconstruct(11)
+    cos = float(r @ v[11] / max(np.linalg.norm(r), 1e-9))
+    assert cos > 0.8, cos  # pq reconstruction, not exact
+    vecs = idx.vectors()
+    assert vecs.shape == v.shape
+    cosv = np.sum(vecs * v, axis=1) / np.maximum(
+        np.linalg.norm(vecs, axis=1), 1e-9)
+    assert float(np.mean(cosv)) > 0.8
+    idx.add(v[:5] * 0.9)
+    assert idx._tail is not None
+    assert idx._tail.dtype == jnp.float32
+    d, i = idx.search(v[:2], 5, nprobe=100)
+    assert (i >= 0).all()
+
+
+def test_opq_rotation_roundtrip(sidecar, monkeypatch):
+    """Trained OPQ rotation persists in the codes file and the loaded
+    index queries through it (identical results to the live build)."""
+    path, v, ch = sidecar
+    monkeypatch.setenv("CLIPX_PQ_OPQ", "trained")
+    args = _args(path, "pq")
+    idx1 = common.load_index(args)
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload is not None
+    assert payload["rot_matrix"] is not None
+    # the trained rotation is orthogonal and differs from the fixed one
+    r = payload["rot_matrix"]
+    np.testing.assert_allclose(r @ r.T, np.eye(DIM), atol=1e-4)
+    from clipx.search.engine import _rotation_matrix
+
+    assert not np.allclose(r, _rotation_matrix(DIM))
+    import clipx.search.engine as engine_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("f32 read on a fresh-codes start")
+
+    monkeypatch.setattr(engine_mod, "read_index_vectors", _boom)
+    idx2 = common.load_index(args)
+    np.testing.assert_array_equal(np.asarray(idx2._rot), r)
+    q = _corpus(4, DIM, seed=7)
+    d1, i1 = idx1.search(q, 15)
+    d2, i2 = idx2.search(q, 15)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(d1, d2)

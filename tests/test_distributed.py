@@ -48,12 +48,15 @@ def _run_pair():
 def test_two_process_mesh_train_and_search():
     procs, outs = _run_pair()
     if any(p.returncode != 0 for p in procs) and any(
-            "gloo" in out.lower() for out in outs):
+            "gloo" in out.lower() and "preamble" in out.lower()
+            for out in outs):
         # Gloo's loopback rendezvous is flaky under heavy host
         # contention (observed: a transport preamble-size abort while a
-        # parallel CPU job saturated every core). One retry on a fresh
-        # port distinguishes that from a real collective mismatch,
-        # which fails deterministically.
+        # parallel CPU job saturated every core). Retry ONLY that
+        # specific signature — a real collective bug whose traceback
+        # merely passes through a gloo frame must not get a free pass
+        # (it fails deterministically on the retry anyway, but the
+        # narrow match keeps the first failure visible).
         procs, outs = _run_pair()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]

@@ -260,17 +260,21 @@ def test_flag_plumbs_and_search_mode_is_fixed(tmp_path):
     assert idx.pq_storage and idx._corpus3 is None
 
 
-def test_ivf_full_probe_matches_flat_pq():
-    """nprobe=100 probes every segment, so IVF-PQ must return the flat
-    pq index's ranking: identical candidate selection (same int8 LUTs
-    over the same codes — codebooks train on the same rows with the
-    same seed) and identical f32-LUT rescore."""
+def test_ivf_full_probe_matches_flat_pq(monkeypatch):
+    """nprobe=100 probes every segment, so non-residual IVF-PQ must
+    return the flat pq index's ranking: identical candidate selection
+    (same int8 LUTs over the same codes — codebooks train on the same
+    rows with the same seed) and identical f32-LUT rescore. Residual
+    mode (the IVF default) intentionally encodes differently — covered
+    by test_residual_full_probe_self_consistent below."""
     from clipx.search.ivf import IVFIndex
 
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "off")
     rng = np.random.default_rng(13)
     vecs = _unit(rng, 3000, 64)
     q = _queries(rng, vecs)
     ivf = IVFIndex.from_vectors(vecs, dtype="pq")
+    assert not ivf._residual
     assert ivf.pq_storage and ivf._corpus3 is None
     assert ivf._scales2 is None
     D, I = ivf.search(q, k=8, nprobe=100)
@@ -304,9 +308,10 @@ def test_ivf_low_probe_self_match_pq():
     np.testing.assert_array_equal(I[:, 0], np.arange(4))
 
 
-def test_sharded_ivf_full_probe_matches_flat_pq():
+def test_sharded_ivf_full_probe_matches_flat_pq(monkeypatch):
     from clipx.search.ivf import ShardedIVFIndex
 
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "off")
     rng = np.random.default_rng(15)
     vecs = _unit(rng, 3000, 64)
     q = _queries(rng, vecs)
@@ -375,3 +380,44 @@ def test_ivf_pq_probe_pallas_route_matches_xla(monkeypatch):
     jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_residual_full_probe_self_consistent():
+    """Residual IVF-PQ (the default): full probe must self-retrieve
+    every queried row at rank 0 (decoded self-score clears the field)
+    and must beat or match the non-residual encoding's recall against
+    the exact ranking on a clustered corpus — the faiss by_residual
+    property this mode exists for."""
+    import os
+
+    from clipx.search.ivf import IVFIndex
+
+    rng = np.random.default_rng(17)
+    # clustered corpus: residual coding's favorable (and realistic) case
+    cents = _unit(rng, 64, 64)
+    a = rng.integers(0, 64, 3000)
+    vecs = cents[a] + 0.25 * rng.standard_normal((3000, 64)).astype(
+        np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    exact = VectorIndex.from_vectors(vecs)
+    q = vecs[:16]
+    k = 10
+    _, Ie = exact.search(q, k)
+
+    def recall(index):
+        _, I = index.search(q, k, nprobe=100)
+        return np.mean([len(set(Ie[i]) & set(I[i])) / k
+                        for i in range(len(q))]), I
+
+    res = IVFIndex.from_vectors(vecs, dtype="pq")
+    assert res._residual
+    r_res, I_res = recall(res)
+    assert (I_res[:, 0] == np.arange(16)).all()  # self-match at rank 0
+    os.environ["CLIPX_PQ_RESIDUAL"] = "off"
+    try:
+        nores = IVFIndex.from_vectors(vecs, dtype="pq")
+    finally:
+        os.environ.pop("CLIPX_PQ_RESIDUAL", None)
+    assert not nores._residual
+    r_nores, _ = recall(nores)
+    assert r_res >= r_nores - 0.02, (r_res, r_nores)

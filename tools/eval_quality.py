@@ -26,6 +26,14 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+RESULTS = {}
+
+
+def _record(key, **vals):
+    RESULTS[key] = {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in vals.items()}
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--db", default="vectors.lmdb")
@@ -40,6 +48,17 @@ def main(argv=None) -> int:
                     default=os.environ.get("CLIPX_CHECKPOINT"))
     ap.add_argument("--samples", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--json", default=None,
+                    help="also write every reported number to this "
+                         "JSON file (quality artifacts)")
+    ap.add_argument("--pq-modes", choices=("default", "both"),
+                    default="default",
+                    help="pq variants to evaluate: 'default' runs the "
+                         "shipping config only (opq=trained, "
+                         "residual=on); 'both' adds the round-3 "
+                         "baselines (opq=fixed, residual=off) for "
+                         "before/after tables — each extra variant "
+                         "costs a full train+encode")
     args = ap.parse_args(argv)
 
     from clipx.search.engine import VectorIndex, read_index
@@ -59,6 +78,8 @@ def main(argv=None) -> int:
     score_ok = int((np.abs(D[:, 0] - 1.0) < 1e-2).sum())
     print(f"self-retrieval: {hits}/{len(sample)} rank-0 hits, "
           f"{score_ok}/{len(sample)} scores ~1.0")
+    _record("self_retrieval", hits=hits, n=len(sample),
+            scores_ok=score_ok)
 
     # quantized agreement
     k = min(args.k, n)
@@ -70,6 +91,7 @@ def main(argv=None) -> int:
     top1 = float(np.mean(Ie[:, 0] == Iq[:, 0]))
     print(f"int8+rescore vs exact: recall@{k} {recall:.4f}, "
           f"top-1 agreement {top1:.4f}")
+    _record("quant_int8_rescore", recall=float(recall), top1=top1, k=k)
 
     # bf16 storage agreement (--corpus-dtype bf16, the capacity knob):
     # drift is bounded by bf16 rounding of the stored rows, so recall
@@ -84,6 +106,7 @@ def main(argv=None) -> int:
     top1 = float(np.mean(Ie[:, 0] == Ib[:, 0]))
     print(f"bf16-corpus int8+rescore vs exact f32: recall@{k} "
           f"{recall:.4f}, top-1 agreement {top1:.4f}")
+    _record("bf16_storage", recall=float(recall), top1=top1, k=k)
 
     # int8 STORAGE (--corpus-dtype int8): codes are the corpus, rescore
     # dequantizes — the ~5x-capacity tier's quality number
@@ -94,6 +117,7 @@ def main(argv=None) -> int:
     top1 = float(np.mean(Ie[:, 0] == I8[:, 0]))
     print(f"int8-storage vs exact f32: recall@{k} {recall:.4f}, "
           f"top-1 agreement {top1:.4f}")
+    _record("int8_storage", recall=float(recall), top1=top1, k=k)
 
     # int4 STORAGE (--corpus-dtype int4): packed 4-bit codes are the
     # corpus — the ~10x-capacity tier. Rounding is 18x coarser than
@@ -106,19 +130,33 @@ def main(argv=None) -> int:
         top1 = float(np.mean(Ie[:, 0] == I4[:, 0]))
         print(f"int4-storage vs exact f32: recall@{k} {recall:.4f}, "
               f"top-1 agreement {top1:.4f}")
+        _record("int4_storage", recall=float(recall), top1=top1, k=k)
 
     # pq STORAGE (--corpus-dtype pq): 4-bit product quantization, the
     # deepest capacity rung (2 bits/dim default, 1 bit/dim at
     # CLIPX_PQ_DSUB=4) — the largest recall trade on the ladder, so
     # this line is the one to read before choosing the tier
     if index.dim % 4 == 0:
-        ipq = VectorIndex.from_vectors(index.vectors(), dtype="pq")
-        Dp, Ip = ipq.search(queries, k=k)
-        recall = np.mean([len(set(Ie[i]) & set(Ip[i])) / k
-                          for i in range(len(sample))])
-        top1 = float(np.mean(Ie[:, 0] == Ip[:, 0]))
-        print(f"pq-storage (dsub={ipq._pq.dsub}) vs exact f32: "
-              f"recall@{k} {recall:.4f}, top-1 agreement {top1:.4f}")
+        # flat pq, both rotation modes: fixed random (round 3) vs
+        # trained OPQ (pq.train_opq) — the before/after table
+        opq_modes = (("trained",) if args.pq_modes == "default"
+                     else ("fixed", "trained"))
+        for opq in opq_modes:
+            os.environ["CLIPX_PQ_OPQ"] = opq
+            try:
+                ipq = VectorIndex.from_vectors(index.vectors(),
+                                               dtype="pq")
+            finally:
+                os.environ.pop("CLIPX_PQ_OPQ", None)
+            Dp, Ip = ipq.search(queries, k=k)
+            recall = np.mean([len(set(Ie[i]) & set(Ip[i])) / k
+                              for i in range(len(sample))])
+            top1 = float(np.mean(Ie[:, 0] == Ip[:, 0]))
+            print(f"pq-storage (dsub={ipq._pq.dsub}, opq={opq}) vs "
+                  f"exact f32: recall@{k} {recall:.4f}, "
+                  f"top-1 agreement {top1:.4f}")
+            _record(f"pq_storage_opq_{opq}", recall=float(recall),
+                    top1=top1, k=k, dsub=ipq._pq.dsub)
 
     import jax
     if len(jax.devices()) > 1:
@@ -146,6 +184,8 @@ def main(argv=None) -> int:
                      for i in range(len(sample))])
     print(f"ivf vs exact ({cls.__name__}): recall@{k} {r_full:.4f} "
           f"at nprobe=100, {r_def:.4f} at nprobe=32")
+    _record("ivf_f32", recall_nprobe100=float(r_full),
+            recall_nprobe32=float(r_def), k=k)
     # ... and the int8 probed-scan variant — the kernel production ivf
     # mode actually runs past QUANT_AUTO_THRESHOLD, regardless of this
     # eval corpus's size
@@ -162,6 +202,7 @@ def main(argv=None) -> int:
                        for i in range(len(sample))])
     print(f"ivf-int8-storage vs exact f32: recall@{k} {r_fulls:.4f} "
           f"at nprobe=100")
+    _record("ivf_int8_storage", recall_nprobe100=float(r_fulls), k=k)
     if index.dim % 2 == 0:
         ivf_4 = cls.from_vectors(index.vectors(), dtype=jnp.int4)
         _, If4 = ivf_4.search(queries, k=k, nprobe=100)
@@ -169,16 +210,43 @@ def main(argv=None) -> int:
                            for i in range(len(sample))])
         print(f"ivf-int4-storage vs exact f32: recall@{k} {r_full4:.4f} "
               f"at nprobe=100")
+        _record("ivf_int4_storage", recall_nprobe100=float(r_full4), k=k)
     if index.dim % 4 == 0:
-        ivf_pq = cls.from_vectors(index.vectors(), dtype="pq")
-        _, Ifp = ivf_pq.search(queries, k=k, nprobe=100)
-        r_fullp = np.mean([len(set(Ie[i]) & set(Ifp[i])) / k
-                           for i in range(len(sample))])
-        print(f"ivf-pq-storage vs exact f32: recall@{k} {r_fullp:.4f} "
-              f"at nprobe=100")
+        # probed pq, residual off (global codebooks, round 3) vs on
+        # (faiss by_residual) — the before/after table for the
+        # capacity artifact; nprobe=100 isolates the encoding quality
+        # from probe selectivity, nprobe=32 is the shipping default
+        res_modes = (("on",) if args.pq_modes == "default"
+                     else ("off", "on"))
+        for res in res_modes:
+            os.environ["CLIPX_PQ_RESIDUAL"] = res
+            try:
+                ivf_pq = cls.from_vectors(index.vectors(), dtype="pq")
+            finally:
+                os.environ.pop("CLIPX_PQ_RESIDUAL", None)
+            _, Ifp = ivf_pq.search(queries, k=k, nprobe=100)
+            r_fullp = np.mean([len(set(Ie[i]) & set(Ifp[i])) / k
+                               for i in range(len(sample))])
+            _, Ifd = ivf_pq.search(queries, k=k)
+            r_defp = np.mean([len(set(Ie[i]) & set(Ifd[i])) / k
+                              for i in range(len(sample))])
+            print(f"ivf-pq-storage (residual={res}) vs exact f32: "
+                  f"recall@{k} {r_fullp:.4f} at nprobe=100, "
+                  f"{r_defp:.4f} at nprobe=32")
+            _record(f"ivf_pq_residual_{res}", recall_nprobe100=float(r_fullp),
+                    recall_nprobe32=float(r_defp), k=k)
 
     if args.photos:
         _preprocess_drift(args, index, sample)
+    if args.json:
+        import json
+
+        RESULTS["config"] = {"index": args.index, "ntotal": int(n),
+                             "dim": int(index.dim), "k": int(k),
+                             "samples": int(len(sample))}
+        with open(args.json, "w") as f:
+            json.dump(RESULTS, f, indent=1, sort_keys=True)
+        print(f"(wrote {args.json})")
     return 0 if hits == len(sample) else 2
 
 

@@ -44,6 +44,21 @@ def synth_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
     return np.clip(base, 0, 255).astype(np.uint8)
 
 
+def burst_variant(rng: np.random.Generator, img: np.ndarray
+                  ) -> np.ndarray:
+    """A burst-shot near duplicate: tiny global brightness/contrast
+    jitter, a 1-3 px translation, fresh sensor grain — the hard case
+    for the int8-scan caveat (clusters of rows whose exact scores
+    differ by less than the quantization noise)."""
+    h, w = img.shape[:2]
+    dx, dy = int(rng.integers(-3, 4)), int(rng.integers(-3, 4))
+    out = np.roll(img, (dy, dx), axis=(0, 1)).astype(np.float32)
+    out *= rng.uniform(0.97, 1.03)
+    out += rng.uniform(-4, 4)
+    out += rng.normal(0, 2.0, size=out.shape)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="gen_corpus")
     p.add_argument("outdir")
@@ -53,6 +68,13 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=768)
     p.add_argument("--quality", type=int, default=88)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--burst", type=int, default=1,
+                   help="near-duplicate shots per unique image (>1 "
+                        "writes burst variants: jittered exposure, "
+                        "1-3 px shift, fresh grain — the "
+                        "near-duplicate stress set for the int8-scan "
+                        "caveat; unique*burst files are real, the "
+                        "rest hard links)")
     args = p.parse_args(argv)
 
     import cv2
@@ -62,10 +84,15 @@ def main(argv=None) -> int:
     uniques = []
     for i in range(args.unique):
         img = synth_image(rng, args.width, args.height)
-        path = os.path.join(args.outdir, f"img{i:07d}.jpg")
-        cv2.imwrite(path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
-                    [cv2.IMWRITE_JPEG_QUALITY, args.quality])
-        uniques.append(path)
+        shots = [img] + [burst_variant(rng, img)
+                         for _ in range(args.burst - 1)]
+        for j, shot in enumerate(shots):
+            name = (f"img{i:07d}.jpg" if j == 0
+                    else f"img{i:07d}_b{j:02d}.jpg")
+            path = os.path.join(args.outdir, name)
+            cv2.imwrite(path, cv2.cvtColor(shot, cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, args.quality])
+            uniques.append(path)
         if (i + 1) % 200 == 0:
             print(f"  synthesized {i + 1}/{args.unique}", flush=True)
     for i in range(args.unique, args.count):

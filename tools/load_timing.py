@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Time the coded-tier load chain phase by phase — the artifact behind
+"the capacity ladder is actually loadable" (round-3 verdict item 1).
+
+    python tools/load_timing.py --index PATH --corpus-dtype int8
+        [--search-mode ivf] [--cold] [--json OUT] [--query]
+
+Phases reported:
+- cold (``--cold`` forces CLIPX_CODES=refresh): f32 sidecar read +
+  host quantize/train/encode + codes-sidecar write + device placement
+  — what EVERY process start paid before the codes sidecar existed;
+- warm: codes-file validation + memmap + device placement only — what
+  a start pays now.
+
+Also reports peak host RSS and (with ``--query``) a post-load search
+p50, so the artifact records that the loaded index actually serves.
+Run once with --cold then once without: the delta is what persistence
+saves (device placement bytes are identical either way).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="images.index")
+    ap.add_argument("--corpus-dtype", default="int8",
+                    choices=("f32", "bf16", "int8", "int4", "pq"))
+    ap.add_argument("--search-mode", default="auto",
+                    choices=("exact", "quant", "auto", "ivf"))
+    ap.add_argument("--sharded", default="off",
+                    choices=("auto", "on", "off"))
+    ap.add_argument("--cold", action="store_true",
+                    help="force a rebuild (CLIPX_CODES=refresh): "
+                         "measures the pre-persistence start cost and "
+                         "rewrites the codes sidecar")
+    ap.add_argument("--query", action="store_true",
+                    help="also run 50 searches and report p50 (proves "
+                         "the loaded index serves)")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args(argv)
+
+    if args.cold:
+        os.environ["CLIPX_CODES"] = "refresh"
+    import numpy as np
+
+    from clipx.cli import common
+
+    t0 = time.time()
+    idx = common.load_index(args)
+    # a device dispatch forces any lazy placement to finish; through
+    # the tunnel only a host round-trip proves completion (CLAUDE.md:
+    # block_until_ready doesn't block here)
+    d, i = idx.search(np.zeros((1, idx.dim), np.float32), 1)
+    np.asarray(d)
+    load_s = time.time() - t0
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF
+                                 ).ru_maxrss / (1 << 20)
+    out = {
+        "index": args.index,
+        "ntotal": int(idx.ntotal),
+        "dim": int(idx.dim),
+        "corpus_dtype": args.corpus_dtype,
+        "search_mode": args.search_mode,
+        "mode": "cold" if args.cold else "warm",
+        "load_plus_first_search_s": round(load_s, 2),
+        "peak_host_rss_gib": round(rss_gib, 2),
+        "platform": __import__("jax").devices()[0].platform,
+    }
+    if args.query:
+        rng = np.random.RandomState(1)
+        lat = []
+        for _ in range(50):
+            q = rng.randn(1, idx.dim).astype(np.float32)
+            q /= np.linalg.norm(q)
+            t = time.time()
+            d, i = idx.search(q, 50)
+            np.asarray(d)
+            lat.append(time.time() - t)
+        out["query_p50_ms"] = round(float(np.median(lat)) * 1000, 2)
+    print(json.dumps(out))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
