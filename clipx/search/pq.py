@@ -349,9 +349,14 @@ def train_opq(rows: np.ndarray, rot0: Optional[np.ndarray],
     rows): ~iters x (k-means + one (S, D) x (D, D) GEMM + one D x D
     SVD) — seconds at D=512, amortized to zero by the codes sidecar
     (clipx/search/codes_io.py), which persists the rotation."""
-    if rot0 is None or opq_mode() == "fixed":
-        return rot0, PQCodebook.train(rows, rot=rot0)
     n, d = rows.shape
+    # a (D, D) rotation estimated from fewer than a few D rows
+    # overfits the sample's span: reconstruction of OTHER rows gets
+    # WORSE than under the random rotation (observed: a 4-row corpus
+    # whose post-OPQ appends no longer self-retrieved). Tiny corpora
+    # keep the fixed rotation.
+    if rot0 is None or opq_mode() == "fixed" or n < 4 * d:
+        return rot0, PQCodebook.train(rows, rot=rot0)
     subspaces(d)  # validates divisibility up front
     # the SAME deterministic sample the codebook trainer uses, so the
     # final codebooks see exactly the rows train() would; rows may be a

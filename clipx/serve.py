@@ -175,6 +175,57 @@ class _Coalescer:
             self._slots.release()
 
 
+class ColdShapeError(RuntimeError):
+    """A request needs a device shape warmup hasn't compiled yet.
+
+    First-ever compiles of a new Q/text/image bucket take minutes
+    through the remote compile service (SERVING_r03.json measured
+    139.7 s per new Q shape, p99 15.7 s end-to-end while buckets were
+    cold) — a client should get an immediate 503 + Retry-After and try
+    again, not silently queue behind a compile."""
+
+    def __init__(self, family: str, retry_after: int):
+        super().__init__(
+            f"warming up: {family} shapes are still compiling; "
+            f"retry in ~{retry_after}s")
+        self.family = family
+        self.retry_after = retry_after
+
+
+class _WarmGate:
+    """Tracks which shape FAMILIES warmup has finished compiling
+    (text buckets, search Q buckets, image buckets). Requests needing a
+    family that isn't ready yet 503 instead of stalling minutes behind
+    the compile; the warmup thread disarms each family as it completes
+    it (and every family on exit, so a failed best-effort warmup can
+    never brick serving). Only attached when --warmup is on and
+    $CLIPX_SERVE_COLD_GUARD != off — a --no-warmup server keeps the
+    documented lazy-compile-on-first-request behavior."""
+
+    FAMILIES = ("text", "search", "image")
+
+    def __init__(self, retry_after: int):
+        self.retry_after = retry_after
+        self._ready = set()
+        self._lock = threading.Lock()
+
+    def mark(self, family: str) -> None:
+        with self._lock:
+            self._ready.add(family)
+
+    def mark_all(self) -> None:
+        with self._lock:
+            self._ready.update(self.FAMILIES)
+
+    def ready(self, family: str) -> bool:
+        with self._lock:
+            return family in self._ready
+
+    def all_ready(self) -> bool:
+        with self._lock:
+            return set(self.FAMILIES) <= self._ready
+
+
 class SearchService:
     """Owns env + index + (lazy) encoder; thread-safe search calls."""
 
@@ -250,6 +301,13 @@ class SearchService:
                 self._search_batch, cap, inflight, name="search")
             self._text_co = _Coalescer(
                 self._encode_batch, cap, inflight, name="text")
+        # attached by make_server when --warmup is on (see _WarmGate)
+        self._warm_gate: Optional[_WarmGate] = None
+
+    def _require_warm(self, family: str) -> None:
+        g = self._warm_gate
+        if g is not None and not g.ready(family):
+            raise ColdShapeError(family, g.retry_after)
 
     def close(self) -> None:
         """Stop the coalescing dispatchers (each drains its queue)."""
@@ -278,6 +336,7 @@ class SearchService:
         """Text -> embedding rows. Single texts (every /search request)
         ride the text coalescer so concurrent requests share one bucketed
         device call; multi-text callers already amortize and go inline."""
+        self._require_warm("text")
         if self._text_co is not None and len(texts) == 1:
             return self._text_co.submit(str(texts[0]))
         return self.encoder().encode_texts([str(t) for t in texts])
@@ -301,6 +360,7 @@ class SearchService:
 
         from clipx.data.pipeline import decode_bytes_rgb
 
+        self._require_warm("image")
         enc = self.encoder()
         out = []
         for i, b in enumerate(images_b64):
@@ -479,6 +539,7 @@ class SearchService:
 
     def search(self, features: np.ndarray, k: int, offset: int = 0,
                nprobe: int = None):
+        self._require_warm("search")
         t0 = time.perf_counter()
         features = np.atleast_2d(np.asarray(features))
         # an explicit per-request nprobe only binds under
@@ -567,6 +628,21 @@ class Handler(BaseHTTPRequestHandler):
         self.service.count("errors")
         self._json(code, {"error": msg})
 
+    def _cold(self, exc: "ColdShapeError") -> None:
+        """503 + Retry-After while warmup compiles the needed shape
+        family — not counted as an error (the client is told exactly
+        when to come back)."""
+        self.service.count("cold_rejects")
+        body = json.dumps({"error": str(exc),
+                           "warming": exc.family,
+                           "retry_after_s": exc.retry_after}).encode()
+        self.send_response(503)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Retry-After", str(exc.retry_after))
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     # -- GET ----------------------------------------------------------------
     def do_GET(self):
         url = urlparse(self.path)
@@ -577,13 +653,17 @@ class Handler(BaseHTTPRequestHandler):
                 # H2D through the tunnel) must not hang LB health probes
                 # into killing the process (and the chip claim with it)
                 idx = self.service.index
+                gate = self.service._warm_gate
+                warm = gate is None or gate.all_ready()
                 if idx is None:
                     self._json(503, {"status": "reloading",
-                                     "ntotal": None, "dim": None})
+                                     "ntotal": None, "dim": None,
+                                     "warm": warm})
                 else:
                     self._json(200, {"status": "ok",
                                      "ntotal": idx.ntotal,
-                                     "dim": idx.dim})
+                                     "dim": idx.dim,
+                                     "warm": warm})
             elif url.path == "/metrics":
                 self._json(200, self.service.metrics())
             elif url.path == "/search":
@@ -610,6 +690,8 @@ class Handler(BaseHTTPRequestHandler):
                                                     nprobe=nprobe))
             else:
                 self._bad("unknown endpoint", 404)
+        except ColdShapeError as exc:
+            self._cold(exc)
         except ValueError as exc:
             self._bad(f"bad parameter: {exc}")
         except Exception as exc:  # noqa: BLE001 — serve errors as JSON
@@ -670,6 +752,8 @@ class Handler(BaseHTTPRequestHandler):
                 self._json(200, self.service.reload())
             else:
                 self._bad("unknown endpoint", 404)
+        except ColdShapeError as exc:
+            self._cold(exc)
         except (json.JSONDecodeError, TypeError, ValueError) as exc:
             self._bad(f"bad request: {exc}")
         except Exception as exc:  # noqa: BLE001
@@ -706,6 +790,18 @@ def make_server(args) -> ThreadingHTTPServer:
         # background: /healthz and /similar answer immediately while the
         # model loads + the N=1 text bucket compiles
         stop_warm = threading.Event()
+        # cold-shape guard: while warmup compiles a shape family,
+        # requests needing it answer 503 + Retry-After instead of
+        # stalling minutes behind the compile (SERVING_r03.json p99
+        # 15.7 s from cold buckets). CLIPX_SERVE_COLD_GUARD=off keeps
+        # the old queue-behind-compile behavior.
+        if os.environ.get("CLIPX_SERVE_COLD_GUARD", "on").lower() != "off":
+            service._warm_gate = _WarmGate(retry_after=max(1, int(
+                os.environ.get("CLIPX_SERVE_RETRY_AFTER", "30"))))
+
+        def _mark_warm(family):
+            if service._warm_gate is not None:
+                service._warm_gate.mark(family)
 
         def _warm():
             try:
@@ -723,6 +819,7 @@ def make_server(args) -> ThreadingHTTPServer:
                         break
                     enc.encode_texts(["warmup"] * n)
                     service.count("warmup_text_shapes")
+                _mark_warm("text")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
             # pre-compile every search Q bucket the coalescer can emit
@@ -752,6 +849,7 @@ def make_server(args) -> ThreadingHTTPServer:
                     del idx
                     service.count("warmup_search_shapes")
                     q *= 2
+                _mark_warm("search")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
             # pre-compile BOTH image buckets live requests can reach —
@@ -769,8 +867,17 @@ def make_server(args) -> ThreadingHTTPServer:
                         (n, enc.image_size, enc.image_size, 3), np.uint8)
                     enc.encode_images(zero)
                     service.count("warmup_image_shapes")
+                _mark_warm("image")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
+            finally:
+                # disarm unconditionally on exit: a failed best-effort
+                # warmup (or shutdown stop) must never leave the guard
+                # returning 503 forever — past this point requests pay
+                # at most the lazy compile the --no-warmup mode
+                # documents
+                if service._warm_gate is not None:
+                    service._warm_gate.mark_all()
 
         t = threading.Thread(target=_warm, daemon=True,
                              name="clipx-warmup")

@@ -33,6 +33,7 @@ def served(tmp_path_factory):
         port = server.server_address[1]
         thread = threading.Thread(target=server.serve_forever, daemon=True)
         thread.start()
+        _wait_warm(port)
         yield port
         server.shutdown()
     finally:
@@ -44,6 +45,28 @@ def _get(port, path):
     conn.request("GET", path)
     resp = conn.getresponse()
     return resp.status, json.loads(resp.read())
+
+
+def _get_raw(port, path):
+    """Like _get but also returns the response headers (Retry-After)."""
+    conn = HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    return resp.status, json.loads(resp.read()), dict(resp.getheaders())
+
+
+def _wait_warm(port, timeout=180):
+    """Block until the cold-shape guard disarms (/healthz warm=true).
+    Servers started with --warmup 503 guarded endpoints while shape
+    families compile; tests that exercise post-warm behavior wait here
+    first (on the CPU test platform this is seconds)."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        status, h = _get(port, "/healthz")
+        if status == 200 and h.get("warm", True):
+            return
+        time.sleep(0.1)
+    raise AssertionError("server never reported warm")
 
 
 def _post(port, path, payload):
@@ -252,6 +275,7 @@ def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     try:
+        _wait_warm(port)
         _, h = _get(port, "/healthz")
         assert h["ntotal"] == 3
 
@@ -314,6 +338,7 @@ def test_search_during_rebuild_reload(tmp_path, monkeypatch):
     service = server.RequestHandlerClass.service
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
+        _wait_warm(port)
         # force the rebuild branch (prefix mismatch) and slow it down so
         # the search threads really hit the no-index window
         service._sidecar_hash = b"not-the-real-hash"
@@ -539,6 +564,7 @@ def test_serve_compute_int8(tmp_path, monkeypatch):
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     try:
+        _wait_warm(port)
         status, data = _get(port, "/search?q=a+red+photo&k=2")
         assert status == 200 and len(data["results"]) == 2
         enc = server.RequestHandlerClass.service.encoder()
@@ -878,6 +904,7 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
     try:
+        _wait_warm(port)
         _, h = _get(port, "/healthz")
         assert h["ntotal"] == 4
         # a stored vector finds itself first through the probed scan
@@ -1116,6 +1143,7 @@ def test_serve_corpus_dtype_search_and_incremental_reload(
             assert server.RequestHandlerClass.service.index.int4_storage
         elif cdtype == "pq":
             assert server.RequestHandlerClass.service.index.pq_storage
+        _wait_warm(port)
         status, data = _get(port, "/search?q=anything&k=2")
         assert status == 200 and len(data["results"]) == 2
         status, sim = _get(port, "/similar?id=1&k=2")
@@ -1163,6 +1191,7 @@ def test_serve_ivf_int8_storage_search_and_reload(tmp_path, monkeypatch):
         svc = server.RequestHandlerClass.service
         assert svc.index.int8_storage and svc.index.supports_nprobe
         assert svc.index._corpus3 is None  # codes are the corpus
+        _wait_warm(port)
         status, data = _get(port, "/search?q=anything&k=2&nprobe=100")
         assert status == 200 and len(data["results"]) == 2
         status, sim = _get(port, "/similar?id=1&k=1&nprobe=100")
@@ -1181,3 +1210,116 @@ def test_serve_ivf_int8_storage_search_and_reload(tmp_path, monkeypatch):
         assert status == 200 and sim["results"][0]["id"] == 7
     finally:
         server.shutdown()
+
+
+# -- cold-shape 503 guard -----------------------------------------------------
+
+def test_cold_shape_guard(tmp_path, monkeypatch):
+    """While warmup compiles a shape family, requests needing it get an
+    immediate 503 + Retry-After instead of stalling minutes behind the
+    compile (the SERVING_r03 cold-bucket p99 hole). The gate disarms
+    per family as warmup covers it, and /healthz reports warm."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    # --no-warmup: no gate is attached automatically; attach one by
+    # hand so the cold window is deterministic (a real warmup on the
+    # CPU test platform disarms in seconds and the race is untestable)
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0", "--no-warmup"])
+    server = serve.make_server(args)
+    service = server.RequestHandlerClass.service
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        gate = serve._WarmGate(retry_after=7)
+        service._warm_gate = gate
+        status, h = _get(port, "/healthz")
+        assert status == 200 and h["warm"] is False
+        # every shape-compiling endpoint rejects with Retry-After
+        status, body, headers = _get_raw(port, "/similar?id=1&k=2")
+        assert status == 503
+        assert headers.get("Retry-After") == "7"
+        assert body["warming"] == "search"
+        assert body["retry_after_s"] == 7
+        status, body = _post(port, "/encode_text", {"texts": ["x"]})
+        assert status == 503 and body["warming"] == "text"
+        status, body = _get(port, "/search?q=anything&k=2")
+        assert status == 503 and body["warming"] == "text"
+        status, body = _post(port, "/encode_image",
+                             {"images_b64": ["aGk="]})
+        assert status == 503 and body["warming"] == "image"
+        # non-shape endpoints keep answering through the cold window
+        status, _ = _get(port, "/metrics")
+        assert status == 200
+        # per-family disarm: search family ready -> /similar works while
+        # text still rejects
+        gate.mark("search")
+        status, data = _get(port, "/similar?id=1&k=2")
+        assert status == 200 and data["results"][0]["id"] == 1
+        status, body = _post(port, "/encode_text", {"texts": ["x"]})
+        assert status == 503
+        # full disarm (what the warmup thread's exit guarantees)
+        gate.mark_all()
+        status, h = _get(port, "/healthz")
+        assert h["warm"] is True
+        status, data = _get(port, "/search?q=anything&k=2")
+        assert status == 200
+        # rejects were counted but not as errors
+        _, m = _get(port, "/metrics")
+        assert m["counters"].get("cold_rejects", 0) >= 4
+        assert m["counters"].get("errors", 0) == 0
+    finally:
+        server.shutdown()
+
+
+def test_warmup_attaches_gate_and_disarms(tmp_path, monkeypatch):
+    """--warmup (default) arms the guard at startup and the warmup
+    thread disarms every family by completion; CLIPX_SERVE_COLD_GUARD=off
+    keeps the old queue-behind-compile behavior (no gate at all)."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(4)
+    for i in range(2):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0"])
+    server = serve.make_server(args)
+    service = server.RequestHandlerClass.service
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        assert service._warm_gate is not None
+        _wait_warm(port)
+        assert service._warm_gate.all_ready()
+        status, _ = _get(port, "/search?q=x&k=1")
+        assert status == 200
+    finally:
+        server.shutdown()
+    # guard opt-out
+    monkeypatch.setenv("CLIPX_SERVE_COLD_GUARD", "off")
+    args = serve.build_parser().parse_args(["--model", "tiny-test",
+                                            "--port", "0"])
+    server2 = serve.make_server(args)
+    try:
+        assert server2.RequestHandlerClass.service._warm_gate is None
+    finally:
+        # serve_forever never ran for server2, so shutdown() would
+        # block forever waiting for the loop to exit — close the
+        # socket and join the warmup thread directly
+        server2.server_close()
+        if getattr(server2, "_warmup_stop", None) is not None:
+            server2._warmup_stop.set()
+            server2._warmup_thread.join(timeout=120)
