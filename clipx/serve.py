@@ -826,12 +826,22 @@ def make_server(args) -> ThreadingHTTPServer:
             # (engine pads fills to power-of-two buckets; first compile
             # of a new shape is minutes on a tunnel-attached TPU —
             # SERVING_r03.json measured 139.7 s — so eat them all here
-            # instead of inside live requests). k=50 matches the HTTP
-            # default; other k land in the same compiled k-bucket family
-            # on first use.
+            # instead of inside live requests). Each k in
+            # CLIPX_SERVE_WARMUP_K compiles its own k-BUCKET family
+            # (k rounds up to powers of two): the default covers the
+            # HTTP default k=50 (bucket 64) and the common small-k
+            # bucket 16 — SERVING_r04 measured an 11.2 s p99 when a
+            # k=10 burst hit a server warmed only at k=50.
             try:
                 cap = min(service._search_co.cap
                           if service._search_co is not None else 1, 16)
+                ks = []
+                for tok in os.environ.get("CLIPX_SERVE_WARMUP_K",
+                                          "50,10").split(","):
+                    try:
+                        ks.append(max(1, min(int(tok), 1000)))
+                    except ValueError:
+                        pass
                 q = 1
                 while q <= cap and not stop_warm.is_set():
                     # register as a reader per bucket (same guard as live
@@ -843,7 +853,9 @@ def make_server(args) -> ThreadingHTTPServer:
                     service._begin_read(timeout=600.0)
                     try:
                         idx = service.current_index()
-                        idx.search(np.zeros((q, idx.dim), np.float32), 50)
+                        for k in ks or (50,):
+                            idx.search(np.zeros((q, idx.dim),
+                                                np.float32), k)
                     finally:
                         service._end_read()
                     del idx

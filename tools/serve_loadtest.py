@@ -34,8 +34,20 @@ def _get(url: str, timeout: float = 600.0):
 def _post(url: str, obj, timeout: float = 600.0):
     req = urllib.request.Request(
         url, json.dumps(obj).encode(), {"Content-Type": "application/json"})
-    with urllib.request.urlopen(req, timeout=timeout) as r:
-        return json.load(r)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.load(r)
+    except urllib.error.HTTPError as e:
+        # cold-shape guard 503s carry a JSON body + Retry-After —
+        # surface them as data, not exceptions (the loadtest counts
+        # them separately from real errors)
+        body = e.read()
+        try:
+            out = json.loads(body)
+        except ValueError:
+            out = {"error": body.decode(errors="replace")}
+        out["_status"] = e.code
+        return out
 
 
 def main(argv=None) -> int:
@@ -73,6 +85,8 @@ def main(argv=None) -> int:
     t_end = t_end_warmup + args.seconds
     lat: list = []          # measured-window latencies (s)
     errors = [0]
+    rejects = [0]           # cold-shape 503s (fast, by design)
+    reject_lat: list = []
     lock = threading.Lock()
     m0 = {}
 
@@ -85,9 +99,11 @@ def main(argv=None) -> int:
                 return
             vec = pool[lrng.randint(len(pool))]
             t0 = time.perf_counter()
+            cold = False
             try:
                 out = _post(url, {"vector": vec.tolist(), "k": args.k})
                 ok = bool(out.get("results"))
+                cold = out.get("_status") == 503 and "warming" in out
             except Exception:
                 ok = False
             t1 = time.perf_counter()
@@ -95,6 +111,9 @@ def main(argv=None) -> int:
                 with lock:
                     if ok:
                         lat.append(t1 - t0)
+                    elif cold:
+                        rejects[0] += 1
+                        reject_lat.append(t1 - t0)
                     else:
                         errors[0] += 1
 
@@ -124,6 +143,10 @@ def main(argv=None) -> int:
         "seconds": window,
         "requests": int(len(ls)),
         "errors": int(errors[0]),
+        "cold_503s": int(rejects[0]),
+        "cold_503_p95_ms": (round(float(np.percentile(
+            np.asarray(reject_lat), 95)) * 1e3, 2) if reject_lat
+            else None),
         "qps": round(len(ls) / window, 1),
         "p50_ms": round(float(ls[len(ls) // 2]) * 1e3, 2) if len(ls) else None,
         "p95_ms": (round(float(ls[int(len(ls) * 0.95)]) * 1e3, 2)
