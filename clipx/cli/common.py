@@ -155,7 +155,12 @@ def load_coded_index(args):
         from clipx.search import ivf as ivf_mod
 
         try:
-            vectors = read_index_vectors(args.index)
+            # memmapped: the whole IVF build chain streams (sampled
+            # k-means training, chunked assignment/encode/sums), so a
+            # coded capacity-scale layout builds without the corpus in
+            # host RAM; the f32/bf16 tiers still materialize their
+            # device corpus at install (they fit by definition)
+            vectors = read_index_vectors(args.index, mmap=True)
         except (OSError, ValueError):
             return None
         ivf_mod._STASH_CODES = True

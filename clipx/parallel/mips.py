@@ -449,6 +449,10 @@ class ShardedVectorIndex:
         -1 beyond ntotal — identical contract to the single-device
         VectorIndex so the CLI can swap either in."""
         queries = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != index dim {self.dim} "
+                "(is --model the one this index was built with?)")
         k = clamp_k(k)
         if self.ntotal == 0:
             return (np.full((queries.shape[0], k), -np.inf, np.float32),

@@ -902,6 +902,10 @@ class VectorIndex:
             return (np.full((q.shape[0], k), -np.inf, np.float32),
                     np.full((q.shape[0], k), -1, np.int64))
         queries = np.ascontiguousarray(np.atleast_2d(queries), dtype=np.float32)
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != index dim {self.dim} "
+                "(is --model the one this index was built with?)")
         # the two-stage top-k sorts (Q*chunks, chunk) buffers; cap Q per
         # kernel call so multi-million-row corpora don't OOM at high Q
         if queries.shape[0] > _MAX_Q:

@@ -151,18 +151,33 @@ def _assign_chunk(x: jax.Array, cent: jax.Array) -> jax.Array:
 def train_clusters(vectors: np.ndarray, *, iters: int = 8,
                    seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """K-means the corpus. Returns (assign, centroids): per-row cluster
-    ids and the (C, D) unit-norm cluster centers."""
+    ids and the (C, D) unit-norm cluster centers.
+
+    The corpus never materializes on device whole: training samples at
+    most ``_TRAIN_CAP`` rows (host fancy-index — ``vectors`` may be a
+    sidecar memmap) and assignment streams ``_ASSIGN_CHUNK``-row
+    slices through H2D. Through round 3 this function placed the full
+    corpus on device first, which capped IVF BUILDS at the f32 HBM
+    ceiling (~8M rows on a 16 GiB chip) even though the coded tiers
+    can SERVE 100M+; now layout construction scales to any corpus the
+    host can stream, and the v2 ``.ivf`` cache + codes sidecar make it
+    one-time."""
     n = vectors.shape[0]
     C = min(_num_clusters(n), n)
-    x = jnp.asarray(vectors, jnp.float32)
     key = jax.random.PRNGKey(seed)
     if n > _TRAIN_CAP:
-        sample = jax.random.choice(key, n, (_TRAIN_CAP,), replace=False)
-        train_x = x[sample]
+        # same device-derived sample indices as before (determinism:
+        # cached .ivf layouts stay valid), gathered on the HOST
+        sample = np.asarray(jax.random.choice(key, n, (_TRAIN_CAP,),
+                                              replace=False))
+        train_x = jnp.asarray(
+            np.ascontiguousarray(vectors[sample], np.float32))
     else:
-        train_x = x
+        train_x = jnp.asarray(np.ascontiguousarray(vectors, np.float32))
     cent = _kmeans_kernel(train_x, key, C, iters)
-    parts = [np.asarray(_assign_chunk(x[i: i + _ASSIGN_CHUNK], cent))
+    parts = [np.asarray(_assign_chunk(
+                jnp.asarray(np.ascontiguousarray(
+                    vectors[i: i + _ASSIGN_CHUNK], np.float32)), cent))
              for i in range(0, n, _ASSIGN_CHUNK)]
     assign = np.concatenate(parts) if parts else np.zeros((0,), np.int32)
     return assign, np.asarray(cent, np.float32)
@@ -890,6 +905,10 @@ class IVFIndex:
         k = clamp_k(k)
         queries = np.ascontiguousarray(np.atleast_2d(queries),
                                        dtype=np.float32)
+        if queries.shape[1] != self.dim:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != index dim {self.dim} "
+                "(is --model the one this index was built with?)")
         nq = queries.shape[0]
         segs = self._segs()
         if self.ntotal == 0 or segs == 0:

@@ -337,3 +337,25 @@ def test_index_writer_streams_identical_sidecar(tmp_path):
         w.close()
     assert not os.path.exists(str(tmp_path / "x.index"))
     assert not os.path.exists(str(tmp_path / "x.index.tmp"))
+
+
+def test_query_dim_mismatch_raises_cleanly():
+    """A wrong-dim query (typically --model not matching the built
+    index) must raise a clear ValueError, not a shape error from deep
+    inside a kernel (found driving a 512-d index with a 32-d model)."""
+    import pytest
+
+    v = np.random.RandomState(0).randn(100, 64).astype(np.float32)
+    idx = VectorIndex.from_vectors(v)
+    with pytest.raises(ValueError, match="query dim 32 != index dim 64"):
+        idx.search(np.zeros((1, 32), np.float32), 5)
+    from clipx.search.ivf import IVFIndex
+
+    ivf = IVFIndex.from_vectors(v)
+    with pytest.raises(ValueError, match="query dim"):
+        ivf.search(np.zeros((1, 32), np.float32), 5)
+    from clipx.parallel.mips import ShardedVectorIndex
+
+    sh = ShardedVectorIndex(v)
+    with pytest.raises(ValueError, match="query dim"):
+        sh.search(np.zeros((1, 32), np.float32), 5)
