@@ -500,6 +500,25 @@ class SearchService:
             return {"ntotal": self.index.ntotal,
                     "previous_ntotal": prev_ntotal, "mode": mode}
 
+    def _index_info(self, idx) -> Optional[dict]:
+        """Operational provenance of the live index: storage tier,
+        index class, and whether this process booted from the codes
+        sidecar (clipx/search/codes_io.py) — the first things to check
+        when capacity or start-time numbers look wrong."""
+        if idx is None:
+            return None
+        tier = ("pq" if getattr(idx, "pq_storage", False)
+                else "int4" if getattr(idx, "int4_storage", False)
+                else "int8" if getattr(idx, "int8_storage", False)
+                else "float")
+        info = {"class": type(idx).__name__, "storage": tier,
+                "booted_from_codes": getattr(idx, "_boot_content_hash",
+                                             None) is not None}
+        if getattr(idx, "supports_nprobe", False):
+            info["nprobe_default"] = idx.nprobe
+            info["residual"] = bool(getattr(idx, "_residual", False))
+        return info
+
     def metrics(self) -> dict:
         idx = self.index  # may be None mid-rebuild; metrics never block
         with self._stats_lock:
@@ -507,6 +526,7 @@ class SearchService:
                    if self._latency_n else None)
             return {
                 "uptime_s": round(time.time() - self.started, 1),
+                "index": self._index_info(idx),
                 "ntotal": idx.ntotal if idx is not None else None,
                 "counters": dict(self.counters),
                 "search_latency_avg_s": (round(avg, 6)

@@ -1323,3 +1323,37 @@ def test_warmup_attaches_gate_and_disarms(tmp_path, monkeypatch):
         if getattr(server2, "_warmup_stop", None) is not None:
             server2._warmup_stop.set()
             server2._warmup_thread.join(timeout=120)
+
+
+def test_metrics_index_provenance(tmp_path, monkeypatch):
+    """/metrics reports the live index's storage tier, class, and
+    whether the process booted from the codes sidecar — the first
+    things to check when capacity numbers look wrong."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(6)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+    args = serve.build_parser().parse_args(
+        ["--model", "tiny-test", "--port", "0", "--no-warmup",
+         "--corpus-dtype", "int8", "--sharded", "off"])
+    # first boot encodes + writes codes; boot again so the server
+    # actually loads them
+    serve.SearchService(args).env.close()
+    server = serve.make_server(args)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        status, m = _get(port, "/metrics")
+        assert status == 200
+        info = m["index"]
+        assert info["storage"] == "int8"
+        assert info["class"] == "VectorIndex"
+        assert info["booted_from_codes"] is True
+    finally:
+        server.shutdown()
