@@ -608,9 +608,19 @@ def bench_ivf(n_vectors: int, dim: int, k: int, trials: int,
         qrows = make_queries(jax.random.PRNGKey(8))
         queries = [qrows[i:i + 1] for i in range(32)]
 
+        # residual mode (faiss by_residual, the shipping default)
+        # changes the kernel math — one coarse-score add + LUT-scale
+        # multiply per scanned row — but not the gather pattern, so
+        # random codes time it faithfully; honor the knob so both
+        # variants are benchable
+        from clipx.search.pq import pq_residual_enabled
+
+        res = pq_residual_enabled()
+
         def make_fn(P):
             return lambda q: _ivf_kernel_pq(
-                packed3, cent, seg_cent, valid2, q, P, kk)
+                packed3, cent, seg_cent, valid2, q, P, kk,
+                residual=res)
     elif storage == "int8":
         ch_rows = min(max(n_vectors, _SEG_W),
                       int(os.environ.get("CLIPX_BENCH_INT8_CHUNK",
