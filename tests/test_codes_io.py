@@ -404,3 +404,33 @@ def test_opq_rotation_roundtrip(sidecar, monkeypatch):
     d2, i2 = idx2.search(q, 15)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_flat_pq_codes_upgrade_to_residual_for_ivf(sidecar, monkeypatch):
+    """A flat-built (non-residual) pq codes file must not silently
+    downgrade an IVF deployment: with residual enabled (the default)
+    the IVF start rebuilds residual codes once and overwrites; with it
+    disabled, flat and IVF share the one non-residual file."""
+    path, v, ch = sidecar
+    # flat build writes non-residual codes
+    common.load_index(_args(path, "pq"))
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload["residual"] is False
+    # IVF start upgrades them
+    idx = common.load_index(_args(path, "pq", search_mode="ivf"))
+    assert idx._residual is True
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload["residual"] is True
+    # with the knob off, a non-residual file is shared as-is
+    monkeypatch.setenv("CLIPX_PQ_RESIDUAL", "off")
+    common.load_index(_args(path, "pq"))  # rewrite non-residual (flat)
+    payload = codes_io.load_codes(path, "pq", rotated=True)
+    assert payload["residual"] is False
+    import clipx.search.engine as engine_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("f32 read despite a shareable codes file")
+
+    monkeypatch.setattr(engine_mod, "read_index_vectors", _boom)
+    idx2 = common.load_index(_args(path, "pq", search_mode="ivf"))
+    assert idx2._residual is False
