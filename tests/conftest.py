@@ -21,6 +21,34 @@ jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest  # noqa: E402
+
+from clipx.utils import env as _envmod  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _clipx_env_leak_guard():
+    """Fail the POLLUTING test when it leaks a CLIPX_* env mutation.
+
+    Round-4 postmortem: tools/load_timing.py left CLIPX_CODES=refresh
+    set process-wide and nine unrelated codes_io tests failed later in
+    the default suite order.  This guard pins the blame where it
+    belongs: any test that returns with the CLIPX_* namespace changed
+    fails itself, immediately.  Tests that need a knob should use
+    monkeypatch.setenv (auto-restored) or clipx.utils.env.restoring.
+    """
+    before = _envmod.snapshot()
+    yield
+    drift = _envmod.diff(before)
+    if drift:
+        # restore so ONE offender doesn't cascade into victims anyway
+        for k in _envmod.snapshot():
+            if k not in before:
+                os.environ.pop(k, None)
+        os.environ.update(before)
+        pytest.fail(f"test leaked CLIPX_* env mutations: {drift}")
+
+
 _exit_status = [0]
 
 

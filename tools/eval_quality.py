@@ -142,12 +142,18 @@ def main(argv=None) -> int:
         opq_modes = (("trained",) if args.pq_modes == "default"
                      else ("fixed", "trained"))
         for opq in opq_modes:
+            prev = os.environ.get("CLIPX_PQ_OPQ")
             os.environ["CLIPX_PQ_OPQ"] = opq
             try:
                 ipq = VectorIndex.from_vectors(index.vectors(),
                                                dtype="pq")
             finally:
-                os.environ.pop("CLIPX_PQ_OPQ", None)
+                # restore (not pop): the user's exported value must
+                # survive this tool run (round-4 ADVICE)
+                if prev is None:
+                    os.environ.pop("CLIPX_PQ_OPQ", None)
+                else:
+                    os.environ["CLIPX_PQ_OPQ"] = prev
             Dp, Ip = ipq.search(queries, k=k)
             recall = np.mean([len(set(Ie[i]) & set(Ip[i])) / k
                               for i in range(len(sample))])
@@ -219,11 +225,15 @@ def main(argv=None) -> int:
         res_modes = (("on",) if args.pq_modes == "default"
                      else ("off", "on"))
         for res in res_modes:
+            prev = os.environ.get("CLIPX_PQ_RESIDUAL")
             os.environ["CLIPX_PQ_RESIDUAL"] = res
             try:
                 ivf_pq = cls.from_vectors(index.vectors(), dtype="pq")
             finally:
-                os.environ.pop("CLIPX_PQ_RESIDUAL", None)
+                if prev is None:
+                    os.environ.pop("CLIPX_PQ_RESIDUAL", None)
+                else:
+                    os.environ["CLIPX_PQ_RESIDUAL"] = prev
             _, Ifp = ivf_pq.search(queries, k=k, nprobe=100)
             r_fullp = np.mean([len(set(Ie[i]) & set(Ifp[i])) / k
                                for i in range(len(sample))])

@@ -49,8 +49,22 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
+    # Tool main()s are imported as library API by tests — any env
+    # mutation must be restored before returning (round-4 verdict: a
+    # leaked CLIPX_CODES=refresh here failed 9 downstream codes tests).
+    prev_codes = os.environ.get("CLIPX_CODES")
     if args.cold:
         os.environ["CLIPX_CODES"] = "refresh"
+    try:
+        return _run(args)
+    finally:
+        if prev_codes is None:
+            os.environ.pop("CLIPX_CODES", None)
+        else:
+            os.environ["CLIPX_CODES"] = prev_codes
+
+
+def _run(args) -> int:
     import numpy as np
 
     from clipx.cli import common
