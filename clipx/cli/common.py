@@ -121,13 +121,19 @@ def load_coded_index(args):
     """The codes-sidecar load path; None -> caller uses the plain f32
     path (uncoded tier, CLIPX_CODES=off, or an unreadable sidecar).
 
-    A fresh codes file loads directly. Otherwise the index is rebuilt
-    from f32 AND the codes persist for the next start: flat tiers
-    stream-encode from the memmapped sidecar (bounded host RAM at any
-    corpus size); IVF builds through from_vectors — which needs the
-    rows in RAM for k-means regardless — and persists the install's
-    own flat-order encode (including residual-pq codes, which depend
-    on the cluster layout), so nothing is ever encoded twice."""
+    A fresh codes file loads directly. With the f32 sidecar ABSENT the
+    codes file stands alone (codes-only deployment — the faiss
+    read_index property, reference:query-index.py:29): it verifies
+    against its own integrity footer and boots, saving the 15x-larger
+    f32 on disk; see _load_codes_only for what is lost. Otherwise the
+    index is rebuilt from f32 AND the codes persist for the next
+    start: flat tiers stream-encode from the memmapped sidecar
+    (bounded host RAM at any corpus size); IVF builds through
+    from_vectors — the whole build chain streams from the memmap
+    (sampled k-means training, chunked assignment/encode/sums; see
+    ivf.train_clusters) — and persists the install's own flat-order
+    encode (including residual-pq codes, which depend on the cluster
+    layout), so nothing is ever encoded twice."""
     from clipx.search import codes_io
     from clipx.search.engine import (content_hash, corpus_rotation,
                                      read_index_vectors,
@@ -136,7 +142,12 @@ def load_coded_index(args):
     dtype = corpus_dtype(args)
     tier = codes_io.tier_of(dtype)
     mode = codes_io.codes_mode()
-    if tier is None or mode == "off" or not os.path.exists(args.index):
+    if tier is None or mode == "off":
+        return None
+    if not os.path.exists(args.index):
+        if (mode == "on"
+                and os.path.exists(codes_io.codes_path(args.index))):
+            return _load_codes_only(args, tier)
         return None
     if mode == "on":
         payload = codes_io.load_codes(args.index, tier,
@@ -163,6 +174,11 @@ def load_coded_index(args):
             vectors = read_index_vectors(args.index, mmap=True)
         except (OSError, ValueError):
             return None
+        # TOCTOU guard: fingerprint the sidecar NOW, at memmap-open —
+        # the build below can take minutes, and a sidecar replaced
+        # mid-build must not get old-row codes stamped as fresh
+        # (codes_io.CodesWriter re-checks at close)
+        fp_at_open = codes_io.sidecar_sample_fp(args.index)
         ivf_mod._STASH_CODES = True
         try:
             idx = build_index_from_vectors(vectors, args)
@@ -173,19 +189,24 @@ def load_coded_index(args):
             try:
                 codes_io.write_payload_file(
                     args.index, pending, tier=tier,
-                    content_hash=content_hash(vectors))
+                    content_hash=content_hash(vectors),
+                    fp_sample=fp_at_open)
             except (OSError, ValueError):
-                pass  # unwritable dir: serve from RAM, no cache
+                pass  # unwritable dir / replaced sidecar: serve from
+                # RAM this process, no codes cache written
             idx._pending_codes_payload = None
         return idx
     try:
         vectors = read_index_vectors(args.index, mmap=True)
+        fp_at_open = codes_io.sidecar_sample_fp(args.index)
         codes_io.write_codes_file(
             args.index, vectors, tier,
             rot=corpus_rotation(vectors.shape[1]),
-            content_hash=codes_io.sidecar_full_hash(args.index))
+            content_hash=codes_io.sidecar_full_hash(args.index),
+            fp_sample=fp_at_open)
     except (OSError, ValueError):
-        return None  # unwritable dir / corrupt sidecar: old path
+        return None  # unwritable dir / corrupt or replaced sidecar:
+        # old path
     payload = codes_io.load_codes(args.index, tier,
                                   rotated=rotation_enabled())
     if payload is None:
@@ -193,10 +214,47 @@ def load_coded_index(args):
     return build_index_from_codes(payload, args)
 
 
-def build_index_from_codes(payload, args):
+def _load_codes_only(args, tier: str):
+    """Codes-only boot: ``<index>.codes`` exists but the f32 sidecar
+    does not (deleted to save 15x the disk — tools/kv_tool.py drop-f32,
+    or a sidecar-less direct build). The codes file verifies against
+    its own integrity footer and becomes the source of truth. Lost
+    without the sidecar: staleness detection against newer corpora,
+    re-encoding to OTHER tiers/modes, and serve's incremental reload —
+    every mismatch below is therefore a hard, explained error instead
+    of a silent rebuild fallback."""
+    import sys
+
+    from clipx.search import codes_io
+    from clipx.search.engine import rotation_enabled
+
+    cpath = codes_io.codes_path(args.index)
+    payload = codes_io.load_codes(args.index, tier,
+                                  rotated=rotation_enabled(),
+                                  orphan=True)
+    if payload is None:
+        raise SystemExit(
+            f"{cpath} failed to load for --corpus-dtype {tier} and the "
+            f"f32 sidecar {args.index} is absent, so it cannot be "
+            "rebuilt. Causes: integrity-footer mismatch (corrupt "
+            "file), a different tier/rotation setting than the file "
+            "was built with, or a truncated file. Restore the f32 "
+            "sidecar or rebuild the codes file.")
+    idx = build_index_from_codes(payload, args, orphan=True)
+    print(f"(codes-only boot: loaded {payload['ntotal']} {tier} rows "
+          f"from {cpath}; f32 sidecar absent — staleness checks and "
+          "incremental reload unavailable)", file=sys.stderr,
+          flush=True)
+    return idx
+
+
+def build_index_from_codes(payload, args, orphan: bool = False):
     """Place a loaded codes payload as the flag-selected index type
     (flat / sharded / IVF). None when the IVF composition lacks a v2
-    layout cache — the caller's f32 path rebuilds it."""
+    layout cache — the caller's f32 path rebuilds it. ``orphan``
+    (codes-only boot — no f32 sidecar, so no rebuild path): every
+    None-fallback becomes a hard error naming the fix, except the
+    residual-preference rebuild, which degrades with a warning."""
     import jax
 
     mode = getattr(args, "sharded", "off")
@@ -209,6 +267,13 @@ def build_index_from_codes(payload, args):
         # and overwrites the file, so alternating flat and residual-IVF
         # processes on one index re-encode per start (set
         # CLIPX_PQ_RESIDUAL=off to share one non-residual file)
+        if orphan:
+            raise SystemExit(
+                "this codes file holds RESIDUAL pq codes, which only "
+                "score under --search-mode ivf, and the f32 sidecar is "
+                "absent so they cannot be re-encoded flat. Pass "
+                "--search-mode ivf (the file's .ivf cache must be "
+                "present too).")
         return None
     if (payload["tier"] == "pq" and not payload.get("residual")
             and search_mode == "ivf"):
@@ -221,7 +286,19 @@ def build_index_from_codes(payload, args):
             # +0.07..+0.17 recall@50) and overwrite. Opt out with
             # CLIPX_PQ_RESIDUAL=off to share one non-residual file
             # between flat and IVF processes.
-            return None
+            if orphan:
+                import sys
+
+                # no f32 to re-encode from: keep the file's encoding,
+                # but say what is being given up
+                print("WARNING: codes-only boot with a NON-residual pq "
+                      "file under --search-mode ivf — residual "
+                      "re-encoding needs the absent f32 sidecar, so "
+                      "this deployment keeps global-codebook encoding "
+                      "(measured -0.07..-0.17 recall@50 vs residual).",
+                      file=sys.stderr, flush=True)
+            else:
+                return None
     if search_mode == "ivf":
         from clipx.search.ivf import IVFIndex, ShardedIVFIndex
 
@@ -231,6 +308,16 @@ def build_index_from_codes(payload, args):
             payload,
             getattr(args, "index", DEFAULT_INDEX_PATH) + ".ivf",
             quantized=payload["ntotal"] >= QUANT_AUTO_THRESHOLD)
+        if idx is None and orphan:
+            raise SystemExit(
+                "codes-only IVF boot needs the v2 .ivf layout cache "
+                f"({getattr(args, 'index', DEFAULT_INDEX_PATH)}.ivf) "
+                "matching this codes file (same corpus content hash"
+                + (", same layout digest for residual codes"
+                   if payload.get("residual") else "")
+                + "); it is missing or stale, and rebuilding it needs "
+                "the absent f32 sidecar. Deploy the .ivf cache "
+                "alongside the codes file.")
     elif sharded and payload["ntotal"] > 0:
         from clipx.parallel.mips import ShardedVectorIndex
 

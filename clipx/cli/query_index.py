@@ -262,8 +262,17 @@ def main(argv: List[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     args = build_parser().parse_args(argv)
     if not os.path.exists(args.index):
-        print(f"No index found at {args.index!r} — run build-index.py first.")
-        return 1
+        # a codes-only deployment (kv_tool.py drop-f32) boots from the
+        # codes sidecar alone — same message as the reference otherwise
+        # (reference:query-index.py:26-28 assumes the file exists)
+        from clipx.search import codes_io
+
+        if not (codes_io.tier_of_name(
+                    getattr(args, "corpus_dtype", "f32")) is not None
+                and os.path.exists(codes_io.codes_path(args.index))):
+            print(f"No index found at {args.index!r} — run "
+                  "build-index.py first.")
+            return 1
     return QueryREPL(args).run()
 
 

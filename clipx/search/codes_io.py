@@ -29,14 +29,28 @@ to one rebuilt from f32. The codes section comes first so the index
 builder can stream it; the two fingerprint slots are patched in place
 on close (the full content hash is only known after the last chunk).
 
-Staleness: the f32 sidecar stays the source of truth. ``fp_sample``
-hashes its header plus the first and last ``_FP_SAMPLE_ROWS`` rows —
-O(64k rows) of IO however large the corpus, and any rebuild or append
-through IndexWriter/build-index changes it (the whole file is
-rewritten atomically). A hand-edit that only touches interior rows
-while preserving head, tail, and row count would evade the sample;
-``CLIPX_CODES_VERIFY=full`` streams the entire sidecar through the
-hash for that case (and ``off`` skips verification entirely).
+Staleness: when the f32 sidecar is present it stays the source of
+truth. ``fp_sample`` hashes its header plus the first and last
+``_FP_SAMPLE_ROWS`` rows — O(64k rows) of IO however large the corpus,
+and any rebuild or append through IndexWriter/build-index changes it
+(the whole file is rewritten atomically). A hand-edit that only
+touches interior rows while preserving head, tail, and row count would
+evade the sample; ``CLIPX_CODES_VERIFY=full`` streams the entire
+sidecar through the hash for that case (and ``off`` skips verification
+entirely).
+
+Codes-only deployment (round-5): faiss's ``images.index`` needs no
+other file (reference:query-index.py:29), and neither does a
+``<index>.codes`` with the self-integrity footer. The writer appends
+``[b"CXSELF1\\0" | self_fp_sample(16) | self_full_hash(16)]`` after the
+last section — a sampled and a full blake2b of the payload bytes
+themselves. When the f32 sidecar is ABSENT, ``load_codes(...,
+orphan=True)`` verifies the file against its own footer instead
+(sample/full per ``CLIPX_CODES_VERIFY``) and boots without 15x the
+disk: the measured 24M pq deployment serves from the 3.07 GiB codes
+file alone. What is lost without the sidecar: staleness detection
+against a newer corpus, f32 rebuild of other tiers, and serve's
+incremental reload (docs/OPERATIONS.md, codes-only deployment).
 
 Canonical encoding: ``encode_corpus`` is THE coded-tier encoder — the
 flat indexes (engine.VectorIndex / parallel.mips.ShardedVectorIndex)
@@ -70,6 +84,10 @@ _PQ_ENC_CHUNK = 1 << 16
 _TIERS = ("int8", "int4", "pq")
 _HDR_FIXED = len(_MAGIC) + 4 + 16 + 16
 _ZERO16 = b"\x00" * 16
+# self-integrity footer (codes-only deployment): appended after the
+# last section — magic + sampled payload fp + full payload hash
+_SELF_MAGIC = b"CXSELF1\x00"
+_SELF_LEN = len(_SELF_MAGIC) + 16 + 16
 
 
 def codes_path(index_path: str) -> str:
@@ -94,6 +112,12 @@ def tier_of(dtype) -> Optional[str]:
     except TypeError:
         pass
     return None
+
+
+def tier_of_name(name: str) -> Optional[str]:
+    """Map a --corpus-dtype NAME to its tier tag without importing jax
+    (the CLI existence pre-checks run before any backend init)."""
+    return name if name in _TIERS else None
 
 
 def codes_mode() -> str:
@@ -194,7 +218,9 @@ class CodesWriter:
                  code_dim: int, rotated: bool,
                  fp_sample: Optional[bytes],
                  dsub: Optional[int] = None, opq: bool = False,
-                 residual: bool = False):
+                 residual: bool = False,
+                 layout_digest: Optional[bytes] = None,
+                 verify_sidecar: Optional[str] = None):
         if tier not in _TIERS:
             raise ValueError(f"unknown tier {tier!r}")
         if tier == "pq" and dsub not in (2, 4):
@@ -204,12 +230,20 @@ class CodesWriter:
         self._tier = tier
         self._code_dim = code_dim
         self._dim = dim
+        self._ntotal = ntotal
         self._remaining = ntotal
         self._need_scales = tier in ("int8", "int4")
         self._scales = [] if self._need_scales else None
         self._centroids: Optional[np.ndarray] = None
         self._rotation: Optional[np.ndarray] = None
         self._content_hash: Optional[bytes] = None
+        # TOCTOU guard (round-4 ADVICE): the caller captured fp_sample
+        # when it OPENED the f32 memmap; if verify_sidecar is given,
+        # close() re-samples that path and aborts on mismatch — a
+        # sidecar replaced mid-encode must not get codes of the old
+        # rows stamped with the new file's fingerprint.
+        self._fp_expected = fp_sample
+        self._verify_sidecar = verify_sidecar
         self.opq = bool(opq)
         meta = {
             "version": _VERSION,
@@ -218,6 +252,8 @@ class CodesWriter:
             "dim": int(dim),
             "code_dim": int(code_dim),
             "rotated": bool(rotated),
+            # self-integrity footer present (codes-only deployment)
+            "self": 1,
         }
         if dsub is not None:
             meta["dsub"] = int(dsub)
@@ -231,7 +267,25 @@ class CodesWriter:
             # (faiss by_residual): only loadable under --search-mode
             # ivf with the v2 .ivf cache whose fp matches content_hash
             meta["residual"] = True
+        if layout_digest is not None:
+            # residual codes are LAYOUT-dependent (encoded against
+            # segment centroids), and k-means layouts are only
+            # deterministic per platform: bind the codes to the exact
+            # .ivf layout they were encoded under (round-4 ADVICE)
+            meta["layout_digest"] = layout_digest.hex()
         blob = json.dumps(meta, sort_keys=True).encode()
+        # self-integrity: full hash covers meta blob + every section
+        # byte; the sampled fp covers meta blob + head/tail code rows
+        # (+ head/tail scales) + the small trailing sections — bounded
+        # IO at any corpus size, mirroring sidecar_sample_fp
+        self._self_full = hashlib.blake2b(digest_size=16)
+        self._self_sample = hashlib.blake2b(digest_size=16)
+        self._self_full.update(blob)
+        self._self_sample.update(blob)
+        self._head_left = min(ntotal, _FP_SAMPLE_ROWS) * code_dim
+        self._tail_cap = (_FP_SAMPLE_ROWS * code_dim
+                          if ntotal > _FP_SAMPLE_ROWS else 0)
+        self._tail_buf = bytearray()
         self._f = open(self._tmp, "wb")
         self._f.write(_MAGIC)
         self._f.write(struct.pack("<I", len(blob)))
@@ -251,7 +305,17 @@ class CodesWriter:
             if scales is None or scales.shape[0] != codes.shape[0]:
                 raise ValueError("int8/int4 codes need matching scales")
             self._scales.append(np.ascontiguousarray(scales, np.float32))
-        self._f.write(codes.tobytes())
+        raw = codes.tobytes()
+        self._self_full.update(raw)
+        if self._head_left:
+            take = min(self._head_left, len(raw))
+            self._self_sample.update(raw[:take])
+            self._head_left -= take
+        if self._tail_cap:
+            self._tail_buf += raw
+            if len(self._tail_buf) > self._tail_cap:
+                del self._tail_buf[: len(self._tail_buf) - self._tail_cap]
+        self._f.write(raw)
         self._remaining -= codes.shape[0]
 
     def set_centroids(self, centroids: np.ndarray) -> None:
@@ -272,35 +336,125 @@ class CodesWriter:
             os.unlink(self._tmp)
             raise ValueError(f"codes incomplete: {self._remaining} rows "
                              "were never written")
+        if self._tail_cap and self._tail_buf:
+            self._self_sample.update(bytes(self._tail_buf))
         if self._need_scales:
-            for s in self._scales:
-                self._f.write(s.tobytes())
+            scal = (np.concatenate(self._scales) if self._scales
+                    else np.zeros((0,), np.float32))
+            raw = scal.tobytes()
+            self._f.write(raw)
+            self._self_full.update(raw)
+            h = min(self._ntotal, _FP_SAMPLE_ROWS)
+            self._self_sample.update(scal[:h].tobytes())
+            if self._ntotal > _FP_SAMPLE_ROWS:
+                self._self_sample.update(
+                    scal[-_FP_SAMPLE_ROWS:].tobytes())
         if self._tier == "pq":
             if self._centroids is None:
                 self._f.close()
                 os.unlink(self._tmp)
                 raise ValueError("pq codes need centroids "
                                  "(set_centroids)")
-            self._f.write(self._centroids.tobytes())
+            raw = self._centroids.tobytes()
+            self._f.write(raw)
+            self._self_full.update(raw)
+            self._self_sample.update(raw)
             if self.opq:
                 if self._rotation is None:
                     self._f.close()
                     os.unlink(self._tmp)
                     raise ValueError("opq codes need the trained "
                                      "rotation (set_rotation)")
-                self._f.write(self._rotation.tobytes())
+                raw = self._rotation.tobytes()
+                self._f.write(raw)
+                self._self_full.update(raw)
+                self._self_sample.update(raw)
+        self._f.write(_SELF_MAGIC + self._self_sample.digest()
+                      + self._self_full.digest())
         if self._content_hash:
             self._f.seek(len(_MAGIC) + 4 + 16)
             self._f.write(self._content_hash)
+        if self._verify_sidecar is not None:
+            # TOCTOU abort: the sidecar was replaced while we encoded —
+            # these codes describe the OLD rows, so stamping them with
+            # the CURRENT fingerprint would serve a stale corpus as
+            # fresh forever (round-4 ADVICE, codes_io.py:505)
+            now = sidecar_sample_fp(self._verify_sidecar)
+            if now != self._fp_expected:
+                self._f.close()
+                os.unlink(self._tmp)
+                raise StaleSidecarError(
+                    f"{self._verify_sidecar} changed during the encode; "
+                    "codes discarded (rerun to encode the new rows)")
         self._f.flush()
         os.fsync(self._f.fileno())
         self._f.close()
         os.replace(self._tmp, self._path)
 
 
+class StaleSidecarError(ValueError):
+    """The f32 sidecar was atomically replaced between the memmap open
+    and the codes-file close — the encoded codes describe rows that no
+    longer exist. Callers fall back to serving from RAM; the next start
+    re-encodes against the new sidecar."""
+
+
 # ---------------------------------------------------------------------------
 # reader
 # ---------------------------------------------------------------------------
+
+def _verify_self(path: str, *, meta_len: int, data_off: int, need: int,
+                 tier: str, ntotal: int, code_dim: int,
+                 mode: str) -> bool:
+    """Check the codes file against its own self-integrity footer
+    (codes-only boot — no f32 sidecar to verify against). ``mode`` is
+    'sample' (meta + head/tail code rows + head/tail scales + trailing
+    sections — bounded IO) or 'full' (every payload byte). Returns
+    False on a missing/mismatched footer."""
+    try:
+        size = os.path.getsize(path)
+        if size < need + _SELF_LEN:
+            return False
+        with open(path, "rb") as f:
+            f.seek(need)
+            footer = f.read(_SELF_LEN)
+            if footer[: len(_SELF_MAGIC)] != _SELF_MAGIC:
+                return False
+            want_sample = footer[len(_SELF_MAGIC): len(_SELF_MAGIC) + 16]
+            want_full = footer[len(_SELF_MAGIC) + 16:]
+            h = hashlib.blake2b(digest_size=16)
+            f.seek(_HDR_FIXED)
+            h.update(f.read(meta_len))
+            if mode == "full":
+                left = need - data_off
+                f.seek(data_off)
+                while left:
+                    chunk = f.read(min(left, 1 << 26))
+                    if not chunk:
+                        return False
+                    h.update(chunk)
+                    left -= len(chunk)
+                return h.digest() == want_full
+            head = min(ntotal, _FP_SAMPLE_ROWS)
+            f.seek(data_off)
+            h.update(f.read(head * code_dim))
+            if ntotal > _FP_SAMPLE_ROWS:
+                f.seek(data_off + (ntotal - _FP_SAMPLE_ROWS) * code_dim)
+                h.update(f.read(_FP_SAMPLE_ROWS * code_dim))
+            off = data_off + ntotal * code_dim
+            if tier in ("int8", "int4"):
+                f.seek(off)
+                h.update(f.read(head * 4))
+                if ntotal > _FP_SAMPLE_ROWS:
+                    f.seek(off + (ntotal - _FP_SAMPLE_ROWS) * 4)
+                    h.update(f.read(_FP_SAMPLE_ROWS * 4))
+                off += ntotal * 4
+            f.seek(off)
+            h.update(f.read(need - off))
+            return h.digest() == want_sample
+    except OSError:
+        return False
+
 
 def _read_meta(path: str):
     with open(path, "rb") as f:
@@ -319,12 +473,19 @@ def _read_meta(path: str):
 
 
 def load_codes(index_path: str, tier: str, *,
-               rotated: bool) -> Optional[dict]:
+               rotated: bool, orphan: bool = False) -> Optional[dict]:
     """Load ``<index>.codes`` when present, structurally sound, tier-
     and rotation-matched, and fresh against the current f32 sidecar.
     Returns a payload dict (codes/scales as read-only memmaps — nothing
     large is materialized until placement) or None, in which case the
     caller falls back to re-encoding from f32.
+
+    ``orphan=True`` is the codes-only boot (the f32 sidecar is absent,
+    so there is nothing to verify freshness against): the file verifies
+    against its OWN self-integrity footer instead, per
+    ``CLIPX_CODES_VERIFY`` (sample/full/off). A pre-round-5 file
+    without a footer still loads, with a warning — regenerate to get
+    integrity checking.
 
     ``dsub`` is NOT matched against the environment: like faiss, an
     existing coded index keeps the subspace width its codebooks were
@@ -345,15 +506,23 @@ def load_codes(index_path: str, tier: str, *,
         code_dim = int(meta["code_dim"])
         if ntotal < 0 or not (0 < dim <= 65536) or code_dim <= 0:
             return None
+        # tier-specific shape consistency (round-4 ADVICE): a corrupted
+        # meta must fail HERE into the graceful None-fallback, not
+        # later as an opaque XLA shape error
+        if tier == "int8" and code_dim != dim:
+            return None
+        if tier == "int4" and (dim % 2 or code_dim != dim // 2):
+            return None
         verify = _verify_mode()
-        if verify == "full":
-            if (content_hash == _ZERO16
-                    or sidecar_full_hash(index_path) != content_hash):
-                return None
-        elif verify == "sample":
-            if (fp_sample == _ZERO16
-                    or sidecar_sample_fp(index_path) != fp_sample):
-                return None
+        if not orphan:
+            if verify == "full":
+                if (content_hash == _ZERO16
+                        or sidecar_full_hash(index_path) != content_hash):
+                    return None
+            elif verify == "sample":
+                if (fp_sample == _ZERO16
+                        or sidecar_sample_fp(index_path) != fp_sample):
+                    return None
         size = os.path.getsize(path)
         need = data_off + ntotal * code_dim
         if tier in ("int8", "int4"):
@@ -380,8 +549,23 @@ def load_codes(index_path: str, tier: str, *,
             return None  # only pq carries a trained rotation
         if size < need:
             return None
+        if orphan and verify != "off":
+            if meta.get("self"):
+                if not _verify_self(path, meta_len=data_off - _HDR_FIXED,
+                                    data_off=data_off, need=need,
+                                    tier=tier, ntotal=ntotal,
+                                    code_dim=code_dim, mode=verify):
+                    return None
+            else:
+                import sys
+
+                print(f"WARNING: {path} predates the self-integrity "
+                      "footer — codes-only boot proceeds UNVERIFIED "
+                      "(rebuild once with the f32 sidecar present to "
+                      "add it)", file=sys.stderr, flush=True)
         codes = np.memmap(path, np.int8, "r", offset=data_off,
                           shape=(ntotal, code_dim))
+        ld = meta.get("layout_digest")
         payload = {
             "tier": tier, "ntotal": ntotal, "dim": dim,
             "code_dim": code_dim, "rotated": bool(meta.get("rotated")),
@@ -389,6 +573,7 @@ def load_codes(index_path: str, tier: str, *,
             "dsub": dsub, "rot_matrix": None, "residual": residual,
             "content_hash": (None if content_hash == _ZERO16
                              else content_hash),
+            "layout_digest": bytes.fromhex(ld) if ld else None,
         }
         off = data_off + ntotal * code_dim
         if tier in ("int8", "int4"):
@@ -480,12 +665,21 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
 
 
 def write_payload_file(index_path: str, payload: dict, *, tier: str,
-                       content_hash: Optional[bytes] = None) -> None:
+                       content_hash: Optional[bytes] = None,
+                       fp_sample: Optional[bytes] = None,
+                       verify_sidecar: bool = True) -> None:
     """Write ``<index>.codes`` from an in-RAM encode payload — the IVF
     install path stashes its flat-order encode (including residual
     codes, which depend on the cluster layout and so cannot come from
     ``encode_corpus``) and the CLI persists it here with no re-encode
-    and no device round-trip."""
+    and no device round-trip.
+
+    ``fp_sample`` is the sidecar fingerprint the CALLER captured when
+    it opened the f32 memmap (TOCTOU guard — computing it here, after
+    a minutes-long encode, could stamp old-row codes with a replaced
+    sidecar's fingerprint); omitted, it is sampled now for callers
+    whose encode was quick. ``verify_sidecar=False`` skips the
+    close-time re-check (the sidecar-less direct build)."""
     from clipx.search import engine
 
     codes = payload["codes"]
@@ -499,12 +693,17 @@ def write_payload_file(index_path: str, payload: dict, *, tier: str,
            else cdim * 2 if tier == "int4" else cdim)
     opq = (tier == "pq" and rot is not None
            and not np.array_equal(rot, engine._rotation_matrix(dim)))
+    if fp_sample is None:
+        fp_sample = sidecar_sample_fp(index_path)
     writer = CodesWriter(
         codes_path(index_path), tier=tier, ntotal=n, dim=dim,
         code_dim=cdim, rotated=rot is not None,
-        fp_sample=sidecar_sample_fp(index_path),
+        fp_sample=fp_sample,
         dsub=codebook.dsub if tier == "pq" else None,
-        opq=opq, residual=residual)
+        opq=opq, residual=residual,
+        layout_digest=payload.get("layout_digest"),
+        verify_sidecar=(index_path if verify_sidecar
+                        and fp_sample is not None else None))
     try:
         step = 1 << 20
         for i in range(0, n, step):
@@ -529,13 +728,18 @@ def write_payload_file(index_path: str, payload: dict, *, tier: str,
 
 def write_codes_file(index_path: str, vectors, tier: str, *,
                      rot=None, content_hash: Optional[bytes] = None,
-                     codebook=None) -> None:
+                     codebook=None,
+                     fp_sample: Optional[bytes] = None) -> None:
     """Encode ``vectors`` (array or sidecar memmap) with the canonical
     encoder and write ``<index>.codes`` atomically. The write streams
     chunk-by-chunk — peak host RAM is one encode chunk plus the scales
     — so callers at capacity scale memmap the sidecar, write the codes
     file, and re-``load_codes`` it (the OS page cache makes the
-    read-back cheap) instead of ever holding a full codes copy."""
+    read-back cheap) instead of ever holding a full codes copy.
+
+    ``fp_sample``: sidecar fingerprint captured when the caller opened
+    the memmap (TOCTOU guard, see write_payload_file); sampled here
+    when omitted, and re-checked at close before the atomic rename."""
     from clipx.search import pq as pq_lib
 
     n, dim = vectors.shape
@@ -543,13 +747,16 @@ def write_codes_file(index_path: str, vectors, tier: str, *,
         rot, codebook = pq_lib.train_opq(vectors, rot)
     cdim = (codebook.m // 2 if tier == "pq"
             else dim // 2 if tier == "int4" else dim)
+    if fp_sample is None:
+        fp_sample = sidecar_sample_fp(index_path)
     writer = CodesWriter(
         codes_path(index_path), tier=tier, ntotal=n, dim=dim,
         code_dim=cdim, rotated=rot is not None,
-        fp_sample=sidecar_sample_fp(index_path),
+        fp_sample=fp_sample,
         dsub=codebook.dsub if tier == "pq" else None,
         opq=tier == "pq" and rot is not None
-        and pq_lib.opq_mode() == "trained")
+        and pq_lib.opq_mode() == "trained",
+        verify_sidecar=index_path if fp_sample is not None else None)
     try:
         encode_corpus(vectors, tier, rot=rot, codebook=codebook,
                       on_chunk=writer.write_codes)

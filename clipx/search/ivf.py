@@ -688,6 +688,12 @@ class IVFIndex:
             if cache_path:
                 _save_cache(cache_path, vectors, layout)
         idx._install(vectors, layout)
+        pending = getattr(idx, "_pending_codes_payload", None)
+        if pending is not None and pending.get("residual"):
+            # bind the stashed residual codes to the CANONICAL layout
+            # they were encoded under (see layout_digest) — the codes
+            # file records it, _load_cache_for_codes enforces it
+            pending["layout_digest"] = layout_digest(layout)
         return idx
 
     @classmethod
@@ -1142,6 +1148,21 @@ def _encode_residual_flat(vectors, row_ext: np.ndarray,
             "codebook": cb, "rot_matrix": rot, "residual": True}
 
 
+def layout_digest(layout: np.ndarray) -> bytes:
+    """Identity digest of a canonical cluster layout (the .ivf cache's
+    int32 ``layout`` array). Residual-PQ codes are encoded against the
+    segment centroids this layout induces, and k-means layouts are only
+    deterministic per platform — the codes file records this digest so
+    a cache regenerated by a different process (CPU-forced run, JAX
+    upgrade) on the same corpus bytes cannot silently decode residual
+    codes against a different clustering (round-4 ADVICE, ivf.py:1191)."""
+    import hashlib
+
+    return hashlib.blake2b(
+        np.ascontiguousarray(layout, np.int32).tobytes(),
+        digest_size=16).digest()
+
+
 def _layout_ok(layout: np.ndarray, n: int) -> bool:
     live = layout[layout >= 0]
     return not (len(layout) % _SEG_W or len(live) != n
@@ -1193,8 +1214,13 @@ def _load_cache_for_codes(path: str, payload: dict
     """Validate the .ivf cache against a codes-file payload WITHOUT the
     f32 rows: the cache's fingerprint is the full content hash of the
     sidecar rows, and the codes file records the same hash — equality
-    ties codes, layout, and sums to one corpus. Returns (layout, sums)
-    or None (stale / pre-v2 / hashless codes file)."""
+    ties codes, layout, and sums to one corpus. RESIDUAL payloads must
+    additionally carry a layout digest matching the cache's layout
+    array: residual codes decode against segment centroids, so a cache
+    regenerated on another platform (same corpus, different k-means
+    layout) would silently corrupt scores (round-4 ADVICE). Returns
+    (layout, sums) or None (stale / pre-v2 / hashless codes file /
+    layout mismatch) — the caller falls back to the f32 rebuild."""
     ch = payload.get("content_hash")
     if not ch or not os.path.exists(path):
         return None
@@ -1206,6 +1232,10 @@ def _load_cache_for_codes(path: str, payload: dict
                 return None
             layout = z["layout"].astype(np.int64)
             sums = np.asarray(z["sums"], np.float32)
+        if payload.get("residual"):
+            ld = payload.get("layout_digest")
+            if ld is None or ld != layout_digest(layout):
+                return None
     except Exception:
         return None
     if not _layout_ok(layout, payload["ntotal"]):

@@ -252,7 +252,10 @@ class SearchService:
                 from clipx.search import codes_io
 
                 ch = codes_io.sidecar_full_hash(args.index)
-            if ch is not None:
+            if ch is not None or not os.path.exists(args.index):
+                # hash may be None only on a codes-only boot (sidecar
+                # dropped) with a pre-round-5 hashless codes file —
+                # incremental reload is unavailable there regardless
                 self.index = coded
                 self._sidecar_hash = ch
                 self._sidecar_n = coded.ntotal
@@ -447,6 +450,16 @@ class SearchService:
         from clipx.search.engine import content_hash, read_index_vectors
 
         with self._reload_lock:
+            if not os.path.exists(self.args.index):
+                # codes-only deployment (f32 sidecar dropped —
+                # tools/kv_tool.py drop-f32): there is nothing to diff a
+                # reload against. Explicit 400 instead of a 500 from the
+                # missing-file read.
+                raise ValueError(
+                    "reload unavailable: codes-only deployment (f32 "
+                    f"sidecar {self.args.index} absent). Rebuild the "
+                    "sidecar with build-index.py, or restart serve "
+                    "after replacing the codes file.")
             vectors = read_index_vectors(self.args.index)
             old = self.index
             prev_ntotal = old.ntotal if old is not None else 0
@@ -926,9 +939,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv if argv is not None
                                      else sys.argv[1:])
     if not os.path.exists(args.index):
-        print(f"No index found at {args.index!r} — run build-index.py "
-              "first.")
-        return 1
+        from clipx.search import codes_io
+
+        # codes-only deployment (kv_tool.py drop-f32): the codes
+        # sidecar alone boots coded tiers
+        if not (codes_io.tier_of_name(
+                    getattr(args, "corpus_dtype", "f32")) is not None
+                and os.path.exists(codes_io.codes_path(args.index))):
+            print(f"No index found at {args.index!r} — run "
+                  "build-index.py first.")
+            return 1
     server = make_server(args)
     service = server.RequestHandlerClass.service
     # `kill PID` (SIGTERM — what a supervisor sends; SIGKILL is banned

@@ -4,11 +4,15 @@
     python tools/kv_tool.py stat vectors.lmdb
     python tools/kv_tool.py compact vectors.lmdb
     python tools/kv_tool.py verify vectors.lmdb
+    python tools/kv_tool.py drop-f32 --index images.index
 
 ``stat`` prints per-database entry counts and the log file size;
 ``compact`` rewrites the log with only live records; ``verify`` walks
 every cursor and cross-checks counts (exercises torn-tail recovery on a
-crashed environment as a side effect of opening it).
+crashed environment as a side effect of opening it). ``drop-f32``
+deletes the f32 sidecar after proving the coded deployment can stand
+alone — the codes-only deployment recipe (docs/OPERATIONS.md): at the
+measured 24M pq tier it reclaims 45.8 GiB to keep 3.07 GiB.
 """
 
 from __future__ import annotations
@@ -36,17 +40,73 @@ def _store_bytes(env_path: str):
     return seg, wal
 
 
+def drop_f32(index_path: str) -> int:
+    """Delete the f32 sidecar once the coded deployment provably
+    stands alone: the codes file must be FRESH against the current
+    sidecar, carry the self-integrity footer (codes-only boots verify
+    against it), and — for residual pq — have its matching .ivf cache
+    on disk (no f32 means no rebuild path). Refuses otherwise."""
+    from clipx.search import codes_io, ivf
+
+    cpath = codes_io.codes_path(index_path)
+    if not os.path.exists(index_path):
+        print(f"{index_path} is already absent")
+        return 0
+    parsed = codes_io._read_meta(cpath) if os.path.exists(cpath) else None
+    if parsed is None:
+        print(f"REFUSING: no readable codes file at {cpath} — build one "
+              "first (start query/serve once with --corpus-dtype "
+              "int8/int4/pq)")
+        return 2
+    meta = parsed[0]
+    if not meta.get("self"):
+        print(f"REFUSING: {cpath} predates the self-integrity footer; "
+              "codes-only boots could not verify it. Rebuild it once "
+              "(CLIPX_CODES=refresh) while the sidecar is present.")
+        return 2
+    payload = codes_io.load_codes(index_path, meta.get("tier"),
+                                  rotated=bool(meta.get("rotated")))
+    if payload is None:
+        print(f"REFUSING: {cpath} is STALE against {index_path} (or "
+              "corrupt) — a codes-only boot would serve old rows. "
+              "Rebuild it (CLIPX_CODES=refresh), then retry.")
+        return 2
+    if payload.get("residual"):
+        cache = ivf._load_cache_for_codes(index_path + ".ivf", payload)
+        if cache is None:
+            print(f"REFUSING: residual codes need {index_path}.ivf "
+                  "(matching content hash + layout digest) to boot, "
+                  "and it is missing or stale. Start once under "
+                  "--search-mode ivf to regenerate it, then retry.")
+            return 2
+    saved = os.path.getsize(index_path)
+    kept = os.path.getsize(cpath)
+    os.remove(index_path)
+    print(f"dropped {index_path} ({saved / 2**30:.2f} GiB); deployment "
+          f"is now codes-only ({cpath}, {kept / 2**30:.2f} GiB"
+          + (f" + {index_path}.ivf" if payload.get("residual")
+             or os.path.exists(index_path + ".ivf") else "") + ").")
+    print("Lost with the sidecar: staleness detection, re-encoding to "
+          "other tiers, incremental serve reload. Rebuild it any time "
+          "by re-running build-index.py.")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("command",
-                    choices=("stat", "compact", "verify", "check-index"))
-    ap.add_argument("env_path")
+                    choices=("stat", "compact", "verify", "check-index",
+                             "drop-f32"))
+    ap.add_argument("env_path", nargs="?",
+                    help="store directory (not needed for drop-f32)")
     ap.add_argument("--index", default="images.index",
-                    help="vector index file for check-index")
+                    help="vector index file for check-index / drop-f32")
     ap.add_argument("--samples", type=int, default=16)
     args = ap.parse_args(argv)
 
-    if not os.path.isdir(args.env_path):
+    if args.command == "drop-f32":
+        return drop_f32(args.index)
+    if args.env_path is None or not os.path.isdir(args.env_path):
         print(f"no environment at {args.env_path!r}")
         return 1
     env = kv.open_env(args.env_path)
