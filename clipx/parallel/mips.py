@@ -444,6 +444,13 @@ class ShardedVectorIndex:
             self._scales = jax.lax.with_sharding_constraint(
                 scales, NamedSharding(self.mesh, P(AXIS)))
 
+    def shape_key(self, k: int, nprobe=None) -> tuple:
+        """Compiled-shape family of a k-row search (see
+        engine.VectorIndex.shape_key — same contract, k bucket only)."""
+        from clipx.search.engine import _bucket_k, clamp_k
+
+        return (_bucket_k(clamp_k(k)),)
+
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """faiss-shaped (D, I): (Q, k) scores desc + int64 global ids,
         -1 beyond ntotal — identical contract to the single-device

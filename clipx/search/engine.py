@@ -891,6 +891,12 @@ class VectorIndex:
         self._codes = None
         self._scales = None
 
+    def shape_key(self, k: int, nprobe=None) -> tuple:
+        """Compiled-shape family of a k-row search (serve's post-warmup
+        cold-shape guard): flat scans only vary in the k bucket —
+        ``nprobe`` is the faiss-compat no-op here."""
+        return (_bucket_k(clamp_k(k)),)
+
     # -- search ---------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
         """faiss-shaped search: returns (D, I) with D (Q, k) float32 scores

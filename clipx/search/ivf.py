@@ -901,6 +901,37 @@ class IVFIndex:
         return _ivf_kernel_f32(
             self._corpus3, self._seg_cent, self._valid2, qj, P, kk)
 
+    def probe_bucket(self, k: int, nprobe: Optional[int] = None) -> int:
+        """The bucketed probe count a (k, nprobe) request compiles —
+        the request-dependent half of this index's kernel shape.
+        ``ceil(nprobe% * segs)`` bucketed (see _bucket_probe), floored
+        so the k smallest-occupancy live segments still hold k rows (on
+        tiny corpora segments can be nearly empty, and the raw formula
+        returned -1 rows for a k the corpus could satisfy — found
+        driving the 5-image REPL; on dense corpora the floor is 1 and a
+        low-nprobe request keeps its contracted scan fraction)."""
+        segs = self._segs()
+        if segs == 0:
+            return 0
+        k = clamp_k(k)
+        eff = (self._nprobe if nprobe is None
+               else int(np.clip(int(nprobe), 1, 100)))
+        P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
+        return min(max(P, _bucket_probe(self._probe_floor(k))), segs)
+
+    def shape_key(self, k: int, nprobe: Optional[int] = None) -> tuple:
+        """Compiled-shape family of a (k, nprobe) search: (kk, P).
+        Serve's post-warmup cold-shape guard keys off this — two
+        requests with the same key reuse one compiled kernel; a novel
+        key is a first-ever XLA compile (minutes through the remote
+        compile service) that must not run inline under a live
+        request."""
+        k = clamp_k(k)
+        P = self.probe_bucket(k, nprobe)
+        if P == 0:
+            return (engine._bucket_k(k), 0)
+        return (min(engine._bucket_k(k), P * _SEG_W), P)
+
     # -- search -------------------------------------------------------------
     def search(self, queries: np.ndarray, k: int, *,
                nprobe: Optional[int] = None
@@ -922,17 +953,7 @@ class IVFIndex:
                 return self._tail.search(queries, k)
             return (np.full((nq, k), -np.inf, np.float32),
                     np.full((nq, k), -1, np.int64))
-        eff = (self._nprobe if nprobe is None
-               else int(np.clip(int(nprobe), 1, 100)))
-        P = _bucket_probe(max(1, int(np.ceil(eff / 100.0 * segs))))
-        # Probe at least enough segments that the k smallest-occupancy
-        # live segments still hold k rows (on tiny corpora segments can
-        # be nearly empty, and ceil(nprobe% * segs) then returned -1
-        # rows for a k the corpus could satisfy — found driving the
-        # 5-image REPL). The floor comes from the measured per-segment
-        # occupancy, so on dense corpora it is 1 and a low-nprobe
-        # request keeps its contracted scan fraction.
-        P = min(max(P, _bucket_probe(self._probe_floor(k))), segs)
+        P = self.probe_bucket(k, nprobe)
         qcap = _qcap(P, self.dim, self.quantized, k,
                      int8_storage=self.coded_storage,
                      pq_mk=(self._pq.m * pq_lib.PQ_K

@@ -193,20 +193,33 @@ class ColdShapeError(RuntimeError):
 
 
 class _WarmGate:
-    """Tracks which shape FAMILIES warmup has finished compiling
-    (text buckets, search Q buckets, image buckets). Requests needing a
-    family that isn't ready yet 503 instead of stalling minutes behind
-    the compile; the warmup thread disarms each family as it completes
-    it (and every family on exit, so a failed best-effort warmup can
-    never brick serving). Only attached when --warmup is on and
-    $CLIPX_SERVE_COLD_GUARD != off — a --no-warmup server keeps the
-    documented lazy-compile-on-first-request behavior."""
+    """Tracks compiled device shapes at two granularities.
+
+    FAMILY phase (text / search / image): while warmup is still
+    compiling a family's baseline shapes, every request in that family
+    503s instead of stalling minutes behind the compile; the warmup
+    thread completes each family as it finishes (and all of them on
+    exit, so a failed best-effort warmup can never brick serving).
+
+    SHAPE KEYS (``keep_armed``, the default): warmup also records each
+    exact compiled shape family (text bucket, image bucket, search
+    (kk, P) — index.shape_key). POST-warmup, a request mapping to a
+    never-compiled key 503s + Retry-After while the service compiles it
+    OFF-thread (SearchService._bg_compile), then passes. Round-4's
+    guard disarmed entirely at warmup exit, so any post-warmup novel
+    shape (k=17, a fresh nprobe, an odd image batch) stalled a live
+    request for up to minutes (SERVING_r04 run 2: p99 11.2 s; fresh
+    shapes run 25-33 min through the remote compile service).
+    $CLIPX_SERVE_COLD_GUARD: 'on' (both layers), 'warmup' (round-4
+    behavior — family phase only, disarm at exit), 'off' (no gate)."""
 
     FAMILIES = ("text", "search", "image")
 
-    def __init__(self, retry_after: int):
+    def __init__(self, retry_after: int, keep_armed: bool = True):
         self.retry_after = retry_after
+        self.keep_armed = keep_armed
         self._ready = set()
+        self._keys = set()
         self._lock = threading.Lock()
 
     def mark(self, family: str) -> None:
@@ -224,6 +237,14 @@ class _WarmGate:
     def all_ready(self) -> bool:
         with self._lock:
             return set(self.FAMILIES) <= self._ready
+
+    def mark_key(self, key: tuple) -> None:
+        with self._lock:
+            self._keys.add(key)
+
+    def key_ready(self, key: tuple) -> bool:
+        with self._lock:
+            return key in self._keys
 
 
 class SearchService:
@@ -306,11 +327,113 @@ class SearchService:
                 self._encode_batch, cap, inflight, name="text")
         # attached by make_server when --warmup is on (see _WarmGate)
         self._warm_gate: Optional[_WarmGate] = None
+        # off-thread novel-shape compiles (deduped by shape key)
+        self._bg_lock = threading.Lock()
+        self._bg_pending = set()
 
-    def _require_warm(self, family: str) -> None:
+    def _require_warm(self, family: str, key: tuple = None,
+                      spec=None) -> None:
+        """Two-layer cold-shape gate (see _WarmGate): family phase
+        during warmup; per-shape-key forever after. A post-warmup novel
+        key starts an off-thread compile and 503s until it lands."""
         g = self._warm_gate
-        if g is not None and not g.ready(family):
+        if g is None:
+            return
+        if not g.ready(family):
             raise ColdShapeError(family, g.retry_after)
+        if (key is None or not g.keep_armed or g.key_ready(key)):
+            return
+        self._bg_compile(family, key, spec)
+        raise ColdShapeError(f"{family} shape {key}", g.retry_after)
+
+    # -- off-thread shape compiles + the warmup manifest --------------------
+
+    def _bg_compile(self, family: str, key: tuple, spec) -> None:
+        """Compile a novel shape family off the request path. One
+        thread per distinct key (deduped); on completion — success OR
+        failure — the key is marked ready, so the worst case degrades
+        to the documented lazy inline compile instead of 503-forever."""
+        with self._bg_lock:
+            if key in self._bg_pending:
+                return
+            self._bg_pending.add(key)
+        t = threading.Thread(target=self._bg_compile_run,
+                             args=(family, key, spec), daemon=True,
+                             name=f"clipx-bgcompile-{family}")
+        t.start()
+
+    def _bg_compile_run(self, family: str, key: tuple, spec) -> None:
+        try:
+            if family == "search":
+                rows, nprobe = spec
+                cap = min(self._search_co.cap
+                          if self._search_co is not None else 1, 16)
+                self._begin_read(timeout=1200.0)
+                try:
+                    idx = self.current_index()
+                    kw = ({"nprobe": nprobe}
+                          if nprobe is not None
+                          and getattr(idx, "supports_nprobe", False)
+                          else {})
+                    q = 1
+                    while q <= cap:
+                        idx.search(np.zeros((q, idx.dim), np.float32),
+                                   rows, **kw)
+                        q *= 2
+                finally:
+                    self._end_read()
+            elif family == "text":
+                self.encoder().encode_texts(["warmup"] * int(spec))
+            else:  # image
+                enc = self.encoder()
+                zero = np.zeros((int(spec), enc.image_size,
+                                 enc.image_size, 3), np.uint8)
+                enc.encode_images(zero)
+            self.count("bg_compiles")
+            self._manifest_add(family, spec)
+        except Exception:  # noqa: BLE001 — degrade to lazy inline
+            pass
+        finally:
+            g = self._warm_gate
+            if g is not None:
+                g.mark_key(key)
+            with self._bg_lock:
+                self._bg_pending.discard(key)
+
+    def _manifest_path(self) -> str:
+        return self.args.index + ".warmup.json"
+
+    def _manifest_entries(self) -> list:
+        """Shape families this index/config needed in past runs —
+        replayed by warmup so a restart doesn't rediscover them
+        serially through live-request 503s (round-4 weakness 6)."""
+        try:
+            with open(self._manifest_path()) as f:
+                data = json.load(f)
+            ent = data.get("entries", [])
+            return ent if isinstance(ent, list) else []
+        except (OSError, ValueError):
+            return []
+
+    def _manifest_add(self, family: str, spec) -> None:
+        if family == "search":
+            entry = {"family": "search", "k": int(spec[0]),
+                     "nprobe": spec[1]}
+        else:
+            entry = {"family": family, "n": int(spec)}
+        with self._bg_lock:
+            entries = self._manifest_entries()
+            if entry in entries:
+                return
+            entries.append(entry)
+            tmp = self._manifest_path() + ".tmp"
+            try:
+                with open(tmp, "w") as f:
+                    json.dump({"model": self.args.model,
+                               "entries": entries}, f, indent=1)
+                os.replace(tmp, self._manifest_path())
+            except OSError:
+                pass  # unwritable dir: manifest is best-effort
 
     def close(self) -> None:
         """Stop the coalescing dispatchers (each drains its queue)."""
@@ -339,7 +462,11 @@ class SearchService:
         """Text -> embedding rows. Single texts (every /search request)
         ride the text coalescer so concurrent requests share one bucketed
         device call; multi-text callers already amortize and go inline."""
-        self._require_warm("text")
+        from clipx.runtime.encoder import _TEXT_BUCKETS, _pick_bucket
+
+        nb = _pick_bucket(min(len(texts), _TEXT_BUCKETS[-1]),
+                          _TEXT_BUCKETS)
+        self._require_warm("text", key=("text", nb), spec=nb)
         if self._text_co is not None and len(texts) == 1:
             return self._text_co.submit(str(texts[0]))
         return self.encoder().encode_texts([str(t) for t in texts])
@@ -365,6 +492,15 @@ class SearchService:
 
         self._require_warm("image")
         enc = self.encoder()
+        if self._warm_gate is not None:
+            from clipx.runtime.encoder import _pick_bucket
+
+            n = len(images_b64)
+            sizes = {min(self._IMG_CHUNK, n - i)
+                     for i in range(0, max(n, 1), self._IMG_CHUNK)}
+            for b in sorted({_pick_bucket(s, enc.buckets)
+                             for s in sizes}):
+                self._require_warm("image", key=("image", b), spec=b)
         out = []
         for i, b in enumerate(images_b64):
             try:
@@ -573,6 +709,15 @@ class SearchService:
     def search(self, features: np.ndarray, k: int, offset: int = 0,
                nprobe: int = None):
         self._require_warm("search")
+        if self._warm_gate is not None:
+            idx = self.current_index()
+            np_eff = (nprobe if getattr(idx, "supports_nprobe", False)
+                      else None)
+            self._require_warm(
+                "search",
+                key=("search",) + tuple(idx.shape_key(k + offset,
+                                                      np_eff)),
+                spec=(k + offset, np_eff))
         t0 = time.perf_counter()
         features = np.atleast_2d(np.asarray(features))
         # an explicit per-request nprobe only binds under
@@ -828,13 +973,27 @@ def make_server(args) -> ThreadingHTTPServer:
         # stalling minutes behind the compile (SERVING_r03.json p99
         # 15.7 s from cold buckets). CLIPX_SERVE_COLD_GUARD=off keeps
         # the old queue-behind-compile behavior.
-        if os.environ.get("CLIPX_SERVE_COLD_GUARD", "on").lower() != "off":
-            service._warm_gate = _WarmGate(retry_after=max(1, int(
-                os.environ.get("CLIPX_SERVE_RETRY_AFTER", "30"))))
+        guard_mode = os.environ.get("CLIPX_SERVE_COLD_GUARD",
+                                    "on").lower()
+        if guard_mode != "off":
+            service._warm_gate = _WarmGate(
+                retry_after=max(1, int(
+                    os.environ.get("CLIPX_SERVE_RETRY_AFTER", "30"))),
+                keep_armed=guard_mode != "warmup")
 
         def _mark_warm(family):
             if service._warm_gate is not None:
                 service._warm_gate.mark(family)
+
+        def _mark_key(key):
+            if service._warm_gate is not None:
+                service._warm_gate.mark_key(key)
+
+        # shapes this index/config needed in PAST runs (discovered
+        # post-warmup via the 503 + off-thread-compile path): replay
+        # them here so a restart pre-warms them instead of serially
+        # rediscovering each through a client retry loop
+        manifest = service._manifest_entries()
 
         def _warm():
             try:
@@ -847,11 +1006,17 @@ def make_server(args) -> ThreadingHTTPServer:
                 tcap = (service._text_co.cap
                         if service._text_co is not None else 1)
                 from clipx.runtime.encoder import _TEXT_BUCKETS
-                for n in _TEXT_BUCKETS:
-                    if n > tcap or stop_warm.is_set():
+                tns = [n for n in _TEXT_BUCKETS if n <= tcap]
+                tns += [int(e["n"]) for e in manifest
+                        if e.get("family") == "text"
+                        and int(e.get("n", 0)) in _TEXT_BUCKETS
+                        and int(e["n"]) not in tns]
+                for n in tns:
+                    if stop_warm.is_set():
                         break
                     enc.encode_texts(["warmup"] * n)
                     service.count("warmup_text_shapes")
+                    _mark_key(("text", n))
                 _mark_warm("text")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
@@ -875,6 +1040,13 @@ def make_server(args) -> ThreadingHTTPServer:
                         ks.append(max(1, min(int(tok), 1000)))
                     except ValueError:
                         pass
+                # (k, nprobe) pairs: env defaults + manifest replays
+                pairs = [(k, None) for k in (ks or [50])]
+                pairs += [(int(e["k"]), e.get("nprobe"))
+                          for e in manifest
+                          if e.get("family") == "search"
+                          and (int(e["k"]), e.get("nprobe"))
+                          not in pairs and 0 < int(e["k"]) <= 16384]
                 q = 1
                 while q <= cap and not stop_warm.is_set():
                     # register as a reader per bucket (same guard as live
@@ -886,14 +1058,24 @@ def make_server(args) -> ThreadingHTTPServer:
                     service._begin_read(timeout=600.0)
                     try:
                         idx = service.current_index()
-                        for k in ks or (50,):
+                        supports = getattr(idx, "supports_nprobe", False)
+                        for k, np_ in pairs:
+                            kw = ({"nprobe": np_}
+                                  if np_ is not None and supports else {})
                             idx.search(np.zeros((q, idx.dim),
-                                                np.float32), k)
+                                                np.float32), k, **kw)
                     finally:
                         service._end_read()
                     del idx
                     service.count("warmup_search_shapes")
                     q *= 2
+                # record the exact shape keys just compiled, so the
+                # armed gate passes them without a 503 round
+                idx = service.current_index()
+                supports = getattr(idx, "supports_nprobe", False)
+                for k, np_ in pairs:
+                    _mark_key(("search",) + tuple(idx.shape_key(
+                        k, np_ if supports else None)))
                 _mark_warm("search")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass
@@ -905,13 +1087,20 @@ def make_server(args) -> ThreadingHTTPServer:
             # service)
             try:
                 enc = service.encoder()
-                for n in (1, SearchService._IMG_CHUNK):
+                from clipx.runtime.encoder import _pick_bucket
+                ins = [1, SearchService._IMG_CHUNK]
+                ins += [int(e["n"]) for e in manifest
+                        if e.get("family") == "image"
+                        and 0 < int(e.get("n", 0)) <= enc.buckets[-1]
+                        and int(e["n"]) not in ins]
+                for n in ins:
                     if stop_warm.is_set():
                         break
                     zero = np.zeros(
                         (n, enc.image_size, enc.image_size, 3), np.uint8)
                     enc.encode_images(zero)
                     service.count("warmup_image_shapes")
+                    _mark_key(("image", _pick_bucket(n, enc.buckets)))
                 _mark_warm("image")
             except Exception:  # noqa: BLE001 — warmup is best-effort
                 pass

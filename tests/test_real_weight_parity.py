@@ -78,6 +78,36 @@ def test_golden_embedding_parity():
 
 
 @needs_ckpt
+def test_checkpoint_tree_matches_preset():
+    """Armed by the CHECKPOINT alone (neither merges nor golden
+    fixture needed — the smallest artifact unblocks it): the converted
+    tree must match the preset's parameter tree path-for-path and
+    shape-for-shape, and image embeddings must come out unit-norm.
+    Catches truncated or mis-converted weight drops the moment one
+    exists, before the full golden gate can run."""
+    import jax
+
+    from clipx.runtime.encoder import Encoder
+
+    enc = Encoder.create("ViT-B/32", checkpoint=CKPT)
+    ref = Encoder.create("ViT-B/32")  # random init, same preset
+
+    def shapes(params):
+        return {jax.tree_util.keystr(p): v.shape for p, v in
+                jax.tree_util.tree_leaves_with_path(params)}
+
+    got, want = shapes(enc.params), shapes(ref.params)
+    assert got.keys() == want.keys(), (
+        sorted(set(want) - set(got)), sorted(set(got) - set(want)))
+    bad = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not bad, bad
+    emb = enc.encode_images(
+        np.zeros((1, enc.image_size, enc.image_size, 3), np.uint8))
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0,
+                               atol=1e-4)
+
+
+@needs_ckpt
 def test_checkpoint_without_merges_warns_loudly(capsys):
     """The CLI must tell the user their text queries are garbage when a
     checkpoint is supplied without the merge table."""

@@ -78,6 +78,19 @@ def _post(port, path, payload):
     return resp.status, json.loads(resp.read())
 
 
+def _retry_cold(fn, timeout=120):
+    """Retry a request while the armed cold-shape guard answers 503
+    (a post-warmup novel shape compiles off-thread; clients honor
+    Retry-After — on the CPU test platform the compile is seconds).
+    Returns the first non-503 response tuple."""
+    deadline = time.time() + timeout
+    while True:
+        out = fn()
+        if out[0] != 503 or time.time() > deadline:
+            return out
+        time.sleep(0.2)
+
+
 def test_healthz(served):
     status, data = _get(served, "/healthz")
     assert status == 200
@@ -308,7 +321,7 @@ def test_reload_swaps_in_rebuilt_index(tmp_path, monkeypatch):
         status, r = _post(port, "/reload", {})
         assert status == 200
         assert r["mode"] == "rebuild" and r["ntotal"] == 7
-        status, sim = _get(port, "/similar?id=0&k=1")
+        status, sim = _retry_cold(lambda: _get(port, "/similar?id=0&k=1"))
         assert status == 200
         assert sim["results"][0]["path"].endswith("a0.jpg")
     finally:
@@ -909,17 +922,23 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
         assert h["ntotal"] == 4
         # a stored vector finds itself first through the probed scan
         vec = service.index.reconstruct(2).tolist()
-        status, r = _post(port, "/search_vector", {"vector": vec, "k": 2})
+        # k=2 is a NOVEL shape key post-warmup (probe floor differs from
+        # the warmed k=50/10): the armed guard 503s while the off-thread
+        # compile runs, then the retried request passes
+        status, r = _retry_cold(lambda: _post(
+            port, "/search_vector", {"vector": vec, "k": 2}))
         assert status == 200
         assert r["results"][0]["id"] == 2
         # per-request nprobe binds this call only: the index-global knob
         # must not move, and full-probe results stay exact
-        status, r = _post(port, "/search_vector",
-                          {"vector": vec, "k": 2, "nprobe": 100})
+        status, r = _retry_cold(lambda: _post(
+            port, "/search_vector",
+            {"vector": vec, "k": 2, "nprobe": 100}))
         assert status == 200
         assert r["results"][0]["id"] == 2
         assert service.index.nprobe == 32  # untouched default
-        status, sim = _get(port, "/similar?id=2&k=2&nprobe=1")
+        status, sim = _retry_cold(
+            lambda: _get(port, "/similar?id=2&k=2&nprobe=1"))
         assert status == 200
         assert sim["results"][0]["id"] == 2
         status, r = _post(port, "/search_vector",
@@ -938,10 +957,11 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
         assert r["mode"] == "incremental" and r["ntotal"] == 6
         assert service.index is not None and service.index.tail_fraction > 0
         vec = service.index.reconstruct(5).tolist()
-        status, r = _post(port, "/search_vector", {"vector": vec, "k": 2})
+        status, r = _retry_cold(lambda: _post(
+            port, "/search_vector", {"vector": vec, "k": 2}))
         assert status == 200
         assert r["results"][0]["id"] == 5
-        status, sim = _get(port, "/similar?id=4&k=1")
+        status, sim = _retry_cold(lambda: _get(port, "/similar?id=4&k=1"))
         assert status == 200
         assert sim["results"][0]["id"] == 4
 
@@ -954,7 +974,7 @@ def test_serve_ivf_mode_search_and_reload(tmp_path, monkeypatch):
         assert r["mode"] == "rebuild" and r["ntotal"] == 7
         assert isinstance(service.index, IVFIndex)
         assert service.index.tail_fraction == 0
-        status, sim = _get(port, "/similar?id=0&k=1")
+        status, sim = _retry_cold(lambda: _get(port, "/similar?id=0&k=1"))
         assert status == 200
         assert sim["results"][0]["path"].endswith("a0.jpg")
     finally:
@@ -1192,7 +1212,10 @@ def test_serve_ivf_int8_storage_search_and_reload(tmp_path, monkeypatch):
         assert svc.index.int8_storage and svc.index.supports_nprobe
         assert svc.index._corpus3 is None  # codes are the corpus
         _wait_warm(port)
-        status, data = _get(port, "/search?q=anything&k=2&nprobe=100")
+        # k=2 + nprobe=100 is a novel shape key post-warmup: the armed
+        # guard 503s while the off-thread compile runs, then passes
+        status, data = _retry_cold(
+            lambda: _get(port, "/search?q=anything&k=2&nprobe=100"))
         assert status == 200 and len(data["results"]) == 2
         status, sim = _get(port, "/similar?id=1&k=1&nprobe=100")
         assert status == 200 and sim["results"][0]["id"] == 1
@@ -1259,18 +1282,26 @@ def test_cold_shape_guard(tmp_path, monkeypatch):
         # non-shape endpoints keep answering through the cold window
         status, _ = _get(port, "/metrics")
         assert status == 200
-        # per-family disarm: search family ready -> /similar works while
-        # text still rejects
+        # per-family phase end: search family ready -> /similar passes
+        # the phase gate; its (k=2) shape key is novel, so the ARMED
+        # layer 503s once and compiles it off-thread (round-5: the
+        # guard no longer disarms wholesale at warmup exit)
         gate.mark("search")
-        status, data = _get(port, "/similar?id=1&k=2")
+        status, data = _retry_cold(
+            lambda: _get(port, "/similar?id=1&k=2"))
         assert status == 200 and data["results"][0]["id"] == 1
+        # ...and once compiled, the same shape answers 200 immediately
+        status, data = _get(port, "/similar?id=1&k=2")
+        assert status == 200
         status, body = _post(port, "/encode_text", {"texts": ["x"]})
         assert status == 503
-        # full disarm (what the warmup thread's exit guarantees)
+        # all family phases done (what the warmup thread's exit
+        # guarantees); novel keys still gate through the bg compiler
         gate.mark_all()
         status, h = _get(port, "/healthz")
         assert h["warm"] is True
-        status, data = _get(port, "/search?q=anything&k=2")
+        status, data = _retry_cold(
+            lambda: _get(port, "/search?q=anything&k=2"))
         assert status == 200
         # rejects were counted but not as errors
         _, m = _get(port, "/metrics")
@@ -1355,5 +1386,61 @@ def test_metrics_index_provenance(tmp_path, monkeypatch):
         assert info["storage"] == "int8"
         assert info["class"] == "VectorIndex"
         assert info["booted_from_codes"] is True
+    finally:
+        server.shutdown()
+
+
+def test_armed_gate_compiles_novel_shapes_and_manifest_replays(
+        tmp_path, monkeypatch):
+    """Round-5 cold-shape guard: POST-warmup novel shape keys 503 +
+    compile off-thread (never stall a live request), the discovered
+    shape lands in the warmup manifest, and a SECOND boot replays the
+    manifest so the same request passes without a single 503."""
+    photos = tmp_path / "photos"
+    photos.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(4):
+        Image.fromarray(rng.randint(0, 255, (32, 32, 3), dtype=np.uint8)
+                        ).save(photos / f"p{i}.jpg")
+    work = tmp_path / "work"
+    work.mkdir()
+    monkeypatch.chdir(work)
+    assert bi.main(["--model", "tiny-test", str(photos) + os.sep]) == 0
+
+    def boot():
+        args = serve.build_parser().parse_args(
+            ["--model", "tiny-test", "--port", "0"])  # warmup ON
+        server = serve.make_server(args)
+        threading.Thread(target=server.serve_forever,
+                         daemon=True).start()
+        return server, server.server_address[1]
+
+    server, port = boot()
+    try:
+        _wait_warm(port)
+        # k=17 (bucket 32) was never warmed: the first attempt must be
+        # an immediate 503 (not a stall), then the off-thread compile
+        # lands and the retried request answers
+        status, body, headers = _get_raw(port, "/similar?id=1&k=17")
+        assert status == 503 and "Retry-After" in headers
+        status, data = _retry_cold(
+            lambda: _get(port, "/similar?id=1&k=17"))
+        assert status == 200 and data["results"][0]["id"] == 1
+        _, m = _get(port, "/metrics")
+        assert m["counters"].get("bg_compiles", 0) >= 1
+        assert m["counters"].get("cold_rejects", 0) >= 1
+        # the discovered shape is recorded for future boots
+        with open("images.index.warmup.json") as f:
+            entries = json.load(f)["entries"]
+        assert {"family": "search", "k": 17, "nprobe": None} in entries
+    finally:
+        server.shutdown()
+
+    # second boot: manifest replay pre-warms k=17 — zero 503s
+    server, port = boot()
+    try:
+        _wait_warm(port)
+        status, data = _get(port, "/similar?id=1&k=17")
+        assert status == 200 and data["results"][0]["id"] == 1
     finally:
         server.shutdown()
