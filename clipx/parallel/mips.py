@@ -31,6 +31,7 @@ from clipx.search.engine import (_INT4_CHUNK, _MAX_Q, _SEG_W, _bucket_k,
                                  _int4_segscan, _int8_append, _int8_segscan,
                                  _is_int4, _pad_q, _padded_append,
                                  _exact_topk, _quantize_device, clamp_k,
+                                 coded_center_enabled, corpus_center,
                                  corpus_rotation, quantize_rows,
                                  quantize_rows_int4, quantize_rows_rotated,
                                  rotate_rows)
@@ -198,6 +199,9 @@ class ShardedVectorIndex:
         # (engine.corpus_rotation — recall on anisotropic embeddings)
         self._rot = (corpus_rotation(self.dim) if self.coded_storage
                      else None)
+        # centered int8/int4 storage (engine.coded_center_enabled):
+        # codes are residuals from the canonical corpus mean
+        self._center = None
         if self.pq_storage:
             self._corpus = None
             if self.ntotal:
@@ -205,8 +209,11 @@ class ShardedVectorIndex:
             return
         if self.coded_storage:
             self._corpus = None
-            codes, scales = quantize_rows_rotated(vectors, self._rot,
-                                                  self.int4_storage)
+            if self.ntotal and coded_center_enabled():
+                self._center = corpus_center(vectors, self._rot)
+            codes, scales = quantize_rows_rotated(
+                vectors, self._rot, self.int4_storage,
+                center=self._center)
             self._place_int8(codes, scales)
             return
         n_shards = mesh.shape[AXIS]
@@ -240,6 +247,7 @@ class ShardedVectorIndex:
         idx._code_dim = payload["code_dim"]  # file width wins (engine)
         if payload.get("rot_matrix") is not None:
             idx._rot = payload["rot_matrix"]  # trained OPQ rotation
+        idx._center = payload.get("center")  # centered int8/int4 codes
         if payload["ntotal"] == 0:
             return idx
         if tier == "pq":
@@ -506,6 +514,11 @@ class ShardedVectorIndex:
                 jnp.int32(self.ntotal))
         d = np.asarray(d[:nq, :k], np.float32)
         i = np.asarray(i[:nq, :k], np.int64)
+        if self._center is not None:
+            # centered codes scored the residual only (per-query
+            # constant shift — ranking unchanged); add the exact
+            # q·mean term for faithful scores (engine.search notes)
+            d = d + (queries[:nq] @ self._center)[:, None]
         i[~np.isfinite(d)] = -1
         # pad out if k exceeded the per-shard cap
         if d.shape[1] < k:

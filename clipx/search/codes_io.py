@@ -220,7 +220,8 @@ class CodesWriter:
                  dsub: Optional[int] = None, opq: bool = False,
                  residual: bool = False,
                  layout_digest: Optional[bytes] = None,
-                 verify_sidecar: Optional[str] = None):
+                 verify_sidecar: Optional[str] = None,
+                 center: Optional[np.ndarray] = None):
         if tier not in _TIERS:
             raise ValueError(f"unknown tier {tier!r}")
         if tier == "pq" and dsub not in (2, 4):
@@ -236,6 +237,13 @@ class CodesWriter:
         self._scales = [] if self._need_scales else None
         self._centroids: Optional[np.ndarray] = None
         self._rotation: Optional[np.ndarray] = None
+        if center is not None and tier not in ("int8", "int4"):
+            raise ValueError("only int8/int4 codes carry a center")
+        self._center = (None if center is None
+                        else np.ascontiguousarray(center, np.float32))
+        if self._center is not None and self._center.shape != (dim,):
+            raise ValueError(f"center must be ({dim},), "
+                             f"got {self._center.shape}")
         self._content_hash: Optional[bytes] = None
         # TOCTOU guard (round-4 ADVICE): the caller captured fp_sample
         # when it OPENED the f32 memmap; if verify_sidecar is given,
@@ -267,6 +275,11 @@ class CodesWriter:
             # (faiss by_residual): only loadable under --search-mode
             # ivf with the v2 .ivf cache whose fp matches content_hash
             meta["residual"] = True
+        if self._center is not None:
+            # int8/int4 codes are residuals from the rotated-space
+            # corpus mean (engine.coded_center_enabled): a f32[dim]
+            # section follows the scales, and scores add q·mean back
+            meta["centered"] = True
         if layout_digest is not None:
             # residual codes are LAYOUT-dependent (encoded against
             # segment centroids), and k-means layouts are only
@@ -349,6 +362,11 @@ class CodesWriter:
             if self._ntotal > _FP_SAMPLE_ROWS:
                 self._self_sample.update(
                     scal[-_FP_SAMPLE_ROWS:].tobytes())
+            if self._center is not None:
+                raw = self._center.tobytes()
+                self._f.write(raw)
+                self._self_full.update(raw)
+                self._self_sample.update(raw)
         if self._tier == "pq":
             if self._centroids is None:
                 self._f.close()
@@ -533,6 +551,19 @@ def load_codes(index_path: str, tier: str, *,
         residual = bool(meta.get("residual"))
         if residual and tier != "pq":
             return None  # only pq supports residual encoding
+        centered = bool(meta.get("centered"))
+        if centered and tier not in ("int8", "int4"):
+            return None  # only int8/int4 carry a corpus-mean center
+        if tier in ("int8", "int4"):
+            from clipx.search.engine import coded_center_enabled
+
+            if centered != coded_center_enabled():
+                # same policy as the rotation knob: flipping
+                # CLIPX_CODED_CENTER re-encodes rather than serving
+                # codes whose scoring model doesn't match the request
+                return None
+            if centered:
+                need += dim * 4
         if tier == "pq":
             dsub = int(meta.get("dsub", 0))
             if dsub not in (2, 4) or dim % (2 * dsub):
@@ -574,11 +605,16 @@ def load_codes(index_path: str, tier: str, *,
             "content_hash": (None if content_hash == _ZERO16
                              else content_hash),
             "layout_digest": bytes.fromhex(ld) if ld else None,
+            "center": None,
         }
         off = data_off + ntotal * code_dim
         if tier in ("int8", "int4"):
             payload["scales"] = np.memmap(path, np.float32, "r",
                                           offset=off, shape=(ntotal,))
+            if centered:
+                cmm = np.memmap(path, np.float32, "r",
+                                offset=off + ntotal * 4, shape=(dim,))
+                payload["center"] = np.asarray(cmm)  # tiny
         else:
             from clipx.search.pq import PQ_K
 
@@ -600,7 +636,7 @@ def load_codes(index_path: str, tier: str, *,
 # ---------------------------------------------------------------------------
 
 def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
-                  on_chunk=None) -> dict:
+                  on_chunk=None, center=None) -> dict:
     """THE coded-tier encoder: flat-order host encoding of ``vectors``
     (an ndarray or sidecar memmap — access is chunked, so a memmapped
     100M-row corpus never fully materializes in RAM).
@@ -647,21 +683,30 @@ def encode_corpus(vectors, tier: str, *, rot=None, codebook=None,
                 "rot_matrix": rot}
     if tier not in ("int8", "int4"):
         raise ValueError(f"unknown tier {tier!r}")
+    from clipx.search.engine import coded_center_enabled, corpus_center
+
     int4 = tier == "int4"
     cdim = dim // 2 if int4 else dim
+    if center is None and coded_center_enabled():
+        # canonical rotated-space mean (one streaming pre-pass over a
+        # possibly-memmapped corpus): codes become residuals, whose
+        # finer per-row scale is the centered-storage recall win
+        center = corpus_center(vectors, rot)
     if on_chunk is None:
         out_codes = np.empty((n, cdim), np.int8)
         out_scales = np.empty((n,), np.float32)
     for i in range(0, n, _ENC_CHUNK):
         c, s = quantize_rows_rotated(
-            np.asarray(vectors[i: i + _ENC_CHUNK], np.float32), rot, int4)
+            np.asarray(vectors[i: i + _ENC_CHUNK], np.float32), rot,
+            int4, center=center)
         if on_chunk is None:
             out_codes[i: i + len(c)] = c
             out_scales[i: i + len(s)] = s
         else:
             on_chunk(c, s)
     return {"codes": out_codes, "scales": out_scales,
-            "centroids": None, "codebook": None, "rot_matrix": rot}
+            "centroids": None, "codebook": None, "rot_matrix": rot,
+            "center": center}
 
 
 def write_payload_file(index_path: str, payload: dict, *, tier: str,
@@ -703,7 +748,9 @@ def write_payload_file(index_path: str, payload: dict, *, tier: str,
         opq=opq, residual=residual,
         layout_digest=payload.get("layout_digest"),
         verify_sidecar=(index_path if verify_sidecar
-                        and fp_sample is not None else None))
+                        and fp_sample is not None else None),
+        center=payload.get("center") if tier in ("int8", "int4")
+        else None)
     try:
         step = 1 << 20
         for i in range(0, n, step):
@@ -745,6 +792,12 @@ def write_codes_file(index_path: str, vectors, tier: str, *,
     n, dim = vectors.shape
     if tier == "pq" and codebook is None:
         rot, codebook = pq_lib.train_opq(vectors, rot)
+    center = None
+    if tier in ("int8", "int4"):
+        from clipx.search.engine import coded_center_enabled, corpus_center
+
+        if coded_center_enabled():
+            center = corpus_center(vectors, rot)
     cdim = (codebook.m // 2 if tier == "pq"
             else dim // 2 if tier == "int4" else dim)
     if fp_sample is None:
@@ -756,10 +809,11 @@ def write_codes_file(index_path: str, vectors, tier: str, *,
         dsub=codebook.dsub if tier == "pq" else None,
         opq=tier == "pq" and rot is not None
         and pq_lib.opq_mode() == "trained",
-        verify_sidecar=index_path if fp_sample is not None else None)
+        verify_sidecar=index_path if fp_sample is not None else None,
+        center=center)
     try:
         encode_corpus(vectors, tier, rot=rot, codebook=codebook,
-                      on_chunk=writer.write_codes)
+                      on_chunk=writer.write_codes, center=center)
         if tier == "pq":
             writer.set_centroids(codebook.centroids)
             if writer.opq:

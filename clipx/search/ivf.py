@@ -649,6 +649,10 @@ class IVFIndex:
         # layout composes with either knob setting)
         self._rot = (engine.corpus_rotation(dim) if self.coded_storage
                      else None)
+        # centered int8/int4 storage (engine.coded_center_enabled):
+        # codes are residuals from the canonical corpus mean; search
+        # adds the exact q·mean term back host-side
+        self._center: Optional[np.ndarray] = None
 
     @property
     def coded_storage(self) -> bool:
@@ -786,6 +790,7 @@ class IVFIndex:
                 self._residual = bool(coded.get("residual"))
                 if coded.get("rot_matrix") is not None:
                     self._rot = coded["rot_matrix"]  # trained OPQ
+            self._center = coded.get("center")  # centered int8/int4
             if _STASH_CODES:
                 # the caller (cli.common) persists these flat codes to
                 # the sidecar — no re-encode, no device round-trip
@@ -970,6 +975,12 @@ class IVFIndex:
         d, ids = self._probe(jnp.asarray(qpad), P, kk)
         d = np.asarray(d[:nq], np.float32)
         ids = np.asarray(ids[:nq], np.int64)
+        if self._center is not None:
+            # centered codes scored the residual only (per-query
+            # constant — probe ranking unchanged); add the exact q·mean
+            # back so scores are faithful and comparable with the exact
+            # f32 tail merged below (-inf slots stay -inf)
+            d = d + (qpad[:nq] @ self._center)[:, None]
         # dead rows already map to -1 in row_ext; -inf slots follow suit
         ids_ext = np.where(np.isfinite(d), self._row_ext[ids], -1)
         if self._tail is not None and self._tail.ntotal:
@@ -1014,12 +1025,16 @@ class IVFIndex:
                 c = engine.unpack_int4_host(
                     np.asarray(flat_c[pos])[None, :])
                 v = c[0].astype(np.float32) * float(flat_s[pos])
+                if self._center is not None:
+                    v = v + self._center
                 return v @ self._rot.T if self._rot is not None else v
             if self.int8_storage:
                 flat_c = self._codes3.reshape(-1, self.dim)
                 flat_s = self._scales2.reshape(-1)
                 v = (np.asarray(flat_c[pos], dtype=np.float32)
                      * float(flat_s[pos]))
+                if self._center is not None:
+                    v = v + self._center
                 return v @ self._rot.T if self._rot is not None else v
             flat = self._corpus3.reshape(-1, self.dim)
             return np.asarray(flat[pos], dtype=np.float32)
@@ -1062,6 +1077,8 @@ class IVFIndex:
                         chunk = engine.unpack_int4_host(chunk)
                     chunk = chunk.astype(np.float32)
                     chunk *= scales[p][:, None]
+                    if self._center is not None:
+                        chunk += self._center
                 if self._rot is not None:  # back to user space
                     chunk = chunk @ self._rot.T
                 base[i:i + len(p)] = chunk
@@ -1390,6 +1407,7 @@ class ShardedIVFIndex(IVFIndex):
                 self._residual = bool(coded.get("residual"))
                 if coded.get("rot_matrix") is not None:
                     self._rot = coded["rot_matrix"]  # trained OPQ
+            self._center = coded.get("center")  # centered int8/int4
             if _STASH_CODES:
                 self._pending_codes_payload = coded
             codes, scales = _permute_coded(coded, row_ext, live)

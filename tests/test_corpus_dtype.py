@@ -513,16 +513,24 @@ def test_rotation_knob_off_disables(monkeypatch):
     from clipx.search import engine
 
     monkeypatch.setenv("CLIPX_CORPUS_ROTATE", "off")
-    assert engine.corpus_rotation(64) is None
+    # centering (round 5) composes with rotation-off: codes are
+    # unrotated residuals from the plain corpus mean
     rng = np.random.default_rng(0)
     vecs = _anisotropic(rng, n=512)
+    assert engine.corpus_rotation(64) is None
     idx = VectorIndex.from_vectors(vecs, dtype=jnp.int8)
     assert idx._rot is None
-    # codes equal the legacy (unrotated) quantizer output
+    np.testing.assert_allclose(idx._center,
+                               vecs.mean(axis=0), atol=1e-5)
+    # both knobs off: codes equal the legacy (round-2, unrotated,
+    # uncentered) quantizer output bit-for-bit
+    monkeypatch.setenv("CLIPX_CODED_CENTER", "off")
+    legacy = VectorIndex.from_vectors(vecs, dtype=jnp.int8)
+    assert legacy._center is None
     from clipx.search.engine import quantize_rows
 
     codes, scales = quantize_rows(vecs)
-    assert np.array_equal(np.asarray(idx._codes[:512]), codes)
+    assert np.array_equal(np.asarray(legacy._codes[:512]), codes)
 
 
 @pytest.mark.parametrize("dtype", [jnp.int8, jnp.int4])
